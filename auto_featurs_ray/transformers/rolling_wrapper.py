@@ -1,0 +1,109 @@
+"""RollingWrapper: apply any aggregating transformer over a trailing time window.
+
+Window semantics mirror the reference (``rolling_wrapper.py:32-34``): for the
+row at time ``t`` the window is ``(t - period, t]`` — closed on the right,
+open on the left — over the datetime index column, and the inner expression is
+evaluated on the window slice with the value at the window's anchor row taken
+(polars ``expr.last().rolling(...)``).  Rows sharing a timestamp share one
+window whose anchor is the last duplicate, exactly as polars computes it.
+
+The engine requires the index column to be non-decreasing within each
+partition group and asserts it (the monotonic watermark cursor): a violated
+ordering would silently leak future rows into past windows.
+
+Fast O(n) kernels exist for count/sum/mean/min/max/std/zscore/first-value
+(prefix sums, monotonic deques); every other inner — including nested
+``Over`` and cumulative inners — falls back to exact per-window slice
+evaluation.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Any, Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from auto_featurs_ray.base.column_specification import ColumnSpecification, ColumnType
+from auto_featurs_ray.engine.aggframe import AggFrame, contiguous_segments
+from auto_featurs_ray.transformers.base import AggregatingTransformer
+from auto_featurs_ray.utils import parse_duration_us, window_to_string
+
+
+class RollingWrapper(AggregatingTransformer):
+    def __init__(self, inner_transformer: AggregatingTransformer, index_column: ColumnSpecification,
+                 time_window: Union[str, timedelta], *args: Any) -> None:
+        if index_column.column_type != ColumnType.DATETIME:
+            raise ValueError(
+                f'Currently only {ColumnType.DATETIME} columns are supported for rolling aggregation '
+                f'but {index_column.column_type} was passed for {index_column.name}.')
+        self._inner_transformer = inner_transformer
+        self._index_column = index_column
+        self._time_window = time_window
+        self._period_us = parse_duration_us(time_window)
+
+    @property
+    def inner_transformer(self) -> AggregatingTransformer:
+        return self._inner_transformer
+
+    @property
+    def index_column_name(self) -> str:
+        return self._index_column.name
+
+    def input_type(self):
+        return self._inner_transformer.input_type()
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return self._inner_transformer.output_column_specification.column_type
+
+    def _output_name(self) -> str:
+        return self._inner_transformer.output_name + f'_in_the_last_{window_to_string(self._time_window)}'
+
+    def window_bounds(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        """Per-row [lo, hi) window slice offsets in the sorted partition."""
+        ts = frame.timestamps_us(self.index_column_name)
+        n = len(ts)
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        if codes is not None and len(codes) and len(np.unique(codes)) != np.count_nonzero(np.diff(codes)) + 1:
+            raise ValueError('Rolling windows require rows sorted by (group keys, index column); '
+                             'group codes are not contiguous.')
+        bounds = contiguous_segments(codes, n)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            if np.any(np.diff(seg) < 0):
+                raise ValueError(
+                    f'Rolling index column {self.index_column_name!r} is not sorted within its '
+                    'partition group; the engine sorts by (keys, order_by) — include the index '
+                    'column in order_by.')
+            lo[s:e] = s + np.searchsorted(seg, seg - self._period_us, side='right')
+            hi[s:e] = s + np.searchsorted(seg, seg, side='right')
+        return lo, hi
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        lo, hi = self.window_bounds(frame, codes)
+        fast = self._inner_transformer.compute_windowed(frame, lo, hi)
+        if fast is not None:
+            return fast
+        # exact generic fallback: evaluate the inner on each window slice and
+        # take the anchor (= last) element, like polars expr.last().rolling().
+        n = frame.num_rows
+        out = np.empty(n, dtype=object)
+        cache_key = None
+        cached = None
+        for i in range(n):
+            key = (lo[i], hi[i])
+            if key != cache_key:
+                sub = frame.slice(lo[i], hi[i])
+                values = self._inner_transformer.compute(sub, None)
+                cached = values.iloc[-1] if isinstance(values, pd.Series) else values[-1]
+                if isinstance(cached, float) and np.isnan(cached):
+                    cached = None
+                cache_key = key
+            out[i] = cached
+        return pd.Series(out)
