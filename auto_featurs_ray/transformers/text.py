@@ -126,6 +126,8 @@ def jaro_similarity(a: str, b: str) -> float:
 
 def jaro_winkler_similarity(a: str, b: str, weight: float = 0.1) -> float:
     jaro = jaro_similarity(a, b)
+    if jaro < 0.7:  # standard boost threshold (matches the reference's golden values)
+        return jaro
     prefix = 0
     for x, y in zip(a[:4], b[:4]):
         if x != y:

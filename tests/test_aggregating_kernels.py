@@ -1,0 +1,301 @@
+"""Segmented-kernel conformance vs the reference's golden literals.
+
+Golden values ported from
+/root/reference/src/auto_featurs/transformers/tests/test_aggregating_transformers.py
+and test_over_wrapper.py / test_rolling_wrapper.py (hard-coded expected lists).
+These run the kernels directly on an AggFrame (no Ray session needed).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+from auto_featurs_ray.engine.aggframe import AggFrame
+from auto_featurs_ray.expressions import col
+from auto_featurs_ray.transformers.aggregating import (
+    ArgMaxTransformer,
+    ArgMinTransformer,
+    CountTransformer,
+    EntityEntropyTransformer,
+    FirstValueTransformer,
+    LaggedTransformer,
+    MaxTransformer,
+    MeanTransformer,
+    MedianTransformer,
+    MinMaxScaler,
+    MinTransformer,
+    ModeTransformer,
+    NumUniqueTransformer,
+    PointwiseMutualInformationTransformer,
+    StandardScaler,
+    StdTransformer,
+    SumTransformer,
+    ZscoreTransformer,
+)
+from auto_featurs_ray.transformers.base import CumulativeOptions as C
+from auto_featurs_ray.transformers.over_wrapper import OverWrapper
+from auto_featurs_ray.transformers.rolling_wrapper import RollingWrapper
+
+from tests.fixtures import BASIC_TABLE
+
+INF = float('inf')
+
+
+def run(transformer, table=None):
+    return list(_norm(v) for v in np.asarray(
+        transformer.compute(AggFrame(table if table is not None else BASIC_TABLE), None), dtype=object))
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def close(got, want, atol=1e-5):
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        w = _norm(w)
+        if w is None or g is None:
+            assert g is None and w is None, (got, want)
+        elif isinstance(w, float) and np.isinf(w):
+            assert np.isinf(g), (got, want)
+        elif isinstance(w, float):
+            assert abs(g - w) <= atol, (got, want)
+        else:
+            assert g == w, (got, want)
+
+
+GE2 = (col('NUMERIC_FEATURE') >= 2).alias('NUMERIC_FEATURE_GE_2')
+BOOL = col('BOOL_FEATURE')
+
+
+class TestCount:
+    def test_names(self):
+        assert CountTransformer().output_name == 'count'
+        assert CountTransformer(C.EXCLUSIVE).output_name == 'exclusive_cum_count'
+        assert CountTransformer(C.INCLUSIVE, GE2).output_name == 'inclusive_cum_count_where_NUMERIC_FEATURE_GE_2'
+
+    @pytest.mark.parametrize(('t', 'want'), [
+        (CountTransformer(), [6] * 6),
+        (CountTransformer(C.EXCLUSIVE), [0, 1, 2, 3, 4, 5]),
+        (CountTransformer(C.INCLUSIVE), [1, 2, 3, 4, 5, 6]),
+        (CountTransformer(filtering_condition=GE2), [4] * 6),
+        (CountTransformer(C.EXCLUSIVE, GE2), [0, 0, 0, 1, 2, 3]),
+        (CountTransformer(C.INCLUSIVE, GE2), [0, 0, 1, 2, 3, 4]),
+    ])
+    def test_golden(self, t, want):
+        close(run(t), want)
+
+
+class TestLagged:
+    def test_golden(self):
+        close(run(LaggedTransformer(CS.ordinal(name='CATEGORICAL_FEATURE'), 1)), [None, 'A', 'B', 'C', 'D', 'E'])
+        close(run(LaggedTransformer(CS.numeric(name='NUMERIC_FEATURE'), 2)), [None, None, 0, 1, 2, 3])
+        close(run(LaggedTransformer(CS.numeric(name='NUMERIC_FEATURE'), 2, fill_value=0)), [0, 0, 0, 1, 2, 3])
+        close(run(LaggedTransformer(CS.numeric(name='NUMERIC_FEATURE'), -1)), [1, 2, 3, 4, 5, None])
+
+
+class TestFirstValue:
+    def test_golden(self):
+        close(run(FirstValueTransformer(CS.ordinal(name='CATEGORICAL_FEATURE'))), ['A'] * 6)
+        not_bool = (~col('BOOL_FEATURE')).alias('NOT_BOOL_FEATURE')
+        t = FirstValueTransformer(CS.numeric(name='NUMERIC_FEATURE'), not_bool)
+        assert t.output_name == 'NUMERIC_FEATURE_first_value_where_NOT_BOOL_FEATURE'
+        close(run(t), [1] * 6)
+
+
+class TestMode:
+    def test_golden(self):
+        close(run(ModeTransformer(CS.ordinal(name='GROUPING_FEATURE_NUM'))), ['ODD'] * 6)
+        close(run(ModeTransformer(CS.boolean(name='BOOL_FEATURE'))), [True] * 6)
+        close(run(ModeTransformer(CS.ordinal(name='GROUPING_FEATURE_NUM'), filtering_condition=BOOL)), ['EVEN'] * 6)
+        close(run(ModeTransformer(CS.ordinal(name='GROUPING_FEATURE_NUM'), C.INCLUSIVE, BOOL)),
+              ['ZERO', 'ZERO', 'EVEN', 'EVEN', 'EVEN', 'EVEN'])
+
+
+class TestNumUnique:
+    def test_golden(self):
+        close(run(NumUniqueTransformer('GROUPING_FEATURE_NUM')), [3] * 6)
+        close(run(NumUniqueTransformer('NUMERIC_FEATURE')), [6] * 6)
+        close(run(NumUniqueTransformer('GROUPING_FEATURE_NUM', filtering_condition=BOOL)), [2] * 6)
+        close(run(NumUniqueTransformer('GROUPING_FEATURE_NUM', C.INCLUSIVE, BOOL)), [1, 1, 2, 2, 2, 2])
+
+
+ENTROPY_TABLE = pa.table({
+    'ID': [1, 1, 1, 2, 2, 2, 3, 3, 3, None],
+    'LOC': ['CZ', 'CZ', 'CZ', 'CZ', 'CZ', 'SK', 'CZ', 'SK', 'PL', None],
+    'BOOL': [True, True, False, True, True, False, True, True, False, True],
+})
+
+
+class TestEntityEntropy:
+    def test_golden(self):
+        close(run(EntityEntropyTransformer('ID', 'LOC'), ENTROPY_TABLE),
+              [0.0, 0.0, 0.0, 0.918296, 0.918296, 0.918296, 1.584963, 1.584963, 1.584963, 0.0])
+        close(run(EntityEntropyTransformer('ID', 'LOC', C.INCLUSIVE), ENTROPY_TABLE),
+              [0.0, 0.0, 0.0, 0.0, 0.0, 0.918296, 0.0, 1.0, 1.584963, 0.0])
+
+    def test_names(self):
+        assert EntityEntropyTransformer('ID', 'LOC').output_name == 'LOC_by_ID_entropy'
+        assert EntityEntropyTransformer('ID', 'LOC', C.INCLUSIVE).output_name == 'LOC_by_ID_inclusive_cum_entropy'
+
+
+class TestPMI:
+    def test_golden(self):
+        close(run(PointwiseMutualInformationTransformer('ID', 'LOC'), ENTROPY_TABLE),
+              [0.736966, 0.736966, 0.736966, 0.152003, 0.152003, 0.736966, -0.847997, 0.736966, 1.736966, 3.321928])
+        close(run(PointwiseMutualInformationTransformer('ID', 'LOC', C.INCLUSIVE), ENTROPY_TABLE),
+              [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.222392, 1.0, 1.584963, 3.321928])
+        close(run(PointwiseMutualInformationTransformer('ID', 'LOC', C.INCLUSIVE, col('BOOL')), ENTROPY_TABLE),
+              [0.0, 0.0, 0.0, 0.0, 0.0, None, 0.0, 1.584963, None, 2.807355])
+
+
+class TestArithmeticAggregations:
+    @pytest.mark.parametrize(('t', 'want'), [
+        (MinTransformer('NUMERIC_FEATURE'), [0] * 6),
+        (MaxTransformer('NUMERIC_FEATURE'), [5] * 6),
+        (SumTransformer('NUMERIC_FEATURE'), [15] * 6),
+        (MedianTransformer('NUMERIC_FEATURE'), [2.5] * 6),
+        (MeanTransformer('NUMERIC_FEATURE'), [2.5] * 6),
+        (StdTransformer('NUMERIC_FEATURE'), [1.870829] * 6),
+        (ZscoreTransformer('NUMERIC_FEATURE'),
+         [-1.3363059905528512, -0.8017835943317106, -0.2672611981105702, 0.2672611981105702, 0.8017835943317106, 1.3363059905528512]),
+        (SumTransformer('BOOL_FEATURE'), [3] * 6),
+        (MedianTransformer('BOOL_FEATURE'), [0.5] * 6),
+        (StdTransformer('BOOL_FEATURE'), [0.547723] * 6),
+        (ZscoreTransformer('BOOL_FEATURE'), [0.912871, -0.912871, 0.912871, -0.912871, 0.912871, -0.912871]),
+        (MinTransformer('NUMERIC_FEATURE', C.EXCLUSIVE), [None, 0, 0, 0, 0, 0]),
+        (MaxTransformer('NUMERIC_FEATURE', C.EXCLUSIVE), [None, 0, 1, 2, 3, 4]),
+        (SumTransformer('NUMERIC_FEATURE', C.EXCLUSIVE), [0, 0, 1, 3, 6, 10]),
+        (MedianTransformer('NUMERIC_FEATURE', C.EXCLUSIVE), [None, 0.0, 0.5, 1.0, 1.5, 2.0]),
+        (MeanTransformer('NUMERIC_FEATURE', C.EXCLUSIVE), [None, 0.0, 0.5, 1.0, 1.5, 2.0]),
+        (StdTransformer('NUMERIC_FEATURE', C.EXCLUSIVE), [0.0, 0.0, 1.0, 1.802776, 2.692582, 3.674235]),
+        (ZscoreTransformer('NUMERIC_FEATURE', C.EXCLUSIVE), [None, INF, 1.5, 1.1094, 0.928477, 0.816497]),
+        (MinTransformer('NUMERIC_FEATURE', C.INCLUSIVE), [0] * 6),
+        (MaxTransformer('NUMERIC_FEATURE', C.INCLUSIVE), [0, 1, 2, 3, 4, 5]),
+        (SumTransformer('NUMERIC_FEATURE', C.INCLUSIVE), [0, 1, 3, 6, 10, 15]),
+        (MedianTransformer('NUMERIC_FEATURE', C.INCLUSIVE), [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]),
+        (MeanTransformer('NUMERIC_FEATURE', C.INCLUSIVE), [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]),
+        (StdTransformer('NUMERIC_FEATURE', C.INCLUSIVE), [0.0, 0.5, 1.118034, 1.870829, 2.738613, 3.708099]),
+        (ZscoreTransformer('NUMERIC_FEATURE', C.INCLUSIVE),
+         [None, 1.0, 0.8944271819998318, 0.8017835943317106, 0.7302966866804473, 0.6741999067446689]),
+        (MinTransformer('NUMERIC_FEATURE', filtering_condition=BOOL), [0] * 6),
+        (MaxTransformer('NUMERIC_FEATURE', filtering_condition=BOOL), [4] * 6),
+        (SumTransformer('NUMERIC_FEATURE', filtering_condition=BOOL), [6] * 6),
+        (MedianTransformer('NUMERIC_FEATURE', filtering_condition=BOOL), [2.0] * 6),
+        (MeanTransformer('NUMERIC_FEATURE', filtering_condition=BOOL), [2.0] * 6),
+        (StdTransformer('NUMERIC_FEATURE', filtering_condition=BOOL), [2.0] * 6),
+        (ZscoreTransformer('NUMERIC_FEATURE', filtering_condition=BOOL), [-1.0, -0.5, 0.0, 0.5, 1.0, 1.5]),
+    ])
+    def test_golden(self, t, want):
+        close(run(t), want)
+
+
+class TestArgExtremes:
+    def test_argmin(self):
+        args = dict(value_column='NUMERIC_FEATURE_2', arg_column=CS.ordinal(name='CATEGORICAL_FEATURE'))
+        close(run(ArgMinTransformer(**args, filtering_condition=BOOL)), ['E'] * 6)
+        close(run(ArgMinTransformer(**args, cumulative=C.EXCLUSIVE, filtering_condition=BOOL)),
+              [None, 'A', 'A', 'C', 'C', 'E'])
+        close(run(ArgMinTransformer(**args, cumulative=C.INCLUSIVE, filtering_condition=BOOL)),
+              ['A', 'A', 'C', 'C', 'E', 'E'])
+
+    def test_argmax(self):
+        args = dict(value_column='NUMERIC_FEATURE', arg_column=CS.ordinal(name='CATEGORICAL_FEATURE'))
+        close(run(ArgMaxTransformer(**args, filtering_condition=BOOL)), ['E'] * 6)
+        close(run(ArgMaxTransformer(**args, cumulative=C.EXCLUSIVE, filtering_condition=BOOL)),
+              [None, 'A', 'A', 'C', 'C', 'E'])
+        close(run(ArgMaxTransformer(**args, cumulative=C.INCLUSIVE, filtering_condition=BOOL)),
+              ['A', 'A', 'C', 'C', 'E', 'E'])
+
+    def test_names(self):
+        t = ArgMinTransformer('V', CS.ordinal(name='A'), C.EXCLUSIVE, BOOL)
+        assert t.output_name == 'exclusive_cum_argmin_of_V_by_A_where_BOOL_FEATURE'
+
+
+class TestScalers:
+    def test_golden(self):
+        close(run(StandardScaler('NUMERIC_FEATURE')), [-1.336306, -0.801784, -0.267261, 0.267261, 0.801784, 1.336306])
+        close(run(MinMaxScaler('NUMERIC_FEATURE')), [0.0, 0.2, 0.4, 0.6, 0.8, 1.0])
+
+
+class TestOverWrapper:
+    NUM = ['GROUPING_FEATURE_NUM']
+    NUM_CAT = ['GROUPING_FEATURE_NUM', 'GROUPING_FEATURE_CAT_2']
+
+    @pytest.mark.parametrize(('t', 'want'), [
+        (OverWrapper(CountTransformer(), NUM), [1, 3, 2, 3, 2, 3]),
+        (OverWrapper(CountTransformer(), NUM_CAT), [1, 2, 2, 1, 2, 2]),
+        (OverWrapper(CountTransformer(C.INCLUSIVE), NUM), [1, 1, 1, 2, 2, 3]),
+        (OverWrapper(CountTransformer(C.INCLUSIVE), NUM_CAT), [1, 1, 1, 1, 2, 2]),
+        (OverWrapper(LaggedTransformer(CS.numeric(name='NUMERIC_FEATURE'), 1), NUM), [None, None, None, 1, 2, 3]),
+        (OverWrapper(LaggedTransformer(CS.numeric(name='NUMERIC_FEATURE'), 1), NUM_CAT), [None, None, None, None, 2, 1]),
+        (OverWrapper(FirstValueTransformer(CS.numeric(name='NUMERIC_FEATURE')), NUM), [0, 1, 2, 1, 2, 1]),
+        (OverWrapper(FirstValueTransformer(CS.numeric(name='NUMERIC_FEATURE')), NUM_CAT), [0, 1, 2, 3, 2, 1]),
+        (OverWrapper(ModeTransformer(CS.boolean(name='BOOL_FEATURE')), NUM), [True, False, True, False, True, False]),
+        (OverWrapper(NumUniqueTransformer(CS.ordinal(name='GROUPING_FEATURE_NUM')), ['BOOL_FEATURE']), [2, 1, 2, 1, 2, 1]),
+        (OverWrapper(SumTransformer('NUMERIC_FEATURE'), NUM), [0, 9, 6, 9, 6, 9]),
+        (OverWrapper(SumTransformer('NUMERIC_FEATURE'), NUM_CAT), [0, 6, 6, 3, 6, 6]),
+        (OverWrapper(MeanTransformer('NUMERIC_FEATURE'), NUM), [0.0, 3.0, 3.0, 3.0, 3.0, 3.0]),
+        (OverWrapper(StdTransformer('NUMERIC_FEATURE'), NUM), [None, 2.0, 1.414214, 2.0, 1.414214, 2.0]),
+        (OverWrapper(StdTransformer('NUMERIC_FEATURE'), NUM_CAT), [None, 2.828427, 1.414214, None, 1.414214, 2.828427]),
+        (OverWrapper(ZscoreTransformer('NUMERIC_FEATURE'), NUM), [None, -1.0, -0.707107, 0.0, 0.707107, 1.0]),
+        (OverWrapper(SumTransformer('NUMERIC_FEATURE', C.INCLUSIVE), NUM), [0, 1, 2, 4, 6, 9]),
+        (OverWrapper(MeanTransformer('NUMERIC_FEATURE', C.INCLUSIVE), NUM), [0.0, 1.0, 2.0, 2.0, 3.0, 3.0]),
+        (OverWrapper(StdTransformer('NUMERIC_FEATURE', C.INCLUSIVE), NUM), [0.0, 0.0, 0.0, 1.0, 1.0, 2.236068]),
+        (OverWrapper(ZscoreTransformer('NUMERIC_FEATURE', C.INCLUSIVE), NUM), [None, None, None, 1.0, 1.0, 0.894427]),
+    ])
+    def test_golden(self, t, want):
+        close(run(t), want)
+
+    def test_name(self):
+        t = OverWrapper(CountTransformer(), self.NUM_CAT)
+        assert t.output_name == 'count_over_GROUPING_FEATURE_NUM_and_GROUPING_FEATURE_CAT_2'
+
+
+DATE = CS.datetime(name='DATE_FEATURE')
+
+
+class TestRollingWrapper:
+    @pytest.mark.parametrize(('t', 'want'), [
+        (RollingWrapper(CountTransformer(), DATE, '2d1h'), [1, 2, 3, 3, 3, 3]),
+        (RollingWrapper(FirstValueTransformer(CS.numeric(name='NUMERIC_FEATURE')), DATE, '2d1h'), [0, 0, 0, 1, 2, 3]),
+        (RollingWrapper(ModeTransformer(CS.ordinal(name='GROUPING_FEATURE_CAT_2')), DATE, '2d1h'),
+         ['CONSONANT', 'VOWEL', 'CONSONANT', 'CONSONANT', 'CONSONANT', 'CONSONANT']),
+        (RollingWrapper(NumUniqueTransformer(CS.numeric(name='GROUPING_FEATURE_NUM')), DATE, '2d1h'), [1, 2, 3, 2, 2, 2]),
+        (RollingWrapper(SumTransformer('NUMERIC_FEATURE'), DATE, '2d1h'), [0, 1, 3, 6, 9, 12]),
+        (RollingWrapper(MeanTransformer('NUMERIC_FEATURE'), DATE, '2d1h'), [0.0, 0.5, 1.0, 2.0, 3.0, 4.0]),
+        (RollingWrapper(StdTransformer('NUMERIC_FEATURE'), DATE, '2d1h'), [None, 0.707107, 1.0, 1.0, 1.0, 1.0]),
+        (RollingWrapper(ZscoreTransformer('NUMERIC_FEATURE'), DATE, '2d1h'), [None, 0.707107, 1.0, 1.0, 1.0, 1.0]),
+        (RollingWrapper(MinTransformer('NUMERIC_FEATURE'), DATE, '2d1h'), [0, 0, 0, 1, 2, 3]),
+        (RollingWrapper(MaxTransformer('NUMERIC_FEATURE'), DATE, '2d1h'), [0, 1, 2, 3, 4, 5]),
+        (RollingWrapper(MedianTransformer('NUMERIC_FEATURE'), DATE, '2d1h'), [0.0, 0.5, 1.0, 2.0, 3.0, 4.0]),
+    ])
+    def test_golden(self, t, want):
+        close(run(t), want)
+
+    def test_rolling_over_composition(self):
+        # Rolling(Over(first_value)) — test_rolling_wrapper.py:93-104
+        t = RollingWrapper(OverWrapper(FirstValueTransformer(CS.numeric(name='NUMERIC_FEATURE')),
+                                       ['GROUPING_FEATURE_NUM']), DATE, '2d1h')
+        close(run(t), [0, 1, 2, 1, 2, 3])
+        assert t.output_name == 'NUMERIC_FEATURE_first_value_over_GROUPING_FEATURE_NUM_in_the_last_2d1h'
+
+    def test_over_rolling_composition(self):
+        # Over(Rolling(first_value)) — test_over_wrapper.py:214-225; the runtime
+        # sorts the partition by (keys, order) before computing.
+        t = OverWrapper(RollingWrapper(FirstValueTransformer(CS.numeric(name='NUMERIC_FEATURE')), DATE, '2d1h'),
+                        ['GROUPING_FEATURE_NUM'])
+        idx = pc.sort_indices(BASIC_TABLE, sort_keys=[('GROUPING_FEATURE_NUM', 'ascending'),
+                                                      ('DATE_FEATURE', 'ascending')])
+        sorted_table = BASIC_TABLE.take(idx)
+        res = np.asarray(t.compute(AggFrame(sorted_table), None), dtype=object)
+        out = np.empty(6, dtype=object)
+        out[idx.to_numpy()] = res
+        close([_norm(v) for v in out], [0, 1, 2, 1, 2, 3])
+        assert t.output_name == 'NUMERIC_FEATURE_first_value_in_the_last_2d1h_over_GROUPING_FEATURE_NUM'
