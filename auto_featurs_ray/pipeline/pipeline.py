@@ -280,6 +280,38 @@ class Pipeline:
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
     # ------------------------------------------------------------------
+    # temporal extensions (sessionize / backfill / recency — north rule)
+    # ------------------------------------------------------------------
+    def with_sessionization(self, subset: ColumnSelection, gaps: Sequence,
+                            over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                            auxiliary: bool = False) -> 'Pipeline':
+        from auto_featurs_ray.transformers.temporal import SessionIdTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=SessionIdTransformer,
+            over_columns_combinations=over_columns_combinations,
+            kw_params={'gap': gaps})
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_time_since_last(self, subset: ColumnSelection,
+                             over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                             auxiliary: bool = False) -> 'Pipeline':
+        from auto_featurs_ray.transformers.temporal import TimeSinceLastTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=TimeSinceLastTransformer,
+            over_columns_combinations=over_columns_combinations)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_fill(self, subset: ColumnSelection, strategies: Sequence,
+                  over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                  auxiliary: bool = False) -> 'Pipeline':
+        from auto_featurs_ray.transformers.temporal import FillTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=FillTransformer,
+            over_columns_combinations=over_columns_combinations,
+            kw_params={'strategy': list(strategies)})
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    # ------------------------------------------------------------------
     # layering / execution
     # ------------------------------------------------------------------
     def with_new_layer(self) -> 'Pipeline':

@@ -1,0 +1,179 @@
+"""Feature selection (F3 goldens), as-of join, temporal ops, resumable sink."""
+
+import json
+import os
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from auto_featurs_ray import ColumnRole, CumulativeOptions, Pipeline, Schema
+from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+from auto_featurs_ray.dataset.dataset import Dataset
+from auto_featurs_ray.engine.asof import asof_join
+from auto_featurs_ray.engine.checkpoint import resumable_write, simulate_partial_write
+from auto_featurs_ray.feature_selection.feature_selector import FeatureSelector, SelectionMethod
+from auto_featurs_ray.transformers.temporal import FillStrategy
+
+from tests.fixtures import assert_column
+
+
+# F3 fixture — reference feature_selection/tests/test_feature_selector.py:19-37
+F3_TABLE = pa.table({
+    'x_1': [0, 0, 0, 0],
+    'x2': [10, 9, 8, 7],
+    'x3': [False, True, False, True],
+    'x4': [2, 4, 6, 8],
+    'z1': ['a', 'b', 'b', 'c'],
+    'z2': ['hello', 'world', 'foo', 'bar'],
+    'y': [False, True, False, True],
+})
+F3_SCHEMA = Schema([
+    CS.numeric(name='x_1'), CS.numeric(name='x2'), CS.boolean(name='x3'), CS.numeric(name='x4'),
+    CS.ordinal(name='z1'), CS.text(name='z2'),
+    CS.boolean(name='y', role=ColumnRole.LABEL),
+])
+
+
+def f3_dataset():
+    return Dataset.from_arrow(F3_TABLE, F3_SCHEMA, num_blocks=2)
+
+
+class TestFeatureSelection:
+    def test_correlation_goldens(self):
+        report = FeatureSelector().get_report(f3_dataset(), ['x_1', 'x2', 'x3', 'x4'],
+                                              SelectionMethod.CORRELATION)
+        stats = dict(zip(report.feature_names, report.stat_values))
+        assert stats['x_1'] == 0.0
+        assert abs(stats['x2'] - 0.4472135955) < 1e-9
+        assert abs(stats['x3'] - 1.0) < 1e-9
+        assert abs(stats['x4'] - 0.4472135955) < 1e-9
+
+    def test_t_test_goldens(self):
+        report = FeatureSelector().get_report(f3_dataset(), ['x_1', 'x2', 'x3', 'x4'],
+                                              SelectionMethod.T_TEST)
+        stats = dict(zip(report.feature_names, report.stat_values))
+        assert stats['x_1'] == 0.0
+        assert abs(stats['x2'] - 0.7071067812) < 1e-9
+        assert stats['x3'] == float('inf')
+        assert abs(stats['x4'] - 0.7071067812) < 1e-9
+
+    def test_chi_squared_goldens(self):
+        report = FeatureSelector().get_report(f3_dataset(), ['x3', 'z1'], SelectionMethod.CHI_SQUARED)
+        stats = dict(zip(report.feature_names, report.stat_values))
+        assert abs(stats['x3'] - 4.0) < 1e-9
+        assert abs(stats['z1'] - 2.0) < 1e-9
+
+    def test_select_features_tie_break(self):
+        report = FeatureSelector().get_report(f3_dataset(), ['x_1', 'x2', 'x3', 'x4'],
+                                              SelectionMethod.CORRELATION)
+        # x2 and x4 tie at 0.447 -> name ascending tie-break
+        assert FeatureSelector().select_features(report, top_k=3) == ['x3', 'x2', 'x4']
+        assert FeatureSelector().select_features(report, frac=0.5) == ['x3', 'x2']
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            FeatureSelector().get_report(f3_dataset(), ['z2'], SelectionMethod.CORRELATION)
+        with pytest.raises(ValueError):
+            FeatureSelector().select_features(
+                FeatureSelector().get_report(f3_dataset(), ['x2'], SelectionMethod.CORRELATION))
+
+
+class TestAsofJoin:
+    def test_backward_join(self):
+        left = pa.table({
+            'k': ['a', 'a', 'b', 'c'],
+            'ts': pa.array([datetime(2020, 1, d) for d in (1, 5, 2, 3)], pa.timestamp('us')),
+            'payload': pa.array([[1, 2], [3], [4, 5, 6], [7]], pa.list_(pa.int32())),
+        })
+        right = pa.table({
+            'k': ['a', 'a', 'b'],
+            'ts': pa.array([datetime(2020, 1, 1), datetime(2020, 1, 4), datetime(2020, 1, 9)], pa.timestamp('us')),
+            'v': [10.0, 20.0, 30.0],
+        })
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right), by=['k'], on='ts',
+                        num_partitions=3).to_pandas().sort_values(['k', 'ts']).reset_index(drop=True)
+        assert out['v'].tolist()[0] == 10.0       # a@1 matches a@1 (exact)
+        assert out['v'].tolist()[1] == 20.0       # a@5 matches a@4
+        assert np.isnan(out['v'].tolist()[2])     # b@2: right only at b@9
+        assert np.isnan(out['v'].tolist()[3])     # c: no right rows
+        # payload survives untouched
+        assert [list(x) for x in out['payload']] == [[1, 2], [3], [4, 5, 6], [7]]
+
+    def test_forward_and_suffix(self):
+        left = pa.table({'k': ['a'], 'ts': [1], 'v': ['keep']})
+        right = pa.table({'k': ['a'], 'ts': [5], 'v': ['right']})
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right), by=['k'], on='ts',
+                        direction='forward', num_partitions=2).to_pandas()
+        assert out['v'].tolist() == ['keep']
+        assert out['v_right'].tolist() == ['right']
+
+
+class TestTemporal:
+    def _dataset(self):
+        table = pa.table({
+            'user': ['u1'] * 4 + ['u2'] * 2,
+            'ts': pa.array([datetime(2020, 1, 1, 0, 0), datetime(2020, 1, 1, 0, 10),
+                            datetime(2020, 1, 1, 2, 0), datetime(2020, 1, 1, 2, 5),
+                            datetime(2020, 1, 1, 1, 0), datetime(2020, 1, 1, 1, 20)], pa.timestamp('us')),
+            'x': [1.0, None, 3.0, None, None, 6.0],
+        })
+        schema = Schema([CS.nominal(name='user', role=ColumnRole.IDENTIFIER),
+                         CS.datetime(name='ts', role=ColumnRole.TIME_INFO),
+                         CS.numeric(name='x')])
+        return Dataset.from_arrow(table, schema, order_by=['user', 'ts'], num_blocks=2, num_partitions=3)
+
+    def test_sessionization_and_recency(self):
+        df = (Pipeline(self._dataset())
+              .with_sessionization('ts', gaps=['30m'], over_columns_combinations=[['user']])
+              .with_time_since_last('ts', over_columns_combinations=[['user']])
+              .collect())
+        assert_column(df, 'ts_session_id_gap_30m_over_user', [1, 1, 2, 2, 1, 1])
+        assert_column(df, 'ts_seconds_since_last_over_user', [None, 600.0, 6600.0, 300.0, None, 1200.0])
+
+    def test_fill(self):
+        df = (Pipeline(self._dataset())
+              .with_fill('x', strategies=[FillStrategy.FORWARD, FillStrategy.BACKWARD],
+                         over_columns_combinations=[['user']])
+              .collect())
+        assert_column(df, 'x_forward_filled_over_user', [1.0, 1.0, 3.0, 3.0, None, 6.0])
+        assert_column(df, 'x_backward_filled_over_user', [1.0, 3.0, 3.0, None, 6.0, 6.0])
+
+
+class TestResumableWrite:
+    def _make_ds(self):
+        rng = np.random.default_rng(7)
+        table = pa.table({
+            'k': [f'k{i % 17}' for i in range(500)],
+            'ts': np.arange(500, dtype=np.int64),
+            'v': rng.random(500),
+        })
+        return rd.from_arrow(table)
+
+    def test_resume_produces_identical_bytes(self, tmp_path):
+        full_dir = str(tmp_path / 'full')
+        resumed_dir = str(tmp_path / 'resumed')
+        resumable_write(self._make_ds(), full_dir, key_columns=['k'], order_by=['ts'], num_partitions=8)
+        # simulate a job killed after 3 partitions, then resume
+        simulate_partial_write(self._make_ds(), resumed_dir, key_columns=['k'], order_by=['ts'],
+                               num_partitions=8, keep_partitions=3)
+        records = resumable_write(self._make_ds(), resumed_dir, key_columns=['k'], order_by=['ts'],
+                                  num_partitions=8)
+        assert sum(1 for r in records if r['skipped']) == 3
+        for name in sorted(os.listdir(full_dir)):
+            if not name.endswith('.parquet'):
+                continue
+            with open(os.path.join(full_dir, name), 'rb') as a, open(os.path.join(resumed_dir, name), 'rb') as b:
+                assert a.read() == b.read(), f'{name} differs after resume'
+
+    def test_manifest_lineage(self, tmp_path):
+        out = str(tmp_path / 'o')
+        records = resumable_write(self._make_ds(), out, key_columns=['k'], order_by=['ts'], num_partitions=4)
+        assert sum(r['rows'] for r in records) == 500
+        for r in records:
+            assert {'partition_id', 'rows', 'bytes', 'sha256', 'wall_time_s'} <= set(r)
+            manifest = json.load(open(os.path.join(out, '_manifest', f"part-{r['partition_id']:05d}.json")))
+            assert manifest['sha256'] == r['sha256']
