@@ -1,0 +1,339 @@
+"""Deduplication at training-data scale: exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Patterns (all Ray-Data-first):
+
+* exact — content hash per batch (vectorized) -> ``groupby(hash)`` -> keep the
+  min-id row per group.  One shuffle keyed on the 64-bit hash.
+* MinHash-LSH — shingle -> minhash signature per batch (NumPy universal
+  hashing) -> explode to (band, band_hash, id) rows -> ``groupby(band,
+  band_hash)`` buckets -> candidate pairs -> exact Jaccard verify ->
+  connected components (union-find over the verified pair set, which is small
+  relative to the corpus; the scale path iterates min-label propagation).
+* SimHash — 64-bit simhash per batch -> bucket by 4x16-bit bands -> verify
+  Hamming distance <= ``max_hamming``.
+* embedding cosine — random-hyperplane LSH buckets -> in-bucket cosine verify.
+
+Every function keeps the survivors deterministic: the representative of a
+duplicate cluster is its minimum id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _content_hash_batch(texts: List, normalize: bool = True) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        s = ' '.join((t or '').split()) if normalize else (t or '')
+        digest = hashlib.sha1(s.encode('utf-8')).digest()[:8]
+        out[i] = np.frombuffer(digest, dtype=np.int64)[0]
+    return out
+
+
+def exact_dedup(ds, *, text_column: str, id_column: str, normalize: bool = True):
+    """Keep the min-``id_column`` row per exact (whitespace-normalized) content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = _content_hash_batch(batch.column(text_column).to_pylist(), normalize)
+        return batch.append_column('__content_hash', pa.array(hashes))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_column, 'ascending')])
+        return group.take(idx[:1]).drop_columns(['__content_hash'])
+
+    return (ds.map_batches(add_hash, batch_format='pyarrow', zero_copy_batch=True)
+            .groupby('__content_hash').map_groups(keep_first, batch_format='pyarrow'))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Vectorized k-gram (character shingle) polynomial hashes of a document."""
+    normalized = ' '.join((text or '').split()).lower()
+    data = np.frombuffer(normalized.encode('utf-8'), dtype=np.uint8).astype(np.uint64)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)), constant_values=0)
+    powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    grams = (np.lib.stride_tricks.sliding_window_view(data, k) * powers).sum(axis=1)
+    return np.unique(grams)
+
+
+class MinHasher:
+    """Per-batch minhash signatures: ``a*h + b mod p`` universal hashing."""
+
+    def __init__(self, text_column: str, num_perm: int = 64, shingle_size: int = 5, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.text_column = text_column
+        self.num_perm = num_perm
+        self.shingle_size = shingle_size
+
+    def signature(self, text: str) -> np.ndarray:
+        shingles = _shingle_hashes(text, self.shingle_size)
+        if len(shingles) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) universal hashes, min over shingles
+        products = (shingles[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return products.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack([self.signature(t) for t in batch.column(self.text_column).to_pylist()])
+        return batch.append_column('__minhash', pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())))
+
+
+def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: int = 64,
+                           num_bands: int = 16, shingle_size: int = 5,
+                           jaccard_threshold: float = 0.8,
+                           max_bucket: int = 200) -> pd.DataFrame:
+    """Near-duplicate clusters via MinHash-LSH.
+
+    Returns a small pandas frame ``(id, cluster_id)`` for every document that
+    belongs to a verified duplicate cluster (cluster_id = min member id).
+    """
+    rows_per_band = num_perm // num_bands
+    hasher = MinHasher(text_column, num_perm, shingle_size)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        ids = batch.column(id_column).to_pylist()
+        band_ids, band_hashes, out_ids, sig_list = [], [], [], []
+        for text, doc in zip(texts, ids):
+            sig = hasher.signature(text)
+            for band in range(num_bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                digest = hashlib.sha1(chunk.tobytes()).digest()[:8]
+                band_ids.append(band)
+                band_hashes.append(int(np.frombuffer(digest, dtype=np.int64)[0]))
+                out_ids.append(doc)
+                sig_list.append(sig.astype(np.int64))
+        return pa.table({
+            'band': pa.array(band_ids, pa.int32()),
+            'band_hash': pa.array(band_hashes, pa.int64()),
+            'doc': pa.array(out_ids),
+            'sig': pa.array(sig_list, pa.list_(pa.int64())),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_bucket:
+            return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
+                             'sim': pa.array([], pa.float64())})
+        docs = group.column('doc').to_pylist()
+        sigs = np.stack(group.column('sig').to_pylist()).astype(np.uint64)
+        lefts, rights, sims = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if docs[i] == docs[j]:
+                    continue
+                est = float((sigs[i] == sigs[j]).mean())  # minhash Jaccard estimate
+                if est >= jaccard_threshold:
+                    a, b = sorted((docs[i], docs[j]))
+                    lefts.append(a)
+                    rights.append(b)
+                    sims.append(est)
+        return pa.table({'left': pa.array(lefts, pa.int64()), 'right': pa.array(rights, pa.int64()),
+                         'sim': pa.array(sims, pa.float64())})
+
+    pairs = (ds.map_batches(explode, batch_format='pyarrow')
+             .groupby(['band', 'band_hash'])
+             .map_groups(bucket_pairs, batch_format='pyarrow')
+             .to_pandas().drop_duplicates(['left', 'right']))
+    return _connected_components(pairs)
+
+
+def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over the (small) verified pair set -> (id, cluster_id)."""
+    parent: Dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for left, right in zip(pairs['left'], pairs['right']):
+        ra, rb = find(left), find(right)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(parent)
+    return pd.DataFrame({'id': members, 'cluster_id': [find(m) for m in members]})
+
+
+def minhash_dedup(ds, *, text_column: str, id_column: str, **kwargs):
+    """Drop all non-representative members of near-duplicate clusters."""
+    clusters = minhash_lsh_duplicates(ds, text_column=text_column, id_column=id_column, **kwargs)
+    drop = set(clusters.loc[clusters['id'] != clusters['cluster_id'], 'id'])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        mask = pa.array([i not in drop for i in ids])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    shingles = _shingle_hashes(text, 4)
+    if len(shingles) == 0:
+        return 0
+    bits = ((shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    value = 0
+    for b in range(64):
+        if votes[b] > 0:
+            value |= (1 << b)
+    return value - (1 << 63) if value >= (1 << 63) else value
+
+
+def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
+                       max_bucket: int = 500) -> pd.DataFrame:
+    """Near-dup clusters via 64-bit SimHash, bucketed by 4x16-bit bands."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_column).to_pylist()
+        ids = batch.column(id_column).to_pylist()
+        bands, keys, docs, hashes = [], [], [], []
+        for text, doc in zip(texts, ids):
+            h = _simhash64(text)
+            uh = h & 0xFFFFFFFFFFFFFFFF
+            for band in range(4):
+                bands.append(band)
+                keys.append((uh >> (16 * band)) & 0xFFFF)
+                docs.append(doc)
+                hashes.append(h)
+        return pa.table({'band': pa.array(bands, pa.int32()), 'key': pa.array(keys, pa.int64()),
+                         'doc': pa.array(docs), 'h': pa.array(hashes, pa.int64())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_bucket:
+            return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64())})
+        docs = group.column('doc').to_pylist()
+        hs = group.column('h').to_numpy(zero_copy_only=False).astype(np.int64)
+        lefts, rights = [], []
+        for i in range(n):
+            hamming = np.bitwise_count((hs ^ hs[i]).astype(np.uint64)) if hasattr(np, 'bitwise_count') else \
+                np.array([bin((int(h) ^ int(hs[i])) & 0xFFFFFFFFFFFFFFFF).count('1') for h in hs])
+            for j in range(i + 1, n):
+                if docs[i] != docs[j] and hamming[j] <= max_hamming:
+                    a, b = sorted((docs[i], docs[j]))
+                    lefts.append(a)
+                    rights.append(b)
+        return pa.table({'left': pa.array(lefts, pa.int64()), 'right': pa.array(rights, pa.int64())})
+
+    pairs = (ds.map_batches(explode, batch_format='pyarrow')
+             .groupby(['band', 'key'])
+             .map_groups(bucket_pairs, batch_format='pyarrow')
+             .to_pandas().drop_duplicates(['left', 'right']))
+    return _connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify on LSH candidates)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_size: int = 5,
+                             threshold: float = 0.7, **lsh_kwargs) -> pd.DataFrame:
+    """MinHash-LSH candidates verified with EXACT character-n-gram Jaccard.
+
+    Returns verified pairs ``(left, right, jaccard)``.
+    """
+    candidates = minhash_lsh_duplicates(ds, text_column=text_column, id_column=id_column,
+                                        shingle_size=shingle_size,
+                                        jaccard_threshold=max(0.5, threshold - 0.2), **lsh_kwargs)
+    if candidates.empty:
+        return pd.DataFrame({'left': [], 'right': [], 'jaccard': []})
+    # fetch texts of candidate docs (small set) and verify exactly
+    wanted = set(candidates['id'])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        mask = pa.array([i in wanted for i in ids])
+        sub = batch.filter(mask)
+        return sub.select([id_column, text_column])
+
+    texts = {r[id_column]: r[text_column] for r in ds.map_batches(project, batch_format='pyarrow').take_all()}
+    shingle_cache = {i: set(_shingle_hashes(t, shingle_size).tolist()) for i, t in texts.items()}
+    out = {'left': [], 'right': [], 'jaccard': []}
+    by_cluster: Dict = {}
+    for _, row in candidates.iterrows():
+        by_cluster.setdefault(row['cluster_id'], []).append(row['id'])
+    for members in by_cluster.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = shingle_cache[members[i]], shingle_cache[members[j]]
+                union = len(a | b)
+                jac = len(a & b) / union if union else 1.0
+                if jac >= threshold:
+                    out['left'].append(members[i])
+                    out['right'].append(members[j])
+                    out['jaccard'].append(jac)
+    return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_duplicates(ds, *, embedding_column: str, id_column: str,
+                         threshold: float = 0.95, num_planes: int = 16,
+                         seed: int = 11, max_bucket: int = 1000) -> pd.DataFrame:
+    """Cosine near-dup via random-hyperplane LSH buckets + in-bucket verify."""
+    state = {'planes': None, 'seed': seed, 'num_planes': num_planes}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column(embedding_column).to_pylist()])
+        if state['planes'] is None:
+            rng = np.random.default_rng(state['seed'])
+            state['planes'] = rng.standard_normal((emb.shape[1], state['num_planes']))
+        signs = (emb @ state['planes']) > 0
+        keys = (signs * (1 << np.arange(state['num_planes']))).sum(axis=1).astype(np.int64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        unit = emb / np.where(norms == 0, 1.0, norms)
+        return pa.table({
+            'key': pa.array(keys, pa.int64()),
+            'doc': batch.column(id_column),
+            'vec': pa.array(list(unit), pa.list_(pa.float64())),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_bucket:
+            return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
+                             'cosine': pa.array([], pa.float64())})
+        docs = group.column('doc').to_pylist()
+        vecs = np.stack(group.column('vec').to_pylist())
+        sims = vecs @ vecs.T
+        lefts, rights, cosines = [], [], []
+        ii, jj = np.where(np.triu(sims, 1) >= threshold)
+        for i, j in zip(ii, jj):
+            a, b = sorted((docs[i], docs[j]))
+            lefts.append(a)
+            rights.append(b)
+            cosines.append(float(sims[i, j]))
+        return pa.table({'left': pa.array(lefts, pa.int64()), 'right': pa.array(rights, pa.int64()),
+                         'cosine': pa.array(cosines, pa.float64())})
+
+    pairs = (ds.map_batches(explode, batch_format='pyarrow')
+             .groupby('key').map_groups(bucket_pairs, batch_format='pyarrow')
+             .to_pandas().drop_duplicates(['left', 'right']))
+    return _connected_components(pairs[['left', 'right']]) if not pairs.empty else \
+        pd.DataFrame({'id': [], 'cluster_id': []})

@@ -1,0 +1,123 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``knn_brute_force`` — baseline: the (small) query matrix is broadcast via
+  ``ray.put`` once; each batch computes a NumPy matmul against it and emits
+  only its local top-k rows; a final tiny reduce merges the partial top-ks.
+  Work scales linearly over the corpus with zero shuffle.
+* ``knn_ivf`` — scale path: a k-means coarse quantizer (trained on a driver
+  sample) assigns every row to a centroid inside ``map_batches``; queries
+  probe only the ``nprobe`` nearest centroid buckets, pruning most of the
+  corpus before the exact scoring pass.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _unit(matrix: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+    return matrix / np.where(norms == 0, 1.0, norms)
+
+
+def knn_brute_force(ds, *, embedding_column: str, id_column: str,
+                    queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k per query row; returns (query_idx, id, cosine) sorted."""
+    queries = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    query_ref = ray.put(queries)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(query_ref)
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column(embedding_column).to_pylist()])
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        sims = _unit(emb) @ q.T  # (batch, num_queries)
+        take = min(k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            order = np.argpartition(-sims[:, qi], take - 1)[:take]
+            out_q.extend([qi] * take)
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(sims[order, qi].tolist())
+        return pa.table({'query_idx': pa.array(out_q, pa.int32()),
+                         'id': pa.array(out_id),
+                         'cosine': pa.array(out_sim, pa.float64())})
+
+    partials = ds.map_batches(partial_topk, batch_format='pyarrow').to_pandas()
+    top = (partials.sort_values(['query_idx', 'cosine', 'id'], ascending=[True, False, True])
+           .groupby('query_idx', sort=True).head(k).reset_index(drop=True))
+    return top
+
+
+class KMeansQuantizer:
+    """Tiny Lloyd k-means trained on a sample — the IVF coarse quantizer."""
+
+    def __init__(self, num_centroids: int = 16, iterations: int = 10, seed: int = 3) -> None:
+        self.num_centroids = num_centroids
+        self.iterations = iterations
+        self.seed = seed
+        self.centroids: Optional[np.ndarray] = None
+
+    def fit(self, sample: np.ndarray) -> 'KMeansQuantizer':
+        rng = np.random.default_rng(self.seed)
+        sample = _unit(np.asarray(sample, dtype=np.float64))
+        idx = rng.choice(len(sample), size=min(self.num_centroids, len(sample)), replace=False)
+        centroids = sample[idx].copy()
+        for _ in range(self.iterations):
+            assign = np.argmax(sample @ centroids.T, axis=1)
+            for c in range(len(centroids)):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = _unit(centroids)
+        self.centroids = centroids
+        return self
+
+    def assign(self, matrix: np.ndarray) -> np.ndarray:
+        return np.argmax(_unit(matrix) @ self.centroids.T, axis=1)
+
+
+def knn_ivf(ds, *, embedding_column: str, id_column: str, queries: np.ndarray,
+            k: int = 10, num_centroids: int = 16, nprobe: int = 4,
+            train_sample: int = 2048) -> pd.DataFrame:
+    """IVF-pruned cosine top-k: probe only the ``nprobe`` closest centroid buckets."""
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.stack([np.asarray(r[embedding_column], dtype=np.float64) for r in sample_rows])
+    quantizer = KMeansQuantizer(num_centroids=num_centroids).fit(sample)
+
+    queries = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probes = np.argsort(-(queries @ quantizer.centroids.T), axis=1)[:, :nprobe]
+    probe_sets = [set(p.tolist()) for p in probes]
+    handle = ray.put((quantizer.centroids, queries, probe_sets))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        centroids, q, probe_list = ray.get(handle)
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column(embedding_column).to_pylist()])
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        unit = _unit(emb)
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi, probe in enumerate(probe_list):
+            mask = np.isin(assign, list(probe))
+            if not mask.any():
+                continue
+            sims = unit[mask] @ q[qi]
+            take = min(k, int(mask.sum()))
+            order = np.argpartition(-sims, take - 1)[:take]
+            out_q.extend([qi] * take)
+            out_id.extend(ids[mask][order].tolist())
+            out_sim.extend(sims[order].tolist())
+        return pa.table({'query_idx': pa.array(out_q, pa.int32()),
+                         'id': pa.array(out_id),
+                         'cosine': pa.array(out_sim, pa.float64())})
+
+    partials = ds.map_batches(partial_topk, batch_format='pyarrow').to_pandas()
+    if partials.empty:
+        return partials
+    return (partials.sort_values(['query_idx', 'cosine', 'id'], ascending=[True, False, True])
+            .groupby('query_idx', sort=True).head(k).reset_index(drop=True))

@@ -1,0 +1,184 @@
+"""Dedup / similarity / text-analysis / multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from auto_featurs_ray.datapipe.dedup import (
+    embedding_duplicates,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_duplicates,
+)
+from auto_featurs_ray.datapipe.multimodal import ImageDecode, decode_pipeline
+from auto_featurs_ray.datapipe.similarity import knn_brute_force, knn_ivf
+from auto_featurs_ray.datapipe.textstats import (
+    Fingerprinter,
+    LanguageId,
+    TextStats,
+    bpe_token_count,
+    whitespace_token_count,
+    winnowing_fingerprints,
+)
+
+BASE = ('the quick brown fox jumps over the lazy dog and then runs far away into the deep '
+        'green forest where tall trees grow and small rivers flow gently under the bright sun')
+
+
+def doc_table():
+    texts = [
+        BASE,
+        BASE,  # exact duplicate of 0
+        BASE + ' with one tiny extra suffix here',  # near-dup of 0
+        'completely different content about machine learning and ray data pipelines for features',
+        'der schnelle braune fuchs springt über den faulen hund und läuft in den wald',
+        'le renard brun rapide saute par dessus le chien paresseux et court dans la forêt',
+        '',
+    ]
+    return pa.table({'doc_id': pa.array(range(len(texts)), pa.int64()),
+                     'text': pa.array(texts, pa.string())})
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self):
+        out = exact_dedup(rd.from_arrow(doc_table()), text_column='text', id_column='doc_id').to_pandas()
+        ids = sorted(out['doc_id'])
+        assert 0 in ids and 1 not in ids  # doc 1 is the exact dup of doc 0
+        assert {2, 3, 4, 5, 6} <= set(ids)
+
+
+class TestMinHash:
+    def test_near_dup_cluster(self):
+        clusters = minhash_lsh_duplicates(rd.from_arrow(doc_table()), text_column='text',
+                                          id_column='doc_id', jaccard_threshold=0.7)
+        got = dict(zip(clusters['id'], clusters['cluster_id']))
+        assert got.get(1) == 0  # exact dup
+        assert got.get(2) == 0  # near dup
+        assert 3 not in got
+
+    def test_dedup_filters_members(self):
+        out = minhash_dedup(rd.from_arrow(doc_table()), text_column='text', id_column='doc_id',
+                            jaccard_threshold=0.7).to_pandas()
+        assert 0 in set(out['doc_id'])
+        assert 1 not in set(out['doc_id'])
+
+    def test_deterministic_across_runs(self):
+        a = minhash_lsh_duplicates(rd.from_arrow(doc_table()), text_column='text', id_column='doc_id')
+        b = minhash_lsh_duplicates(rd.from_arrow(doc_table()), text_column='text', id_column='doc_id')
+        assert a.equals(b)
+
+
+class TestSimHash:
+    def test_exact_dup_found(self):
+        clusters = simhash_duplicates(rd.from_arrow(doc_table()), text_column='text', id_column='doc_id')
+        got = dict(zip(clusters['id'], clusters['cluster_id']))
+        assert got.get(1) == 0
+
+
+class TestNgramJaccard:
+    def test_verified_pairs(self):
+        pairs = ngram_jaccard_duplicates(rd.from_arrow(doc_table()), text_column='text',
+                                         id_column='doc_id', threshold=0.7)
+        keys = set(zip(pairs['left'], pairs['right']))
+        assert (0, 1) in keys
+        assert all(j >= 0.7 for j in pairs['jaccard'])
+
+
+def embedding_table(n=200, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, dim))
+    emb[1] = emb[0] + rng.standard_normal(dim) * 0.01  # near-dup pair
+    return pa.table({'vec_id': pa.array(range(n), pa.int64()),
+                     'embedding': pa.array(list(emb), pa.list_(pa.float64()))})
+
+
+class TestEmbedding:
+    def test_embedding_duplicates(self):
+        clusters = embedding_duplicates(rd.from_arrow(embedding_table()), embedding_column='embedding',
+                                        id_column='vec_id', threshold=0.99)
+        got = dict(zip(clusters['id'], clusters['cluster_id']))
+        assert got.get(1) == 0
+
+    def test_knn_brute_force_exact(self):
+        table = embedding_table()
+        emb = np.stack(table.column('embedding').to_pylist())
+        query = emb[0]
+        top = knn_brute_force(rd.from_arrow(table), embedding_column='embedding', id_column='vec_id',
+                              queries=query[None, :], k=5)
+        assert top['id'].tolist()[0] == 0  # itself
+        assert top['id'].tolist()[1] == 1  # the planted near-dup
+        # matches the full numpy computation
+        unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = unit @ (query / np.linalg.norm(query))
+        expected = np.argsort(-sims)[:5].tolist()
+        assert top['id'].tolist() == expected
+
+    def test_knn_ivf_finds_neighbor(self):
+        table = embedding_table()
+        emb = np.stack(table.column('embedding').to_pylist())
+        top = knn_ivf(rd.from_arrow(table), embedding_column='embedding', id_column='vec_id',
+                      queries=emb[0][None, :], k=5, num_centroids=8, nprobe=3)
+        assert 0 in top['id'].tolist()[:2]
+        assert 1 in top['id'].tolist()[:3]
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        assert whitespace_token_count('foo bar  baz') == 3
+        assert bpe_token_count('Hello, world!') >= 4
+
+    def test_stats_stage(self):
+        out = rd.from_arrow(doc_table()).map_batches(TextStats, batch_format='pyarrow',
+                                                     concurrency=2).to_pandas().sort_values('doc_id')
+        assert (out['n_chars_computed'] == out['text'].str.len()).all()
+        assert out.loc[out['doc_id'] == 0, 'quality_score'].iloc[0] > out.loc[out['doc_id'] == 6, 'quality_score'].iloc[0]
+
+    def test_language_id(self):
+        out = rd.from_arrow(doc_table()).map_batches(LanguageId, batch_format="pyarrow", concurrency=2).to_pandas()
+        by_id = dict(zip(out['doc_id'], out['lang_pred']))
+        assert by_id[0] == 'en'
+        assert by_id[4] == 'de'
+        assert by_id[5] == 'fr'
+        assert by_id[6] == 'und'
+
+    def test_fingerprints_deterministic(self):
+        out1 = rd.from_arrow(doc_table()).map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2).to_pandas()
+        out2 = rd.from_arrow(doc_table()).map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2).to_pandas()
+        assert out1['fingerprint'].tolist() == out2['fingerprint'].tolist()
+        by_id = dict(zip(out1['doc_id'], out1['fingerprint']))
+        assert by_id[0] == by_id[1]  # exact dups share the fingerprint
+        assert by_id[0] != by_id[3]
+        sketches = dict(zip(out1['doc_id'], out1['winnow_sketch']))
+        overlap = len(set(sketches[0]) & set(sketches[2])) / max(len(set(sketches[0])), 1)
+        assert overlap > 0.5  # near-dup shares most winnowing fingerprints
+
+
+def media_table(n=6):
+    rng = np.random.default_rng(2)
+    return pa.table({
+        'media_id': pa.array([f'm{i}' for i in range(n)], pa.string()),
+        'payload': pa.array([rng.bytes(128) for _ in range(n)], pa.binary()),
+        'mime_type': pa.array(['image/jpeg'] * n, pa.string()),
+    })
+
+
+class TestMultimodal:
+    def test_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            ImageDecode(decoder='stub').decode_one(b'abc')
+
+    def test_fake_pipeline_plumbing(self):
+        out = decode_pipeline(rd.from_arrow(media_table()), decoder='fake',
+                              concurrency=2, batch_size=4).to_pandas()
+        assert len(out) == 6
+        assert all(len(p) == 32 * 32 * 3 for p in out['pixels'])
+        assert all(len(f) == 7 for f in out['image_features'])
+        # deterministic across runs
+        out2 = decode_pipeline(rd.from_arrow(media_table()), decoder='fake',
+                               concurrency=2, batch_size=4).to_pandas()
+        a = out.sort_values('media_id')['image_features'].tolist()
+        b = out2.sort_values('media_id')['image_features'].tolist()
+        assert all(np.allclose(x, y) for x, y in zip(a, b))
