@@ -1,0 +1,581 @@
+"""Driver-contract queries: one Ray pipeline per implemented operator family,
+each paired (where SQL-expressible) with a DuckDB oracle in ``ORACLE_SQL``.
+
+Column names are part of the contract: every computed column is aliased
+identically in the Ray pipeline and the SQL so the driver's order-insensitive
+value-hash comparison lines up.  Float aggregates whose summation order
+differs between engines are rounded to 6 decimals on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from auto_featurs_ray.base.column_specification import ColumnRole
+from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+from auto_featurs_ray.base.schema import Schema
+from auto_featurs_ray.dataset.dataset import Dataset
+from auto_featurs_ray.engine.asof import asof_join
+from auto_featurs_ray.expressions import col
+from auto_featurs_ray.feature_selection.feature_selector import FeatureSelector, SelectionMethod
+from auto_featurs_ray.pipeline.pipeline import Pipeline
+from auto_featurs_ray.transformers.aggregating import ArithmeticAggregations, Scaling
+from auto_featurs_ray.transformers.base import CumulativeOptions
+from auto_featurs_ray.transformers.comparison import Comparisons
+from auto_featurs_ray.transformers.datetime import SeasonalOperation
+from auto_featurs_ray.transformers.numeric import ArithmeticOperation
+from auto_featurs_ray.transformers.temporal import FillStrategy
+
+ORDER_EVENTS = ['ts', 'event_id']
+NUM_PARTITIONS = 32
+
+
+def _round_columns(table: pa.Table, columns: Sequence[str], digits: int = 6) -> pa.Table:
+    for name in columns:
+        if name in table.column_names:
+            rounded = pc.round(pc.cast(table.column(name), pa.float64()), ndigits=digits)
+            table = table.set_column(table.column_names.index(name), name, rounded)
+    return table
+
+
+def _finish(ds, keep: Sequence[str], round_cols: Sequence[str] = ()):
+    keep = list(keep)
+    round_cols = list(round_cols)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return _round_columns(batch.select(keep), round_cols)
+
+    return ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def _events_dataset(sf_dir: str) -> Dataset:
+    schema = Schema([
+        CS.numeric(name='event_id', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='ts', role=ColumnRole.TIME_INFO),
+        CS.nominal(name='user_id', role=ColumnRole.IDENTIFIER),
+        CS.nominal(name='event_type'),
+        CS.numeric(name='value'),
+    ])
+    return Dataset.from_parquet(os.path.join(sf_dir, 'events.parquet'), schema,
+                                order_by=ORDER_EVENTS, num_partitions=NUM_PARTITIONS)
+
+
+def _lineitem_dataset(sf_dir: str, columns: Optional[List[str]] = None) -> Dataset:
+    schema = Schema([
+        CS.numeric(name='l_orderkey', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='l_linenumber', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='l_quantity'),
+        CS.numeric(name='l_extendedprice'),
+        CS.numeric(name='l_discount'),
+        CS.numeric(name='l_tax'),
+        CS.nominal(name='l_returnflag'),
+    ])
+    return Dataset.from_parquet(os.path.join(sf_dir, 'lineitem.parquet'), schema,
+                                order_by=['l_orderkey', 'l_linenumber'],
+                                num_partitions=NUM_PARTITIONS,
+                                columns=columns or ['l_orderkey', 'l_linenumber', 'l_quantity',
+                                                    'l_extendedprice', 'l_discount', 'l_tax', 'l_returnflag'])
+
+
+# ---------------------------------------------------------------------------
+# 1. row-local arithmetic (ratio/diff transforms)
+# ---------------------------------------------------------------------------
+
+def q_arithmetic_lineitem(sf_dir: str):
+    p = (Pipeline(_lineitem_dataset(sf_dir))
+         .with_arithmetic(['l_extendedprice'], ['l_discount'],
+                          operations=[ArithmeticOperation.MULTIPLY, ArithmeticOperation.SUBTRACT])
+         .with_arithmetic(['l_quantity'], ['l_extendedprice'], operations=[ArithmeticOperation.DIVIDE])
+         .with_polynomial('l_quantity', degrees=[2])
+         .with_log('l_quantity', bases=[10]))
+    keep = ['l_orderkey', 'l_linenumber', 'l_extendedprice_multiply_l_discount',
+            'l_extendedprice_subtract_l_discount', 'l_quantity_divide_l_extendedprice',
+            'l_quantity_pow_2', 'l_quantity_log10']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['l_extendedprice_multiply_l_discount', 'l_extendedprice_subtract_l_discount',
+                               'l_quantity_divide_l_extendedprice', 'l_quantity_log10'])
+
+
+SQL_ARITHMETIC_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * l_discount, 6) AS l_extendedprice_multiply_l_discount,
+       round(l_extendedprice - l_discount, 6) AS l_extendedprice_subtract_l_discount,
+       round(l_quantity / l_extendedprice, 6) AS l_quantity_divide_l_extendedprice,
+       l_quantity * l_quantity AS l_quantity_pow_2,
+       round(log10(l_quantity), 6) AS l_quantity_log10
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. seasonal datetime features + comparison
+# ---------------------------------------------------------------------------
+
+def q_seasonal_orders(sf_dir: str):
+    schema = Schema([
+        CS.numeric(name='o_orderkey', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='o_orderdate', role=ColumnRole.TIME_INFO),
+        CS.numeric(name='o_totalprice'),
+    ])
+    ds = Dataset.from_parquet(os.path.join(sf_dir, 'orders.parquet'), schema,
+                              order_by=['o_orderkey'],
+                              columns=['o_orderkey', 'o_orderdate', 'o_totalprice'])
+    p = (Pipeline(ds)
+         .with_seasonal('o_orderdate', operations=[SeasonalOperation.MONTH_OF_YEAR,
+                                                   SeasonalOperation.DAY_OF_WEEK]))
+    keep = ['o_orderkey', 'o_orderdate_month_of_year', 'o_orderdate_day_of_week']
+    return _finish(p.collect_plan().data, keep)
+
+
+SQL_SEASONAL_ORDERS = """
+SELECT o_orderkey,
+       EXTRACT(month FROM o_orderdate) AS o_orderdate_month_of_year,
+       isodow(o_orderdate) AS o_orderdate_day_of_week
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. text extraction / regex counts over documents
+# ---------------------------------------------------------------------------
+
+def q_text_counts_documents(sf_dir: str):
+    schema = Schema([
+        CS.numeric(name='doc_id', role=ColumnRole.IDENTIFIER),
+        CS.text(name='text'),
+    ])
+    ds = Dataset.from_parquet(os.path.join(sf_dir, 'documents.parquet'), schema,
+                              order_by=['doc_id'], columns=['doc_id', 'text'])
+    from auto_featurs_ray.transformers.text import TextExtraction
+    p = (Pipeline(ds)
+         .with_text_extraction(['text'], text_extractions=[TextExtraction.LENGTH])
+         .with_text_count_matches(['text'], patterns=[r'\d', r'\s', r'[.,;:!?]']))
+    keep = ['doc_id', 'text_length_chars', 'text_count_digits', 'text_count_whitespace',
+            'text_count_punctuation']
+    return _finish(p.collect_plan().data, keep)
+
+
+SQL_TEXT_COUNTS_DOCUMENTS = r"""
+SELECT doc_id,
+       length(text) AS text_length_chars,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS text_count_digits,
+       length(text) - length(regexp_replace(text, '\s', '', 'g')) AS text_count_whitespace,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS text_count_punctuation
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. global aggregates broadcast (two-pass) + scaler
+# ---------------------------------------------------------------------------
+
+def q_global_stats_lineitem(sf_dir: str):
+    p = (Pipeline(_lineitem_dataset(sf_dir))
+         .with_arithmetic_aggregation('l_quantity',
+                                      aggregations=[ArithmeticAggregations.MIN, ArithmeticAggregations.MAX,
+                                                    ArithmeticAggregations.SUM, ArithmeticAggregations.MEAN,
+                                                    ArithmeticAggregations.STD])
+         .with_scaling('l_quantity', scalings=[Scaling.STANDARD]))
+    keep = ['l_orderkey', 'l_linenumber', 'l_quantity_min', 'l_quantity_max', 'l_quantity_sum',
+            'l_quantity_mean', 'l_quantity_std', 'l_quantity_standard_scaled']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['l_quantity_mean', 'l_quantity_std', 'l_quantity_standard_scaled'])
+
+
+SQL_GLOBAL_STATS_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       MIN(l_quantity) OVER () AS l_quantity_min,
+       MAX(l_quantity) OVER () AS l_quantity_max,
+       SUM(l_quantity) OVER () AS l_quantity_sum,
+       round(AVG(l_quantity) OVER (), 6) AS l_quantity_mean,
+       round(STDDEV_SAMP(l_quantity) OVER (), 6) AS l_quantity_std,
+       round((l_quantity - AVG(l_quantity) OVER ()) / STDDEV_SAMP(l_quantity) OVER (), 6)
+           AS l_quantity_standard_scaled
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. grouped (over) aggregates
+# ---------------------------------------------------------------------------
+
+def q_grouped_lineitem(sf_dir: str):
+    p = (Pipeline(_lineitem_dataset(sf_dir))
+         .with_count(over_columns_combinations=[['l_orderkey']])
+         .with_arithmetic_aggregation('l_quantity',
+                                      aggregations=[ArithmeticAggregations.SUM, ArithmeticAggregations.MEAN],
+                                      over_columns_combinations=[['l_orderkey']])
+         .with_arithmetic_aggregation('l_extendedprice', aggregations=[ArithmeticAggregations.MAX],
+                                      over_columns_combinations=[['l_orderkey']]))
+    keep = ['l_orderkey', 'l_linenumber', 'count_over_l_orderkey', 'l_quantity_sum_over_l_orderkey',
+            'l_quantity_mean_over_l_orderkey', 'l_extendedprice_max_over_l_orderkey']
+    return _finish(p.collect_plan().data, keep, round_cols=['l_quantity_mean_over_l_orderkey'])
+
+
+SQL_GROUPED_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       COUNT(*) OVER w AS count_over_l_orderkey,
+       SUM(l_quantity) OVER w AS l_quantity_sum_over_l_orderkey,
+       round(AVG(l_quantity) OVER w, 6) AS l_quantity_mean_over_l_orderkey,
+       MAX(l_extendedprice) OVER w AS l_extendedprice_max_over_l_orderkey
+FROM lineitem WINDOW w AS (PARTITION BY l_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. cumulative / lag / first-value windows (point-in-time correctness)
+# ---------------------------------------------------------------------------
+
+def q_cumulative_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_count(over_columns_combinations=[['user_id']], cumulative=CumulativeOptions.EXCLUSIVE)
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.SUM],
+                                      over_columns_combinations=[['user_id']],
+                                      cumulative=CumulativeOptions.INCLUSIVE)
+         .with_lagged('value', lags=[1], over_columns_combinations=[['user_id']])
+         .with_first_value('value', over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'exclusive_cum_count_over_user_id', 'value_inclusive_cum_sum_over_user_id',
+            'value_lagged_1_over_user_id', 'value_first_value_over_user_id']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['value_inclusive_cum_sum_over_user_id', 'value_lagged_1_over_user_id',
+                               'value_first_value_over_user_id'])
+
+
+SQL_CUMULATIVE_EVENTS = """
+SELECT event_id,
+       ROW_NUMBER() OVER w - 1 AS exclusive_cum_count_over_user_id,
+       round(SUM(value) OVER (w ROWS UNBOUNDED PRECEDING), 6) AS value_inclusive_cum_sum_over_user_id,
+       round(LAG(value, 1) OVER w, 6) AS value_lagged_1_over_user_id,
+       round(FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+           AS value_first_value_over_user_id
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. rolling trailing time windows
+# ---------------------------------------------------------------------------
+
+def q_rolling_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_count(over_columns_combinations=[['user_id']], time_windows=['6h'],
+                     index_column_name='ts')
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.SUM],
+                                      over_columns_combinations=[['user_id']],
+                                      time_windows=['6h'], index_column_name='ts'))
+    keep = ['event_id', 'count_in_the_last_6h_over_user_id', 'value_sum_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=['value_sum_in_the_last_6h_over_user_id'])
+
+
+SQL_ROLLING_EVENTS = """
+SELECT e.event_id,
+       COUNT(w.event_id) AS count_in_the_last_6h_over_user_id,
+       round(SUM(w.value), 6) AS value_sum_in_the_last_6h_over_user_id
+FROM events e JOIN events w
+  ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+GROUP BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. as-of (point-in-time) join
+# ---------------------------------------------------------------------------
+
+def q_asof_events_orders(sf_dir: str):
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'user_id', 'ts'])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table({'user_id': batch.column('o_custkey'),
+                         'ts': batch.column('o_orderdate'),
+                         'price': batch.column('o_totalprice')})
+
+    orders = (ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                    columns=['o_custkey', 'o_orderdate', 'o_totalprice'])
+              .map_batches(prep_orders, batch_format='pyarrow'))
+
+    # dedupe the right side to one row per (user, date): max price — makes the
+    # as-of match unambiguous for both engines
+    def dedupe(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[('price', 'descending')])
+        return group.take(idx[:1])
+
+    orders = orders.groupby(['user_id', 'ts']).map_groups(dedupe, batch_format='pyarrow')
+    joined = asof_join(events, orders, by=['user_id'], on='ts', direction='backward',
+                       num_partitions=NUM_PARTITIONS)
+    return _finish(joined, ['event_id', 'user_id', 'price'], round_cols=['price'])
+
+
+SQL_ASOF_EVENTS_ORDERS = """
+SELECT e.event_id, e.user_id, round(o.price, 6) AS price
+FROM events e
+ASOF LEFT JOIN (SELECT o_custkey AS user_id, o_orderdate AS ts, max(o_totalprice) AS price
+                FROM orders GROUP BY 1, 2) o
+  ON e.user_id = o.user_id AND e.ts >= o.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. sessionization + recency
+# ---------------------------------------------------------------------------
+
+def q_session_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_sessionization('ts', gaps=['6h'], over_columns_combinations=[['user_id']])
+         .with_time_since_last('ts', over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'ts_session_id_gap_6h_over_user_id', 'ts_seconds_since_last_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=['ts_seconds_since_last_over_user_id'])
+
+
+SQL_SESSION_EVENTS = """
+SELECT event_id,
+       SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 6 HOUR THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+           AS ts_session_id_gap_6h_over_user_id,
+       round(date_diff('microsecond', prev_ts, ts) / 1000000.0, 6) AS ts_seconds_since_last_over_user_id
+FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. backfill (forward fill per entity)
+# ---------------------------------------------------------------------------
+
+def q_backfill_events(sf_dir: str):
+    base = _events_dataset(sf_dir)
+
+    def mask(batch: pa.Table) -> pa.Table:
+        masked = pc.if_else(pc.equal(batch.column('event_type'), 'click'),
+                            pa.nulls(batch.num_rows, pa.float64()),
+                            pc.cast(batch.column('value'), pa.float64()))
+        return batch.append_column('value_masked', masked)
+
+    ds = Dataset(base.data.map_batches(mask, batch_format='pyarrow', zero_copy_batch=True),
+                 base.schema + Schema([CS.numeric(name='value_masked')]),
+                 order_by=ORDER_EVENTS, num_partitions=NUM_PARTITIONS)
+    p = Pipeline(ds).with_fill('value_masked', strategies=[FillStrategy.FORWARD],
+                               over_columns_combinations=[['user_id']])
+    keep = ['event_id', 'value_masked_forward_filled_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=['value_masked_forward_filled_over_user_id'])
+
+
+SQL_BACKFILL_EVENTS = """
+SELECT event_id,
+       round(LAST_VALUE(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6)
+           AS value_masked_forward_filled_over_user_id
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.dedup import exact_dedup
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text', 'lang'])
+    out = exact_dedup(docs, text_column='text', id_column='doc_id', normalize=False)
+    return _finish(out, ['doc_id', 'lang'])
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. token counting
+# ---------------------------------------------------------------------------
+
+def q_token_count_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.textstats import TextStats
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = docs.map_batches(TextStats, batch_format='pyarrow', concurrency=2)
+    return _finish(out, ['doc_id', 'n_chars_computed', 'n_words'])
+
+
+SQL_TOKEN_COUNT_DOCUMENTS = r"""
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       length(regexp_extract_all(text, '\S+')) AS n_words
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. embedding similarity search (brute-force cosine top-k)
+# ---------------------------------------------------------------------------
+
+def q_knn_embeddings(sf_dir: str):
+    from auto_featurs_ray.datapipe.similarity import knn_brute_force
+    path = os.path.join(sf_dir, 'embeddings.parquet')
+    query = pq.read_table(path, columns=['vec_id', 'embedding'])
+    first = query.filter(pc.equal(query.column('vec_id'), 0)).column('embedding')[0].as_py()
+    ds = ray.data.read_parquet(path, columns=['vec_id', 'embedding'])
+    top = knn_brute_force(ds, embedding_column='embedding', id_column='vec_id',
+                          queries=np.asarray(first, dtype=np.float64)[None, :], k=10)
+    out = top.rename(columns={'id': 'vec_id'})[['vec_id', 'cosine']]
+    out['cosine'] = out['cosine'].round(4)
+    return out
+
+
+SQL_KNN_EMBEDDINGS = """
+SELECT vec_id,
+       round(CAST(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4)
+           AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. feature selection (correlation vs label)
+# ---------------------------------------------------------------------------
+
+def q_feature_selection_lineitem(sf_dir: str):
+    base = _lineitem_dataset(sf_dir)
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        return batch.append_column('is_return', pc.equal(batch.column('l_returnflag'), 'R'))
+
+    ds = Dataset(base.data.map_batches(add_label, batch_format='pyarrow', zero_copy_batch=True),
+                 base.schema + Schema([CS.boolean(name='is_return', role=ColumnRole.LABEL)]))
+    report = FeatureSelector().get_report(ds, ['l_quantity', 'l_extendedprice', 'l_discount'],
+                                          SelectionMethod.CORRELATION)
+    frame = report.to_frame().rename(columns={'Feature Name': 'feature_name',
+                                              'Correlation Value': 'stat_value'})
+    frame['stat_value'] = frame['stat_value'].round(6)
+    return frame
+
+
+SQL_FEATURE_SELECTION_LINEITEM = """
+SELECT 'l_quantity' AS feature_name,
+       round(abs(corr(l_quantity, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)), 6) AS stat_value
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', round(abs(corr(l_extendedprice, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', round(abs(corr(l_discount, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)), 6)
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible pipelines (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_dedup_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.dedup import minhash_dedup
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = minhash_dedup(docs, text_column='doc_id' if False else 'text', id_column='doc_id')
+    return _finish(out, ['doc_id'])
+
+
+def q_fingerprint_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.textstats import Fingerprinter
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = docs.map_batches(Fingerprinter, batch_format='pyarrow', concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        sketch_sizes = pc.list_value_length(batch.column('winnow_sketch'))
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'fingerprint': batch.column('fingerprint'),
+                         'sketch_size': sketch_sizes})
+
+    return out.map_batches(project, batch_format='pyarrow')
+
+
+def q_langid_quality_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.textstats import LanguageId, TextStats
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = docs.map_batches(TextStats, batch_format='pyarrow', concurrency=2)
+    out = out.map_batches(LanguageId, batch_format='pyarrow', concurrency=2)
+    return _finish(out, ['doc_id', 'lang_pred', 'n_words', 'quality_score'],
+                   round_cols=['quality_score'])
+
+
+def q_knn_ivf_embeddings(sf_dir: str):
+    from auto_featurs_ray.datapipe.similarity import knn_ivf
+    path = os.path.join(sf_dir, 'embeddings.parquet')
+    query = pq.read_table(path, columns=['vec_id', 'embedding'])
+    first = query.filter(pc.equal(query.column('vec_id'), 0)).column('embedding')[0].as_py()
+    ds = ray.data.read_parquet(path, columns=['vec_id', 'embedding'])
+    top = knn_ivf(ds, embedding_column='embedding', id_column='vec_id',
+                  queries=np.asarray(first, dtype=np.float64)[None, :], k=10,
+                  num_centroids=8, nprobe=4)
+    out = top.rename(columns={'id': 'vec_id'})[['vec_id', 'cosine']]
+    out['cosine'] = out['cosine'].round(4)
+    return out
+
+
+def q_flagship_tokens(sf_dir: str):
+    """Flagship as-of + window suite over the synthesized tokenized-sequence
+    table (FIXTURES.md F6 — the table shape mandated by BASELINE.json)."""
+    from auto_featurs_ray.fixtures import write_sequence_dataset
+    from auto_featurs_ray.pipelines.flagship import run_flagship
+    root = write_sequence_dataset('/tmp/afr_f6_q', num_shards=2, docs_per_shard=200, seed=42)
+    result = run_flagship(os.path.join(root, 'sequences'), os.path.join(root, 'events'),
+                          num_partitions=8)
+    keep = ['doc_id', 'ts', 'n_tok', 'n_tok_lagged_1_over_doc_id',
+            'n_tok_exclusive_cum_mean_over_doc_id', 'count_in_the_last_1h_over_doc_id',
+            'ts_session_id_gap_30m_over_doc_id', 'quality_forward_filled_over_doc_id']
+    return _finish(result.data, keep,
+                   round_cols=['n_tok_exclusive_cum_mean_over_doc_id', 'quality_forward_filled_over_doc_id'])
+
+
+QUERIES = {
+    'arithmetic_lineitem': q_arithmetic_lineitem,
+    'seasonal_orders': q_seasonal_orders,
+    'text_counts_documents': q_text_counts_documents,
+    'global_stats_lineitem': q_global_stats_lineitem,
+    'grouped_lineitem': q_grouped_lineitem,
+    'cumulative_events': q_cumulative_events,
+    'rolling_events': q_rolling_events,
+    'asof_events_orders': q_asof_events_orders,
+    'session_events': q_session_events,
+    'backfill_events': q_backfill_events,
+    'dedup_exact_documents': q_dedup_exact_documents,
+    'token_count_documents': q_token_count_documents,
+    'knn_embeddings': q_knn_embeddings,
+    'feature_selection_lineitem': q_feature_selection_lineitem,
+    'minhash_dedup_documents': q_minhash_dedup_documents,
+    'fingerprint_documents': q_fingerprint_documents,
+    'langid_quality_documents': q_langid_quality_documents,
+    'knn_ivf_embeddings': q_knn_ivf_embeddings,
+    'flagship_tokens': q_flagship_tokens,
+}
+
+ORACLE_SQL = {
+    'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
+    'seasonal_orders': SQL_SEASONAL_ORDERS,
+    'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,
+    'global_stats_lineitem': SQL_GLOBAL_STATS_LINEITEM,
+    'grouped_lineitem': SQL_GROUPED_LINEITEM,
+    'cumulative_events': SQL_CUMULATIVE_EVENTS,
+    'rolling_events': SQL_ROLLING_EVENTS,
+    'asof_events_orders': SQL_ASOF_EVENTS_ORDERS,
+    'session_events': SQL_SESSION_EVENTS,
+    'backfill_events': SQL_BACKFILL_EVENTS,
+    'dedup_exact_documents': SQL_DEDUP_EXACT_DOCUMENTS,
+    'token_count_documents': SQL_TOKEN_COUNT_DOCUMENTS,
+    'knn_embeddings': SQL_KNN_EMBEDDINGS,
+    'feature_selection_lineitem': SQL_FEATURE_SELECTION_LINEITEM,
+}

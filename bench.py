@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline flagship pipeline (as-of join + window feature
+suite over the synthesized tokenized-sequence table) plus the per-operator
+query suite over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), then
+prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input (the sandbox proxy for
+the N vs 4N cluster-size rule) and reports both throughputs plus the scaling
+efficiency; results are appended to BENCH/BASELINE.md.
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+F6_DIR = os.environ.get('GRAFT_F6_DIR', '/tmp/afr_f6_bench')
+F6_SHARDS = int(os.environ.get('GRAFT_F6_SHARDS', '8'))
+F6_DOCS = int(os.environ.get('GRAFT_F6_DOCS', '3000'))
+
+BENCH_QUERIES = [
+    'arithmetic_lineitem', 'global_stats_lineitem', 'grouped_lineitem',
+    'cumulative_events', 'rolling_events', 'asof_events_orders', 'session_events',
+    'backfill_events', 'dedup_exact_documents', 'token_count_documents',
+    'knn_embeddings', 'minhash_dedup_documents', 'langid_quality_documents',
+]
+
+
+def _consume(result) -> int:
+    """Drive a query result to completion; return its row count."""
+    import pandas as pd
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return result.count()
+
+
+def run_headline(num_partitions: int):
+    """Flagship over the bench-scale F6 table -> (seconds, rows)."""
+    from auto_featurs_ray.fixtures import write_sequence_dataset
+    from auto_featurs_ray.pipelines.flagship import run_flagship
+
+    root = write_sequence_dataset(F6_DIR, num_shards=F6_SHARDS, docs_per_shard=F6_DOCS, seed=42)
+    seq = os.path.join(root, 'sequences')
+    ev = os.path.join(root, 'events')
+
+    def once():
+        start = time.monotonic()
+        rows = run_flagship(seq, ev, num_partitions=num_partitions).data.count()
+        return time.monotonic() - start, rows
+
+    once()  # warm-up (also warms the page cache)
+    timings = []
+    rows = 0
+    for _ in range(2):
+        t, rows = once()
+        timings.append(t)
+    return statistics.median(timings), rows
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    DataContext.get_current().enable_progress_bars = False
+
+    from auto_featurs_ray.queries import QUERIES
+
+    num_partitions = max(16, NUM_CPUS * 2)
+    headline_sec, headline_rows = run_headline(num_partitions)
+
+    query_times = {}
+    for name in BENCH_QUERIES:
+        start = time.monotonic()
+        _consume(QUERIES[name](SF_DIR))
+        query_times[name] = round(time.monotonic() - start, 3)
+
+    ray.shutdown()
+    return {
+        'metric': 'flagship as-of join + window feature suite wall time (tokenized sequences)',
+        'value': round(headline_sec, 3),
+        'unit': 'sec',
+        'queries': query_times,
+        'sf': SF_DIR,
+        'num_cpus': NUM_CPUS,
+        'headline_rows': headline_rows,
+        'sequences_per_sec': round(headline_rows / headline_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, str(REPO / 'bench.py'), '--headline-only'],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    res_lo = run_at(lo)
+    res_hi = run_at(hi)
+    thr_lo = res_lo['sequences_per_sec']
+    thr_hi = res_hi['sequences_per_sec']
+    efficiency = (thr_hi / thr_lo) / (hi / lo)
+    report = {
+        'num_cpus_lo': lo, 'num_cpus_hi': hi,
+        'sec_lo': res_lo['value'], 'sec_hi': res_hi['value'],
+        'sequences_per_sec_lo': thr_lo, 'sequences_per_sec_hi': thr_hi,
+        'scaling_efficiency': round(efficiency, 3),
+        'rows': res_lo['headline_rows'],
+    }
+    bench_dir = REPO / 'BENCH'
+    bench_dir.mkdir(exist_ok=True)
+    with open(bench_dir / 'BASELINE.md', 'a') as fh:
+        fh.write(
+            f"\n## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"| num_cpus | wall (s) | sequences/sec |\n|---|---|---|\n"
+            f"| {lo} | {res_lo['value']} | {thr_lo} |\n"
+            f"| {hi} | {res_hi['value']} | {thr_hi} |\n\n"
+            f"rows={report['rows']}  scaling efficiency ({lo}->{hi} cpus) = "
+            f"**{report['scaling_efficiency']}** (gate: >=0.8)\n")
+    return report
+
+
+def run_headline_only() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    DataContext.get_current().enable_progress_bars = False
+    num_partitions = max(16, NUM_CPUS * 2)
+    headline_sec, headline_rows = run_headline(num_partitions)
+    ray.shutdown()
+    return {
+        'metric': 'flagship wall time', 'value': round(headline_sec, 3), 'unit': 'sec',
+        'num_cpus': NUM_CPUS, 'headline_rows': headline_rows,
+        'sequences_per_sec': round(headline_rows / headline_sec, 1),
+    }
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif '--headline-only' in sys.argv:
+        print(json.dumps(run_headline_only()))
+    else:
+        print(json.dumps(run_bench()))
