@@ -25,6 +25,9 @@ class AggFrame:
         self.table = table
         self._series_cache: dict = {}
         self._cond_cache: dict = {}
+        self._codes_cache: dict = {}
+        self._ts_cache: dict = {}
+        self._numeric_cache: dict = {}
 
     @property
     def num_rows(self) -> int:
@@ -41,18 +44,25 @@ class AggFrame:
 
     def numeric(self, name: str) -> np.ndarray:
         """Float64 view with nulls as NaN (bool -> 0/1)."""
-        arr = self.table.column(name)
-        if pa.types.is_boolean(arr.type) or not pa.types.is_floating(arr.type):
-            arr = arr.cast(pa.float64())
-        np_arr = arr.to_numpy(zero_copy_only=False)
-        return np_arr.astype(np.float64, copy=False)
+        cached = self._numeric_cache.get(name)
+        if cached is None:
+            arr = self.table.column(name)
+            if pa.types.is_boolean(arr.type) or not pa.types.is_floating(arr.type):
+                arr = arr.cast(pa.float64())
+            cached = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            self._numeric_cache[name] = cached
+        return cached
 
     def timestamps_us(self, name: str) -> np.ndarray:
         """Int64 microseconds view of a timestamp column."""
-        arr = self.table.column(name)
-        if pa.types.is_timestamp(arr.type):
-            arr = arr.cast(pa.timestamp('us', tz=arr.type.tz))
-        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cached = self._ts_cache.get(name)
+        if cached is None:
+            arr = self.table.column(name)
+            if pa.types.is_timestamp(arr.type):
+                arr = arr.cast(pa.timestamp('us', tz=arr.type.tz))
+            cached = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            self._ts_cache[name] = cached
+        return cached
 
     def cond_mask(self, condition: Optional[Expr]) -> Optional[np.ndarray]:
         """Boolean mask for a filtering condition; nulls count as False.
@@ -79,11 +89,20 @@ class AggFrame:
 
         Null keys form their own group, matching polars ``.over`` semantics.
         """
+        # only the base-less case is cached: a base array's id could be recycled
+        cacheable = base is None
+        if cacheable:
+            cached = self._codes_cache.get(tuple(columns))
+            if cached is not None:
+                return cached
         frame = {f'k{i}': self.series(c) for i, c in enumerate(columns)}
         if base is not None:
             frame['__base'] = base
         df = pd.DataFrame(frame)
-        return df.groupby(list(frame), sort=False, dropna=False).ngroup().to_numpy()
+        codes = df.groupby(list(frame), sort=False, dropna=False).ngroup().to_numpy()
+        if cacheable:
+            self._codes_cache[tuple(columns)] = codes
+        return codes
 
 
 def group_index_lists(codes: np.ndarray):

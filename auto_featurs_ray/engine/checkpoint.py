@@ -51,12 +51,7 @@ def resumable_write(ds, out_dir: str, *, key_columns: Sequence[str],
     key_columns = list(key_columns)
     order_by = list(order_by)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        codes = hash_partition_codes(batch, key_columns, num_partitions)
-        return batch.append_column(PARTITION_COLUMN, pa.array(codes))
-
-    def write_partition(table: pa.Table) -> pa.Table:
-        partition_id = int(table.column(PARTITION_COLUMN)[0].as_py())
+    def write_partition(table: pa.Table, partition_id: int) -> pa.Table:
         manifest_file = _manifest_path(out_dir, partition_id)
         if os.path.exists(manifest_file):
             with open(manifest_file) as fh:
@@ -65,7 +60,6 @@ def resumable_write(ds, out_dir: str, *, key_columns: Sequence[str],
             return pa.table({'manifest': [json.dumps(record)]})
 
         start = time.monotonic()
-        table = table.drop_columns([PARTITION_COLUMN])
         table = sort_partition(table, key_columns + order_by)
 
         data_file = _data_path(out_dir, partition_id)
@@ -89,8 +83,8 @@ def resumable_write(ds, out_dir: str, *, key_columns: Sequence[str],
         os.replace(tmp_manifest, manifest_file)
         return pa.table({'manifest': [json.dumps(record)]})
 
-    staged = ds.map_batches(assign, batch_format='pyarrow', zero_copy_batch=True)
-    rows = staged.groupby(PARTITION_COLUMN).map_groups(write_partition, batch_format='pyarrow').take_all()
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+    rows = shuffle_map_partitions(ds, key_columns, num_partitions, write_partition).take_all()
     records = [json.loads(r['manifest']) for r in rows]
 
     if fail_after is not None:

@@ -111,8 +111,12 @@ def write_sequence_dataset(out_dir: str, *, num_shards: int = 4, docs_per_shard:
     seq_dir = os.path.join(out_dir, 'sequences')
     ev_dir = os.path.join(out_dir, 'events')
     marker = os.path.join(out_dir, '_COMPLETE')
+    fingerprint = f'{num_shards}:{docs_per_shard}:{seed}:{max_tokens}:{with_events}'
     if os.path.exists(marker) and not force:
-        return out_dir
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return out_dir
+        force = True
     os.makedirs(seq_dir, exist_ok=True)
     os.makedirs(ev_dir, exist_ok=True)
     for shard in range(num_shards):
@@ -122,5 +126,5 @@ def write_sequence_dataset(out_dir: str, *, num_shards: int = 4, docs_per_shard:
             pq.write_table(generate_events_shard(shard, docs_per_shard, seed=seed),
                            os.path.join(ev_dir, f'shard-{shard:05d}.parquet'))
     with open(marker, 'w') as fh:
-        fh.write('ok')
+        fh.write(fingerprint)
     return out_dir

@@ -86,14 +86,97 @@ def flagship_pipeline(dataset: Dataset, *, rolling_window: str = '1h',
     )
 
 
+def _window_transformers(rolling_window: str, session_gap: str) -> list:
+    """Layer-1 per-entity transformers, all keyed on doc_id (one shuffle)."""
+    from auto_featurs_ray.base.column_specification import ColumnSpecification as _CS
+    from auto_featurs_ray.transformers.aggregating import (
+        LaggedTransformer, MeanTransformer, SumTransformer, CountTransformer,
+    )
+    from auto_featurs_ray.transformers.over_wrapper import OverWrapper
+    from auto_featurs_ray.transformers.rolling_wrapper import RollingWrapper
+    from auto_featurs_ray.transformers.temporal import (
+        FillTransformer, SessionIdTransformer, TimeSinceLastTransformer,
+    )
+
+    from auto_featurs_ray.transformers.aggregating import (
+        MaxTransformer, MedianTransformer, NumUniqueTransformer, StdTransformer,
+    )
+
+    n_tok = _CS.numeric(name='n_tok')
+    ts = _CS.datetime(name='ts')
+    quality = _CS.numeric(name='quality')
+    by_doc = ['doc_id']
+    return [
+        OverWrapper(LaggedTransformer(n_tok, 1), by_doc),
+        OverWrapper(LaggedTransformer(n_tok, 2), by_doc),
+        OverWrapper(SumTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
+        OverWrapper(MeanTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
+        OverWrapper(MedianTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
+        OverWrapper(StdTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
+        OverWrapper(RollingWrapper(CountTransformer(), ts, rolling_window), by_doc),
+        OverWrapper(RollingWrapper(MeanTransformer('n_tok'), ts, rolling_window), by_doc),
+        OverWrapper(RollingWrapper(MedianTransformer('n_tok'), ts, rolling_window), by_doc),
+        OverWrapper(RollingWrapper(MaxTransformer('n_tok'), ts, rolling_window), by_doc),
+        OverWrapper(RollingWrapper(StdTransformer('n_tok'), ts, rolling_window), by_doc),
+        OverWrapper(NumUniqueTransformer('source', CumulativeOptions.INCLUSIVE), by_doc),
+        OverWrapper(SessionIdTransformer(ts, session_gap), by_doc),
+        OverWrapper(TimeSinceLastTransformer(ts), by_doc),
+        OverWrapper(FillTransformer(quality, FillStrategy.FORWARD), by_doc),
+    ]
+
+
+def _ratio_transformers(rolling_window: str) -> list:
+    from auto_featurs_ray.transformers.numeric import DivideTransformer, SubtractTransformer
+    return [
+        DivideTransformer('n_tok', 'n_tok_lagged_1_over_doc_id'),
+        SubtractTransformer('n_tok', 'n_tok_lagged_1_over_doc_id'),
+        DivideTransformer('n_tok', f'n_tok_mean_in_the_last_{rolling_window}_over_doc_id'),
+    ]
+
+
 def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
                  out_dir: Optional[str] = None, num_partitions: int = 64,
                  rolling_window: str = '1h', session_gap: str = '30m'):
-    """Build + execute the flagship pipeline; returns the result Dataset
-    (and writes a checkpointed partitioned sink when ``out_dir`` is given)."""
-    dataset = build_flagship_dataset(seq_path, events_path, num_partitions=num_partitions)
-    result = flagship_pipeline(dataset, rolling_window=rolling_window,
-                               session_gap=session_gap).collect_plan()
+    """Execute the flagship pipeline with ONE entity shuffle end-to-end.
+
+    The as-of join already co-partitions both sides by ``doc_id``; every
+    per-entity window feature is evaluated inside the same partition pass
+    (``asof_join(post_transformers=...)``), and the ratio/diff layer is a
+    fused row-local map — so the whole suite costs a single all-to-all
+    exchange.  Returns the result Dataset (and writes the checkpointed
+    partitioned sink when ``out_dir`` is given).
+    """
+    from auto_featurs_ray.engine.runtime import apply_row_local_stage
+
+    sequences = ray.data.read_parquet(seq_path)
+    if events_path is None:
+        import pyarrow as pa
+
+        def add_quality(batch):
+            return batch.append_column('quality', pa.nulls(batch.num_rows, pa.float64()))
+
+        sequences = sequences.map_batches(add_quality, batch_format='pyarrow')
+        events_side = None
+    else:
+        events_side = ray.data.read_parquet(events_path)
+
+    window = _window_transformers(rolling_window, session_gap)
+    ratios = _ratio_transformers(rolling_window)
+    if events_side is not None:
+        # as-of join + window suite + ratio layer all fused into one exchange
+        data = asof_join(sequences, events_side, by=['doc_id'], on='ts', direction='backward',
+                         num_partitions=num_partitions,
+                         post_transformers=window, post_order_by=['ts'],
+                         post_row_local=ratios)
+    else:
+        from auto_featurs_ray.engine.runtime import apply_window_stage
+        joined = apply_window_stage(sequences, window, ['doc_id'], ['ts'], num_partitions)
+        data = apply_row_local_stage(joined, ratios)
+
+    out_schema = JOINED_SCHEMA + Schema(
+        [t.output_column_specification for t in window]
+        + [t.output_column_specification for t in _ratio_transformers(rolling_window)])
+    result = Dataset(data, out_schema, order_by=['doc_id', 'ts'], num_partitions=num_partitions)
     if out_dir is not None:
         resumable_write(result.data, out_dir, key_columns=['doc_id'], order_by=['ts'],
                         num_partitions=num_partitions)

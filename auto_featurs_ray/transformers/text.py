@@ -268,7 +268,8 @@ class CharacterEntropyTransformer(TextExtractionTransformer):
     """Shannon entropy (base 2) of each string's character distribution.
 
     Matches the reference's ``split('') -> unique_counts -> entropy`` chain
-    (ref text_transformers.py:141-158); an empty string yields null.
+    (ref text_transformers.py:141-158); an empty string yields 0.0 (golden:
+    pipeline e2e TEXT_FEATURE_3 row 6), null input yields null.
     """
 
     def _return_type(self) -> ColumnType:
@@ -280,8 +281,11 @@ class CharacterEntropyTransformer(TextExtractionTransformer):
     def apply(self, table: pa.Table):
         out = []
         for value in table.column(self._column).to_pylist():
-            if not value:
+            if value is None:
                 out.append(None)
+                continue
+            if value == '':
+                out.append(0.0)
                 continue
             counts = np.fromiter(Counter(value).values(), dtype=np.float64)
             p = counts / counts.sum()
