@@ -35,11 +35,16 @@ class Dataset:
     def __init__(self, data: 'ray.data.Dataset', schema: Schema, *,
                  order_by: Optional[Sequence[str]] = None,
                  num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                 broadcast_agg_keys: Optional[Sequence[str]] = None,
                  drop_columns_outside_schema: bool = False) -> None:
         self._data = data
         self._schema = schema
         self.order_by: list = list(order_by or [])
         self.num_partitions = num_partitions
+        # low-cardinality (possibly hot/skewed) keys: NONE-mode grouped
+        # aggregates over these route through the skew-immune partial+broadcast
+        # stage instead of the row shuffle
+        self.broadcast_agg_keys = frozenset(broadcast_agg_keys or ())
         if drop_columns_outside_schema:
             physical = set(data.schema().names)
             declared = set(schema.column_names)
@@ -53,16 +58,19 @@ class Dataset:
     def from_parquet(cls, path: Union[str, Path], schema: Schema, *,
                      order_by: Optional[Sequence[str]] = None,
                      num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                     broadcast_agg_keys: Optional[Sequence[str]] = None,
                      drop_columns_outside_schema: bool = False,
                      columns: Optional[Sequence[str]] = None) -> 'Dataset':
         data = ray.data.read_parquet(str(path), columns=list(columns) if columns else None)
         return cls(data, schema, order_by=order_by, num_partitions=num_partitions,
+                   broadcast_agg_keys=broadcast_agg_keys,
                    drop_columns_outside_schema=drop_columns_outside_schema)
 
     @classmethod
     def from_arrow(cls, table: pa.Table, schema: Schema, *,
                    order_by: Optional[Sequence[str]] = None,
                    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                   broadcast_agg_keys: Optional[Sequence[str]] = None,
                    num_blocks: Optional[int] = None) -> 'Dataset':
         if num_blocks and num_blocks > 1:
             # split across blocks to exercise multi-block execution in tests
@@ -71,7 +79,8 @@ class Dataset:
             data = ray.data.from_arrow(pieces)
         else:
             data = ray.data.from_arrow(table)
-        return cls(data, schema, order_by=order_by, num_partitions=num_partitions)
+        return cls(data, schema, order_by=order_by, num_partitions=num_partitions,
+                   broadcast_agg_keys=broadcast_agg_keys)
 
     @classmethod
     def from_pandas(cls, df: pd.DataFrame, schema: Schema, **kwargs) -> 'Dataset':
@@ -122,7 +131,8 @@ class Dataset:
         return self._with(self._data.materialize(), self._schema)
 
     def _with(self, data: 'ray.data.Dataset', schema: Schema) -> 'Dataset':
-        return Dataset(data, schema, order_by=self.order_by, num_partitions=self.num_partitions)
+        return Dataset(data, schema, order_by=self.order_by, num_partitions=self.num_partitions,
+                       broadcast_agg_keys=self.broadcast_agg_keys)
 
     # -- consumption --------------------------------------------------------
     def collect(self) -> pd.DataFrame:

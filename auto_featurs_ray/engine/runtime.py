@@ -246,6 +246,83 @@ def apply_row_local_stage(ds, transformers: Sequence[RowLocalTransformer]):
     return ds.map_batches(fused, batch_format='pyarrow', zero_copy_batch=True)
 
 
+def apply_grouped_broadcast_stage(ds, transformers: Sequence, key_columns: Sequence[str]):
+    """Skew-immune grouped NONE-mode aggregates: partial-per-key per batch ->
+    driver combine -> broadcast key->value map into a second map_batches.
+
+    This is what replaces "salting" for algebraic aggregates over hot keys
+    (zipf-distributed ``source``): raw rows are never shuffled at all — each
+    batch emits one partial per key it contains, the combine handles any skew
+    in O(num_keys), and the hot key costs the same as a cold one.  Use only
+    for LOW-cardinality keys (the key->state map is broadcast); entity-level
+    keys belong on the partitioned window path.
+
+    ``transformers`` are OverWrapper(inner) where every inner supports the
+    global two-pass protocol.
+    """
+    import ray
+
+    key_columns = list(key_columns)
+    inners = [t.inner_transformer for t in transformers]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        frame_codes = _batch_key_codes(batch, key_columns)
+        states: dict = {}
+        for key_value, sub in _iter_key_groups(batch, frame_codes, key_columns):
+            states[key_value] = [pickle.dumps(inner.global_partial(sub)) for inner in inners]
+        return pa.table({'state': [pickle.dumps(states)]})
+
+    rows = ds.map_batches(partials, batch_format='pyarrow').take_all()
+    combined: dict = {}
+    for row in rows:
+        for key_value, states in pickle.loads(row['state']).items():
+            states = [pickle.loads(s) for s in states]
+            if key_value not in combined:
+                combined[key_value] = states
+            else:
+                combined[key_value] = [inner.global_combine(acc, s)
+                                       for inner, acc, s in zip(inners, combined[key_value], states)]
+
+    lookup_ref = ray.put(combined)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        frame_codes = _batch_key_codes(batch, key_columns)
+        outputs = {t.output_name: np.empty(batch.num_rows, dtype=object) for t in transformers}
+        for key_value, sub, mask in _iter_key_groups(batch, frame_codes, key_columns, with_mask=True):
+            states = lookup[key_value]
+            for transformer, inner, state in zip(transformers, inners, states):
+                values = np.asarray(inner.global_finalize(state, sub))
+                outputs[transformer.output_name][mask] = values
+        for name, values in outputs.items():
+            batch = batch.append_column(name, pa.Array.from_pandas(pd.Series(values)))
+        return batch
+
+    return ds.map_batches(finalize, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def _batch_key_codes(batch: pa.Table, key_columns: Sequence[str]):
+    frame = {c: batch.column(c).to_pandas() for c in key_columns}
+    df = pd.DataFrame(frame)
+    codes = df.groupby(key_columns, sort=False, dropna=False).ngroup().to_numpy()
+    return df, codes
+
+
+def _iter_key_groups(batch: pa.Table, frame_codes, key_columns, with_mask: bool = False):
+    df, codes = frame_codes
+    for code in np.unique(codes):
+        mask = codes == code
+        idx = np.flatnonzero(mask)
+        first = df.iloc[idx[0]]
+        key_value = tuple(first[c] for c in key_columns)
+        key_value = tuple(None if (isinstance(v, float) and np.isnan(v)) else v for v in key_value)
+        sub = batch.take(pa.array(idx))
+        if with_mask:
+            yield key_value, sub, mask
+        else:
+            yield key_value, sub
+
+
 def apply_global_two_pass_stage(ds, transformers: Sequence[AggregatingTransformer]):
     """Partial per batch -> combine on driver -> broadcast finalize per batch."""
 
@@ -273,8 +350,19 @@ def apply_global_two_pass_stage(ds, transformers: Sequence[AggregatingTransforme
     return ds.map_batches(finalize, batch_format='pyarrow', zero_copy_batch=True)
 
 
+def _is_broadcast_over(transformer) -> bool:
+    if not isinstance(transformer, OverWrapper):
+        return False
+    inner = transformer.inner_transformer
+    return (not isinstance(inner, OverWrapper)
+            and type(inner).__name__ != 'RollingWrapper'
+            and getattr(inner, 'supports_global_two_pass', False)
+            and getattr(inner, 'cumulative', CumulativeOptions.NONE) == CumulativeOptions.NONE)
+
+
 def apply_layer(ds, transformers: Sequence[Transformer], order_by: Sequence[str],
-                num_partitions: int = DEFAULT_NUM_PARTITIONS, allow_two_pass: bool = True):
+                num_partitions: int = DEFAULT_NUM_PARTITIONS, allow_two_pass: bool = True,
+                broadcast_agg_keys: frozenset = frozenset()):
     """Execute one pipeline layer: window stages, global stats, fused row-local map."""
     row_local = [t for t in transformers if isinstance(t, RowLocalTransformer)]
     aggregating = [t for t in transformers if isinstance(t, AggregatingTransformer)]
@@ -286,6 +374,9 @@ def apply_layer(ds, transformers: Sequence[Transformer], order_by: Sequence[str]
     for t in partitioned:
         stages.setdefault(_stage_key(t), []).append(t)
     for key, group in stages.items():
+        if key and set(key) <= set(broadcast_agg_keys) and all(_is_broadcast_over(t) for t in group):
+            ds = apply_grouped_broadcast_stage(ds, group, list(key))
+            continue
         ds = apply_window_stage(ds, group, list(key), order_by, num_partitions)
     if two_pass:
         ds = apply_global_two_pass_stage(ds, two_pass)

@@ -330,7 +330,8 @@ class Pipeline:
         for layer in self._transformers:
             if layer:
                 data = apply_layer(data, layer, order_by=dataset.order_by,
-                                   num_partitions=dataset.num_partitions)
+                                   num_partitions=dataset.num_partitions,
+                                   broadcast_agg_keys=dataset.broadcast_agg_keys)
         dataset = dataset.with_data(data)
         dataset = dataset.drop(self._auxiliary_columns)
         if cache_computation:

@@ -173,11 +173,54 @@ def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
         joined = apply_window_stage(sequences, window, ['doc_id'], ['ts'], num_partitions)
         data = apply_row_local_stage(joined, ratios)
 
+    # per-source (zipf-hot key) aggregates: skew-immune partial+broadcast stage
+    from auto_featurs_ray.engine.runtime import apply_grouped_broadcast_stage
+    from auto_featurs_ray.transformers.aggregating import CountTransformer, MeanTransformer
+    from auto_featurs_ray.transformers.over_wrapper import OverWrapper
+    source_aggs = [OverWrapper(CountTransformer(), ['source']),
+                   OverWrapper(MeanTransformer('n_tok'), ['source'])]
+    data = apply_grouped_broadcast_stage(data, source_aggs, ['source'])
+
     out_schema = JOINED_SCHEMA + Schema(
         [t.output_column_specification for t in window]
-        + [t.output_column_specification for t in _ratio_transformers(rolling_window)])
+        + [t.output_column_specification for t in _ratio_transformers(rolling_window)]
+        + [t.output_column_specification for t in source_aggs])
     result = Dataset(data, out_schema, order_by=['doc_id', 'ts'], num_partitions=num_partitions)
     if out_dir is not None:
         resumable_write(result.data, out_dir, key_columns=['doc_id'], order_by=['ts'],
                         num_partitions=num_partitions)
     return result
+
+
+def main(argv=None):
+    """``ray job submit -- python -m auto_featurs_ray.pipelines.flagship ...``"""
+    import argparse
+    import json
+    import time
+
+    import ray
+
+    parser = argparse.ArgumentParser(description='Flagship as-of + window feature pipeline')
+    parser.add_argument('--sequences', required=True, help='parquet dir/file of tokenized sequences')
+    parser.add_argument('--events', default=None, help='parquet dir/file of per-entity events')
+    parser.add_argument('--out', default=None, help='checkpointed partitioned parquet output dir')
+    parser.add_argument('--num-partitions', type=int, default=64)
+    parser.add_argument('--rolling-window', default='1h')
+    parser.add_argument('--session-gap', default='30m')
+    args = parser.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(address='local', include_dashboard=False, logging_level='ERROR')
+    start = time.monotonic()
+    result = run_flagship(args.sequences, args.events, out_dir=args.out,
+                          num_partitions=args.num_partitions,
+                          rolling_window=args.rolling_window, session_gap=args.session_gap)
+    rows = result.data.count()
+    wall = time.monotonic() - start
+    print(json.dumps({'rows': rows, 'wall_s': round(wall, 2),
+                      'sequences_per_sec': round(rows / wall, 1), 'out': args.out}))
+    ray.shutdown()
+
+
+if __name__ == '__main__':
+    main()
