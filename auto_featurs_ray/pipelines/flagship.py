@@ -99,30 +99,41 @@ def _window_transformers(rolling_window: str, session_gap: str) -> list:
     )
 
     from auto_featurs_ray.transformers.aggregating import (
-        MaxTransformer, MedianTransformer, NumUniqueTransformer, StdTransformer,
+        MaxTransformer, MedianTransformer, MinTransformer, NumUniqueTransformer, StdTransformer,
     )
 
     n_tok = _CS.numeric(name='n_tok')
     ts = _CS.datetime(name='ts')
     quality = _CS.numeric(name='quality')
     by_doc = ['doc_id']
-    return [
+    windows = [rolling_window, '6h']
+    transformers = [
         OverWrapper(LaggedTransformer(n_tok, 1), by_doc),
         OverWrapper(LaggedTransformer(n_tok, 2), by_doc),
+        OverWrapper(LaggedTransformer(quality, 1), by_doc),
         OverWrapper(SumTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
         OverWrapper(MeanTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
         OverWrapper(MedianTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
         OverWrapper(StdTransformer('n_tok', CumulativeOptions.EXCLUSIVE), by_doc),
-        OverWrapper(RollingWrapper(CountTransformer(), ts, rolling_window), by_doc),
-        OverWrapper(RollingWrapper(MeanTransformer('n_tok'), ts, rolling_window), by_doc),
-        OverWrapper(RollingWrapper(MedianTransformer('n_tok'), ts, rolling_window), by_doc),
-        OverWrapper(RollingWrapper(MaxTransformer('n_tok'), ts, rolling_window), by_doc),
-        OverWrapper(RollingWrapper(StdTransformer('n_tok'), ts, rolling_window), by_doc),
+        OverWrapper(MeanTransformer('quality', CumulativeOptions.EXCLUSIVE), by_doc),
+        OverWrapper(StdTransformer('quality', CumulativeOptions.EXCLUSIVE), by_doc),
         OverWrapper(NumUniqueTransformer('source', CumulativeOptions.INCLUSIVE), by_doc),
         OverWrapper(SessionIdTransformer(ts, session_gap), by_doc),
         OverWrapper(TimeSinceLastTransformer(ts), by_doc),
         OverWrapper(FillTransformer(quality, FillStrategy.FORWARD), by_doc),
     ]
+    for window in windows:
+        transformers.extend([
+            OverWrapper(RollingWrapper(CountTransformer(), ts, window), by_doc),
+            OverWrapper(RollingWrapper(MeanTransformer('n_tok'), ts, window), by_doc),
+            OverWrapper(RollingWrapper(MedianTransformer('n_tok'), ts, window), by_doc),
+            OverWrapper(RollingWrapper(MaxTransformer('n_tok'), ts, window), by_doc),
+            OverWrapper(RollingWrapper(MinTransformer('n_tok'), ts, window), by_doc),
+            OverWrapper(RollingWrapper(StdTransformer('n_tok'), ts, window), by_doc),
+            OverWrapper(RollingWrapper(MeanTransformer('quality'), ts, window), by_doc),
+            OverWrapper(RollingWrapper(StdTransformer('quality'), ts, window), by_doc),
+        ])
+    return transformers
 
 
 def _ratio_transformers(rolling_window: str) -> list:

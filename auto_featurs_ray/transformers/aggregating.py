@@ -498,8 +498,8 @@ class _ExtremeTransformer(ArithmeticAggregationTransformer, ABC):
         if self.cumulative != CumulativeOptions.NONE:
             return None
         x = self._masked(frame)
-        sign = 1.0 if self._is_min else -1.0
-        return _sliding_extreme(sign * x, lo, hi) * sign
+        rolling = pd.Series(x).rolling(_BoundsIndexer(lo=lo, hi=hi), min_periods=1)
+        return (rolling.min() if self._is_min else rolling.max()).to_numpy()
 
     supports_global_two_pass = True
 
@@ -520,6 +520,20 @@ class _ExtremeTransformer(ArithmeticAggregationTransformer, ABC):
 
     def global_finalize(self, state, table: pa.Table):
         return np.full(table.num_rows, state)
+
+
+try:
+    from pandas.api.indexers import BaseIndexer as _PandasBaseIndexer
+except ImportError:  # pragma: no cover
+    _PandasBaseIndexer = object
+
+
+class _BoundsIndexer(_PandasBaseIndexer):
+    """Feed precomputed [lo, hi) window bounds into pandas' rolling kernels."""
+
+    def get_window_bounds(self, num_values=0, min_periods=None, center=None,
+                          closed=None, step=None):
+        return np.asarray(self.lo, dtype=np.int64), np.asarray(self.hi, dtype=np.int64)
 
 
 def _sliding_extreme(x: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -624,17 +638,12 @@ class QuantileTransformer(ArithmeticAggregationTransformer):
     def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
         if self.cumulative != CumulativeOptions.NONE:
             return None
+        # pandas rolling with explicit window bounds: C-speed exact quantile
+        # over our (t-period, t] windows, NaN (masked/null) values skipped
         x = self._masked(frame)
-        out = np.full(len(x), np.nan)
-        import warnings
-        with warnings.catch_warnings():
-            warnings.simplefilter('ignore', RuntimeWarning)
-            for i in range(len(x)):
-                window = x[lo[i]:hi[i]]
-                window = window[~np.isnan(window)]
-                if len(window):
-                    out[i] = np.quantile(window, self._quantile)
-        return out
+        indexer = _BoundsIndexer(lo=lo, hi=hi)
+        return (pd.Series(x).rolling(indexer, min_periods=1)
+                .quantile(self._quantile, interpolation='linear').to_numpy())
 
     supports_global_two_pass = True
 
