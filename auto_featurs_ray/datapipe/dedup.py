@@ -40,19 +40,29 @@ def _content_hash_batch(texts: List, normalize: bool = True) -> np.ndarray:
     return out
 
 
-def exact_dedup(ds, *, text_column: str, id_column: str, normalize: bool = True):
-    """Keep the min-``id_column`` row per exact (whitespace-normalized) content."""
+def exact_dedup(ds, *, text_column: str, id_column: str, normalize: bool = True,
+                num_partitions: int = 32):
+    """Keep the min-``id_column`` row per exact (whitespace-normalized) content.
+
+    One hash exchange keyed on the 64-bit content hash; inside each partition
+    a vectorized sort + drop-duplicates keeps the first row per hash.
+    """
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = _content_hash_batch(batch.column(text_column).to_pylist(), normalize)
         return batch.append_column('__content_hash', pa.array(hashes))
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(id_column, 'ascending')])
-        return group.take(idx[:1]).drop_columns(['__content_hash'])
+    def keep_first(table: pa.Table, _pid: int) -> pa.Table:
+        idx = pc.sort_indices(table, sort_keys=[('__content_hash', 'ascending'),
+                                                (id_column, 'ascending')])
+        table = table.take(idx)
+        hashes = table.column('__content_hash').to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], hashes[1:] != hashes[:-1])) if len(hashes) else np.array([], bool)
+        return table.filter(pa.array(first)).drop_columns(['__content_hash'])
 
-    return (ds.map_batches(add_hash, batch_format='pyarrow', zero_copy_batch=True)
-            .groupby('__content_hash').map_groups(keep_first, batch_format='pyarrow'))
+    hashed = ds.map_batches(add_hash, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(hashed, ['__content_hash'], num_partitions, keep_first)
 
 
 # ---------------------------------------------------------------------------
@@ -126,30 +136,37 @@ def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: in
             'sig': pa.array(sig_list, pa.list_(pa.int64())),
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2 or n > max_bucket:
-            return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
-                             'sim': pa.array([], pa.float64())})
-        docs = group.column('doc').to_pylist()
-        sigs = np.stack(group.column('sig').to_pylist()).astype(np.uint64)
+    def partition_pairs(table: pa.Table, _pid: int) -> pa.Table:
+        df = pd.DataFrame({'band': table.column('band').to_pandas(),
+                           'bh': table.column('band_hash').to_pandas()})
+        codes = df.groupby(['band', 'bh'], sort=False).ngroup().to_numpy()
+        docs = np.asarray(table.column('doc').to_pylist())
+        sigs = np.stack(table.column('sig').to_pylist()).astype(np.uint64)
         lefts, rights, sims = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if docs[i] == docs[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())  # minhash Jaccard estimate
-                if est >= jaccard_threshold:
-                    a, b = sorted((docs[i], docs[j]))
-                    lefts.append(a)
-                    rights.append(b)
-                    sims.append(est)
+        order = np.argsort(codes, kind='stable')
+        boundaries = np.concatenate(([0], np.flatnonzero(np.diff(codes[order])) + 1, [len(codes)]))
+        for s, e in zip(boundaries[:-1], boundaries[1:]):
+            rows = order[s:e]
+            n = len(rows)
+            if n < 2 or n > max_bucket:
+                continue
+            for ii in range(n):
+                for jj in range(ii + 1, n):
+                    di, dj = docs[rows[ii]], docs[rows[jj]]
+                    if di == dj:
+                        continue
+                    est = float((sigs[rows[ii]] == sigs[rows[jj]]).mean())
+                    if est >= jaccard_threshold:
+                        a, b = sorted((di, dj))
+                        lefts.append(a)
+                        rights.append(b)
+                        sims.append(est)
         return pa.table({'left': pa.array(lefts, pa.int64()), 'right': pa.array(rights, pa.int64()),
                          'sim': pa.array(sims, pa.float64())})
 
-    pairs = (ds.map_batches(explode, batch_format='pyarrow')
-             .groupby(['band', 'band_hash'])
-             .map_groups(bucket_pairs, batch_format='pyarrow')
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+    exploded = ds.map_batches(explode, batch_format='pyarrow')
+    pairs = (shuffle_map_partitions(exploded, ['band', 'band_hash'], 16, partition_pairs)
              .to_pandas().drop_duplicates(['left', 'right']))
     return _connected_components(pairs)
 

@@ -59,9 +59,16 @@ def run_headline(num_partitions: int):
     _prewarm_cluster()
 
     def once():
+        import gc
         start = time.monotonic()
-        rows = run_flagship(seq, ev, num_partitions=num_partitions).data.count()
-        return time.monotonic() - start, rows
+        result = run_flagship(seq, ev, num_partitions=num_partitions)
+        rows = result.data.count()
+        elapsed = time.monotonic() - start
+        # drop the dataset's object refs before the next rep: lingering plasma
+        # objects otherwise degrade successive runs
+        del result
+        gc.collect()
+        return elapsed, rows
 
     once()  # pipeline warm-up (also warms the page cache + worker pool)
     timings = []
@@ -95,11 +102,13 @@ def run_bench() -> dict:
 
     headline_sec, headline_rows = run_headline(NUM_PARTITIONS)
 
+    import gc
     query_times = {}
     for name in BENCH_QUERIES:
         start = time.monotonic()
         _consume(QUERIES[name](SF_DIR))
         query_times[name] = round(time.monotonic() - start, 3)
+        gc.collect()
 
     ray.shutdown()
     return {
