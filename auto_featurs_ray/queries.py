@@ -476,6 +476,60 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# 15. entity entropy / PMI / lead / distinct counts over events
+# ---------------------------------------------------------------------------
+
+def q_entropy_pmi_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_entity_entropy(source_subset='user_id', target_subset='event_type')
+         .with_pointwise_mutual_information(column_a_subset='event_type', column_b_subset='user_id'))
+    keep = ['event_id', 'event_type_by_user_id_entropy', 'event_type_user_id_pmi']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['event_type_by_user_id_entropy', 'event_type_user_id_pmi'])
+
+
+SQL_ENTROPY_PMI_EVENTS = """
+WITH ent AS (
+  SELECT user_id, -SUM(p * log2(p)) AS h FROM (
+    SELECT user_id, count(*)::DOUBLE / SUM(count(*)) OVER (PARTITION BY user_id) AS p
+    FROM events GROUP BY user_id, event_type
+  ) GROUP BY user_id
+), counted AS (
+  SELECT event_id, user_id,
+         COUNT(*) OVER (PARTITION BY event_type) AS ca,
+         COUNT(*) OVER (PARTITION BY user_id) AS cb,
+         COUNT(*) OVER (PARTITION BY event_type, user_id) AS cab,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT c.event_id,
+       round(ent.h, 6) AS event_type_by_user_id_entropy,
+       round(log2(c.cab::DOUBLE * c.n / (c.ca::DOUBLE * c.cb)), 6) AS event_type_user_id_pmi
+FROM counted c JOIN ent USING (user_id)
+"""
+
+
+def q_lead_distinct_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_lagged('value', lags=[-1], over_columns_combinations=[['user_id']])
+         .with_num_unique('event_type', over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'value_lagged_-1_over_user_id', 'event_type_num_unique_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=['value_lagged_-1_over_user_id'])
+
+
+SQL_LEAD_DISTINCT_EVENTS = """
+WITH uniq AS (
+  SELECT user_id, COUNT(DISTINCT event_type) AS u FROM events GROUP BY user_id
+)
+SELECT e.event_id,
+       round(LEAD(e.value, 1) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id), 6)
+           AS "value_lagged_-1_over_user_id",
+       uniq.u AS event_type_num_unique_over_user_id
+FROM events e JOIN uniq USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -556,6 +610,8 @@ QUERIES = {
     'token_count_documents': q_token_count_documents,
     'knn_embeddings': q_knn_embeddings,
     'feature_selection_lineitem': q_feature_selection_lineitem,
+    'entropy_pmi_events': q_entropy_pmi_events,
+    'lead_distinct_events': q_lead_distinct_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'fingerprint_documents': q_fingerprint_documents,
     'langid_quality_documents': q_langid_quality_documents,
@@ -578,4 +634,6 @@ ORACLE_SQL = {
     'token_count_documents': SQL_TOKEN_COUNT_DOCUMENTS,
     'knn_embeddings': SQL_KNN_EMBEDDINGS,
     'feature_selection_lineitem': SQL_FEATURE_SELECTION_LINEITEM,
+    'entropy_pmi_events': SQL_ENTROPY_PMI_EVENTS,
+    'lead_distinct_events': SQL_LEAD_DISTINCT_EVENTS,
 }
