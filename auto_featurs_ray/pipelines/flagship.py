@@ -173,24 +173,36 @@ def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
 
     window = _window_transformers(rolling_window, session_gap)
     ratios = _ratio_transformers(rolling_window)
-    if events_side is not None:
-        # as-of join + window suite + ratio layer all fused into one exchange
-        data = asof_join(sequences, events_side, by=['doc_id'], on='ts', direction='backward',
-                         num_partitions=num_partitions,
-                         post_transformers=window, post_order_by=['ts'],
-                         post_row_local=ratios)
-    else:
-        from auto_featurs_ray.engine.runtime import apply_window_stage
-        joined = apply_window_stage(sequences, window, ['doc_id'], ['ts'], num_partitions)
-        data = apply_row_local_stage(joined, ratios)
 
-    # per-source (zipf-hot key) aggregates: skew-immune partial+broadcast stage
-    from auto_featurs_ray.engine.runtime import apply_grouped_broadcast_stage
+    # per-source (zipf-hot key) aggregates: partials over a COLUMN-PRUNED read
+    # (source, n_tok only), combined on the driver, then attached inside the
+    # reduce task — the skew-immune path with zero extra passes over the wide
+    # (token-carrying) table
+    import ray.data as _rd
+    from auto_featurs_ray.engine.runtime import (
+        BroadcastLookupFeature,
+        compute_grouped_broadcast_states,
+    )
     from auto_featurs_ray.transformers.aggregating import CountTransformer, MeanTransformer
     from auto_featurs_ray.transformers.over_wrapper import OverWrapper
     source_aggs = [OverWrapper(CountTransformer(), ['source']),
                    OverWrapper(MeanTransformer('n_tok'), ['source'])]
-    data = apply_grouped_broadcast_stage(data, source_aggs, ['source'])
+    pruned = _rd.read_parquet(seq_path, columns=['source', 'n_tok'])
+    states = compute_grouped_broadcast_states(pruned, ['source'],
+                                              [t.inner_transformer for t in source_aggs])
+    source_features = [BroadcastLookupFeature(t, states, ['source'], i)
+                       for i, t in enumerate(source_aggs)]
+
+    if events_side is not None:
+        # as-of join + window suite + ratio layer + source lookups: one exchange
+        data = asof_join(sequences, events_side, by=['doc_id'], on='ts', direction='backward',
+                         num_partitions=num_partitions,
+                         post_transformers=window, post_order_by=['ts'],
+                         post_row_local=ratios + source_features)
+    else:
+        from auto_featurs_ray.engine.runtime import apply_window_stage
+        joined = apply_window_stage(sequences, window, ['doc_id'], ['ts'], num_partitions)
+        data = apply_row_local_stage(joined, ratios + source_features)
 
     out_schema = JOINED_SCHEMA + Schema(
         [t.output_column_specification for t in window]
