@@ -38,6 +38,9 @@ from auto_featurs_ray.engine.runtime import cogroup_map_partitions
 
 
 def _arrow_schema(ds) -> pa.Schema:
+    if isinstance(ds, (list, tuple)):  # parquet shard paths (fused scan+split)
+        import pyarrow.parquet as pq
+        return pq.read_schema(ds[0])
     schema = ds.schema()
     return pa.schema(list(zip(schema.names, schema.types)))
 

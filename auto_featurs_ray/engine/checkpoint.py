@@ -24,11 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from auto_featurs_ray.engine.runtime import (
-    PARTITION_COLUMN,
-    hash_partition_codes,
-    sort_partition,
-)
+from auto_featurs_ray.engine.runtime import sort_partition
 
 
 def _manifest_path(out_dir: str, partition_id: int) -> str:

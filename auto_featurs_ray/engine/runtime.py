@@ -202,6 +202,10 @@ def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_pa
     complete co-located partitions of both sides — the primitive behind the
     as-of join (and any partitioned join): one exchange, no union/schema
     alignment, each side's blocks ride through untouched.
+
+    Either side may be given as a list of parquet file paths instead of a
+    Dataset: the split tasks then read the shards directly (fused scan+split),
+    skipping one full object-store round-trip of the raw input.
     """
     import ray
     import ray.data
@@ -215,6 +219,20 @@ def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_pa
         return tuple(split_block_by_code(block, codes, num_partitions))
 
     @ray.remote
+    def read_split_task(*paths: str):
+        import pyarrow.parquet as pq
+        block = pa.concat_tables([pq.read_table(p) for p in paths], promote_options='permissive')
+        codes = hash_partition_codes(block, key_columns, num_partitions)
+        return tuple(split_block_by_code(block, codes, num_partitions))
+
+    def splits_for(side):
+        if isinstance(side, (list, tuple)):  # parquet shard paths: fused scan+split
+            groups = np.array_split(np.arange(len(side)), max(1, min(len(side), 32)))
+            return [read_split_task.options(num_returns=num_partitions).remote(
+                *[side[i] for i in group]) for group in groups if len(group)]
+        return _launch_split_tasks(side, split_task, num_partitions)
+
+    @ray.remote
     def reduce_task(partition_id: int, n_left: int, *slices: pa.Table) -> pa.Table:
         def concat(parts):
             non_empty = [s for s in parts if s.num_rows]
@@ -222,13 +240,19 @@ def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_pa
 
         return partition_fn(concat(slices[:n_left]), concat(slices[n_left:]), partition_id)
 
+    def refs_for(side):
+        if isinstance(side, (list, tuple)):
+            import ray.data as rd
+            return rd.read_parquet(list(side)).to_arrow_refs()
+        return side.to_arrow_refs()
+
     if num_partitions == 1:
-        left_refs = left_ds.to_arrow_refs()
-        right_refs = right_ds.to_arrow_refs()
+        left_refs = refs_for(left_ds)
+        right_refs = refs_for(right_ds)
         out_refs = [reduce_task.remote(0, len(left_refs), *left_refs, *right_refs)]
     else:
-        left_splits = _launch_split_tasks(left_ds, split_task, num_partitions)
-        right_splits = _launch_split_tasks(right_ds, split_task, num_partitions)
+        left_splits = splits_for(left_ds)
+        right_splits = splits_for(right_ds)
         out_refs = [
             reduce_task.remote(p, len(left_splits),
                                *[s[p] for s in left_splits], *[s[p] for s in right_splits])

@@ -157,19 +157,32 @@ def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
     exchange.  Returns the result Dataset (and writes the checkpointed
     partitioned sink when ``out_dir`` is given).
     """
+    import glob
+    import os
+
     from auto_featurs_ray.engine.runtime import apply_row_local_stage
 
-    sequences = ray.data.read_parquet(seq_path)
+    def parquet_shards(path):
+        if os.path.isdir(path):
+            shards = sorted(glob.glob(os.path.join(path, '*.parquet')))
+            if shards:
+                return shards
+        return [path] if os.path.isfile(path) else None
+
+    seq_shards = parquet_shards(seq_path)
+    sequences = seq_shards if seq_shards else ray.data.read_parquet(seq_path)
     if events_path is None:
         import pyarrow as pa
 
         def add_quality(batch):
             return batch.append_column('quality', pa.nulls(batch.num_rows, pa.float64()))
 
+        if isinstance(sequences, list):
+            sequences = ray.data.read_parquet(seq_path)
         sequences = sequences.map_batches(add_quality, batch_format='pyarrow')
         events_side = None
     else:
-        events_side = ray.data.read_parquet(events_path)
+        events_side = parquet_shards(events_path) or ray.data.read_parquet(events_path)
 
     window = _window_transformers(rolling_window, session_gap)
     ratios = _ratio_transformers(rolling_window)

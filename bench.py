@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     'arithmetic_lineitem', 'global_stats_lineitem', 'grouped_lineitem',
     'cumulative_events', 'rolling_events', 'asof_events_orders', 'session_events',
     'backfill_events', 'dedup_exact_documents', 'token_count_documents',
-    'knn_embeddings', 'minhash_dedup_documents', 'langid_quality_documents',
+    'knn_embeddings', 'entropy_pmi_events', 'lead_distinct_events',
+    'minhash_dedup_documents', 'langid_quality_documents',
 ]
 
 
