@@ -239,11 +239,20 @@ class ModeTransformer(AggregatingTransformer):
             df = pd.DataFrame({'g': codes, 'v': series})
             if cond is not None:
                 df = df[cond]
-            counts = df.groupby(['g', 'v'], sort=False, dropna=True).size().reset_index(name='c')
-            # ties -> largest value (ref :136 mode().sort(descending=True).first())
-            counts = counts.sort_values(['c', 'v'], ascending=False)
-            winners = counts.drop_duplicates('g').set_index('g')['v']
-            out = winners.reindex(np.arange(codes.max() + 1 if n else 0)).to_numpy()[codes] if n else []
+            # nulls count as a value (polars mode); ties -> sort(descending).first(),
+            # where polars places null FIRST, so a tied null wins (ref :136)
+            counts = df.groupby(['g', 'v'], sort=False, dropna=False).size().reset_index(name='c')
+            winners: dict = {}
+            for g, sub in counts.groupby('g'):
+                top = sub['c'].max()
+                candidates = sub.loc[sub['c'] == top, 'v']
+                if candidates.isna().any():
+                    winners[g] = None
+                else:
+                    winners[g] = candidates.max()
+            out = np.empty(n, dtype=object)
+            for i, g in enumerate(codes):
+                out[i] = winners.get(g)
             return pd.Series(out)
         # cumulative: running mode, ties -> latest value to reach max count (ref :138-145)
         values = series.to_numpy(dtype=object)
@@ -322,6 +331,61 @@ class NumUniqueTransformer(AggregatingTransformer):
         fd2 = ~pd.DataFrame({'g': codes, 'v': inclusive}).duplicated()
         out = pd.Series(fd2.to_numpy().astype(np.int64)).groupby(codes).cumsum()
         return _gshift(out, codes, 1, fill_value=0)
+
+
+class ApproxNumUniqueTransformer(AggregatingTransformer):
+    """Approximate distinct count via a KMV (k-minimum-values) sketch.
+
+    The scale path for whole-frame ``num_unique`` (SURVEY §7 hard part 6):
+    per-batch partials keep only the k smallest 64-bit value hashes; sketches
+    merge associatively, and the estimate is ``(k-1) / max_normalized_hash``.
+    Exact when fewer than k distinct values were seen.  Grouped/cumulative
+    evaluation falls back to the exact kernel.
+    """
+
+    def __init__(self, column: ColumnNameOrSpec, k: int = 1024) -> None:
+        self._column = parse_column_name(column)
+        self._k = k
+        self._exact = NumUniqueTransformer(column)
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnTypeSelector.any()
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return f'{self._column}_approx_num_unique'
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        return self._exact.compute(frame, codes)
+
+    supports_global_two_pass = True
+
+    def _hashes(self, table: pa.Table) -> np.ndarray:
+        series = AggFrame(table).series(self._column)
+        hashed = pd.util.hash_pandas_object(series, index=False).to_numpy().astype(np.uint64)
+        return np.unique(hashed)
+
+    def global_partial(self, table: pa.Table):
+        hashes = self._hashes(table)
+        return hashes[:self._k] if len(hashes) > self._k else hashes
+
+    def global_combine(self, left, right):
+        merged = np.unique(np.concatenate([left, right]))
+        return merged[:self._k]
+
+    def global_finalize(self, state, table: pa.Table):
+        if len(state) < self._k:
+            estimate = float(len(state))
+        else:
+            kth = state[self._k - 1] / float(2 ** 64)
+            estimate = (self._k - 1) / kth
+        return np.full(table.num_rows, estimate)
 
 
 class EntityEntropyTransformer(AggregatingTransformer):

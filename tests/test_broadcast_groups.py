@@ -71,3 +71,27 @@ class TestGroupedBroadcast:
         assert (grouped['count_over_source'].nunique() == 1).all()
         assert (df.groupby('source')['inclusive_cum_count_over_source'].max()
                 == df.groupby('source')['count_over_source'].first()).all()
+
+
+class TestApproxNumUnique:
+    def test_estimate_within_tolerance(self):
+        import ray.data as rd
+        from auto_featurs_ray.engine.runtime import apply_global_two_pass_stage
+        from auto_featurs_ray.transformers.aggregating import ApproxNumUniqueTransformer
+        rng = np.random.default_rng(3)
+        values = rng.integers(0, 20_000, size=60_000)  # ~19k distinct
+        table = pa.table({'v': pa.array(values, pa.int64())})
+        t = ApproxNumUniqueTransformer('v', k=1024)
+        out = apply_global_two_pass_stage(rd.from_arrow(table), [t]).to_pandas()
+        exact = len(np.unique(values))
+        estimate = out['v_approx_num_unique'].iloc[0]
+        assert abs(estimate - exact) / exact < 0.1, (estimate, exact)
+
+    def test_exact_below_k(self):
+        import ray.data as rd
+        from auto_featurs_ray.engine.runtime import apply_global_two_pass_stage
+        from auto_featurs_ray.transformers.aggregating import ApproxNumUniqueTransformer
+        table = pa.table({'v': pa.array(list(range(100)) * 5, pa.int64())})
+        t = ApproxNumUniqueTransformer('v', k=1024)
+        out = apply_global_two_pass_stage(rd.from_arrow(table), [t]).to_pandas()
+        assert out['v_approx_num_unique'].iloc[0] == 100.0
