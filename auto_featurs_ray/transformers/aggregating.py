@@ -190,7 +190,9 @@ class FirstValueTransformer(AggregatingTransformer):
         series = frame.series(self._column.name)
         taken = series.to_numpy(dtype=object)[np.minimum(first_pos, max(n - 1, 0))] if n else np.array([], dtype=object)
         taken[first_pos >= n] = None
-        return pd.Series(taken)
+        # explicit source type: an all-null partition must not infer a null-typed
+        # column (block schemas would diverge across partitions)
+        return pa.Array.from_pandas(pd.Series(taken), type=frame.table.column(self._column.name).type)
 
     def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
         cond = frame.cond_mask(self.filtering_condition)
@@ -204,7 +206,7 @@ class FirstValueTransformer(AggregatingTransformer):
         ok = cand < hi
         taken = series.to_numpy(dtype=object)[np.minimum(cand, max(n - 1, 0))] if n else np.array([], dtype=object)
         taken[~ok] = None
-        return pd.Series(taken)
+        return pa.Array.from_pandas(pd.Series(taken), type=frame.table.column(self._column.name).type)
 
 
 class ModeTransformer(AggregatingTransformer):
@@ -253,7 +255,7 @@ class ModeTransformer(AggregatingTransformer):
             out = np.empty(n, dtype=object)
             for i, g in enumerate(codes):
                 out[i] = winners.get(g)
-            return pd.Series(out)
+            return pa.Array.from_pandas(pd.Series(out), type=frame.table.column(self._column.name).type)
         # cumulative: running mode, ties -> latest value to reach max count (ref :138-145)
         values = series.to_numpy(dtype=object)
         is_na = series.isna().to_numpy()
@@ -282,7 +284,7 @@ class ModeTransformer(AggregatingTransformer):
         result = pd.Series(out, dtype=object)
         if self.cumulative == CumulativeOptions.EXCLUSIVE:
             result = _gshift(result, codes, 1)
-        return result
+        return pa.Array.from_pandas(result, type=frame.table.column(self._column.name).type)
 
 
 class NumUniqueTransformer(AggregatingTransformer):
@@ -925,15 +927,15 @@ class _ArgExtremeTransformer(AggregatingTransformer, ABC):
             first = pd.Series(positions).groupby(codes).transform('min').to_numpy()
             taken = arg.to_numpy(dtype=object)[np.minimum(first, max(n - 1, 0))] if n else np.array([], dtype=object)
             taken[first >= n] = None
-            return pd.Series(taken)
+            return pa.Array.from_pandas(pd.Series(taken), type=frame.table.column(self._arg_column.name).type)
         # cumulative: when(value == running_extreme).then(arg).forward_fill() (ref :453-458)
         value_s = pd.Series(value)
         if self.cumulative == CumulativeOptions.EXCLUSIVE:
             value_s = _gshift(value_s, codes, 1)
             arg = _gshift(arg, codes, 1)
         hit = value_s.to_numpy() == extreme_arr
-        out = arg.where(pd.Series(hit))
-        return out.groupby(codes).ffill()
+        out = arg.where(pd.Series(hit)).groupby(codes).ffill()
+        return pa.Array.from_pandas(out, type=frame.table.column(self._arg_column.name).type)
 
 
 class ArgMinTransformer(_ArgExtremeTransformer):

@@ -99,9 +99,15 @@ class RollingWrapper(AggregatingTransformer):
         for i in range(n):
             key = (lo[i], hi[i])
             if key != cache_key:
+                import pyarrow as pa
                 sub = frame.slice(lo[i], hi[i])
                 values = self._inner_transformer.compute(sub, None)
-                cached = values.iloc[-1] if isinstance(values, pd.Series) else values[-1]
+                if isinstance(values, (pa.Array, pa.ChunkedArray)):
+                    cached = values[-1].as_py()
+                elif isinstance(values, pd.Series):
+                    cached = values.iloc[-1]
+                else:
+                    cached = values[-1]
                 if isinstance(cached, float) and np.isnan(cached):
                     cached = None
                 cache_key = key
