@@ -1,0 +1,185 @@
+"""Token-payload operations for pre-tokenized training sequences.
+
+The engine's input table carries ``tokens: list<int32>`` (BASELINE.json
+``input_hint``); these are the data-pipeline operations that act on that
+payload at 100 TB scale — all vectorized over the Arrow list layout (offsets +
+flat values), no per-row Python in the hot path:
+
+* :func:`token_array_hashes` — 64-bit content hash per row (polynomial over
+  the flat values with per-row position powers, one ``reduceat``), suitable as
+  an exact-dedup / shuffle key.
+* :func:`exact_token_dedup` — drop rows whose token arrays are exact
+  duplicates (min-id representative), one hash exchange.
+* :func:`add_length_buckets` — length-bucket column for bucketed batching.
+* :func:`truncate_tokens` — cap sequences at ``max_tokens`` (offset surgery,
+  values gathered once).
+* :class:`SequencePacker` — greedy batch-local packing of short sequences
+  into fixed-size training contexts (map_batches actor stage).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HASH_BASE = np.uint64(0x100000001b3)
+_HASH_SEED = np.uint64(0xcbf29ce484222325)
+
+
+def _list_layout(column: pa.ChunkedArray):
+    """(flat_values, offsets) of a list<int32> column as NumPy arrays."""
+    combined = column.combine_chunks()
+    if isinstance(combined, pa.ChunkedArray):
+        combined = combined.chunk(0) if combined.num_chunks else pa.array([], pa.list_(pa.int32()))
+    offsets = combined.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = combined.values.to_numpy(zero_copy_only=False)
+    return values, offsets
+
+
+def token_array_hashes(column: pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit hash of each row's token array (vectorized).
+
+    Polynomial hash ``seed + sum(v_i * B^pos_i) mod 2^64`` with the position
+    reset per row, mixed with the row length — computed with one reduceat over
+    the flat values buffer.
+    """
+    values, offsets = _list_layout(column)
+    n = len(offsets) - 1
+    lengths = np.diff(offsets)
+    if len(values) == 0:
+        return (_HASH_SEED + lengths.astype(np.uint64) * _HASH_BASE).astype(np.int64)
+    row_of = np.repeat(np.arange(n), lengths)
+    positions = np.arange(len(values), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    powers = _HASH_BASE ** positions.astype(np.uint64)  # wraps mod 2^64
+    terms = (values.astype(np.uint64) + np.uint64(1)) * powers
+    sums = np.zeros(n, dtype=np.uint64)
+    non_empty = lengths > 0
+    starts = offsets[:-1][non_empty]
+    sums[non_empty] = np.add.reduceat(terms, starts)
+    mixed = (_HASH_SEED + sums) * _HASH_BASE + lengths.astype(np.uint64)
+    return (mixed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def add_token_hash(batch: pa.Table, tokens_column: str = 'tokens',
+                   out_column: str = 'token_hash') -> pa.Table:
+    return batch.append_column(out_column, pa.array(token_array_hashes(batch.column(tokens_column))))
+
+
+def exact_token_dedup(ds, *, tokens_column: str = 'tokens', id_column: str = 'doc_id',
+                      num_partitions: int = 32):
+    """Drop rows with exactly-duplicate token arrays (keep the min-id row)."""
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions, sort_partition
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return add_token_hash(batch, tokens_column, '__tok_hash')
+
+    def keep_first(table: pa.Table, _pid: int) -> pa.Table:
+        table = sort_partition(table, ['__tok_hash', id_column])
+        hashes = table.column('__tok_hash').to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], hashes[1:] != hashes[:-1])) if len(hashes) else np.array([], bool)
+        return table.filter(pa.array(first)).drop_columns(['__tok_hash'])
+
+    hashed = ds.map_batches(add_hash, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(hashed, ['__tok_hash'], num_partitions, keep_first)
+
+
+def add_length_buckets(ds, *, length_column: str = 'n_tok',
+                       boundaries: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048),
+                       out_column: str = 'length_bucket'):
+    """Bucket index per row (``searchsorted`` over ``boundaries``) for
+    length-bucketed training batches."""
+    bounds = np.asarray(sorted(boundaries), dtype=np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        lengths = batch.column(length_column).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        buckets = np.searchsorted(bounds, lengths, side='right').astype(np.int32)
+        return batch.append_column(out_column, pa.array(buckets))
+
+    return ds.map_batches(bucketize, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def truncate_tokens(ds, *, tokens_column: str = 'tokens', length_column: Optional[str] = 'n_tok',
+                    max_tokens: int = 512):
+    """Cap every sequence at ``max_tokens`` (vectorized offset surgery)."""
+
+    def truncate(batch: pa.Table) -> pa.Table:
+        values, offsets = _list_layout(batch.column(tokens_column))
+        lengths = np.diff(offsets)
+        new_lengths = np.minimum(lengths, max_tokens)
+        if (new_lengths == lengths).all():
+            return batch
+        keep = np.zeros(len(values), dtype=bool)
+        row_of = np.repeat(np.arange(len(lengths)), lengths)
+        positions = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
+        keep = positions < max_tokens
+        new_values = values[keep]
+        new_offsets = np.concatenate(([0], np.cumsum(new_lengths))).astype(np.int32)
+        arr = pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()),
+                                       pa.array(new_values, pa.int32()))
+        batch = batch.set_column(batch.column_names.index(tokens_column), tokens_column, arr)
+        if length_column and length_column in batch.column_names:
+            batch = batch.set_column(batch.column_names.index(length_column), length_column,
+                                     pa.array(new_lengths.astype(np.int32), pa.int32()))
+        return batch
+
+    return ds.map_batches(truncate, batch_format='pyarrow', zero_copy_batch=True)
+
+
+class SequencePacker:
+    """Greedy batch-local packing of sequences into fixed training contexts.
+
+    Emits one row per packed context: concatenated ``tokens`` (<=
+    ``context_len``), the member doc ids and the boundary offsets.  Packing is
+    batch-local (first-fit in arrival order) — cross-batch carryover is
+    deliberately avoided so the stage stays stateless and resumable; feed
+    length-bucketed, shuffled batches for high fill rates.  Use as
+    ``ds.map_batches(SequencePacker, fn_constructor_kwargs=..., concurrency=N,
+    batch_format='pyarrow')``.
+    """
+
+    def __init__(self, context_len: int = 2048, tokens_column: str = 'tokens',
+                 id_column: str = 'doc_id') -> None:
+        self.context_len = context_len
+        self.tokens_column = tokens_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, offsets = _list_layout(batch.column(self.tokens_column))
+        lengths = np.diff(offsets)
+        ids = batch.column(self.id_column).to_pylist()
+
+        packs: List[List[int]] = []
+        fill = np.array([], dtype=np.int64)
+        for row, length in enumerate(lengths):
+            length = min(int(length), self.context_len)
+            slot = np.flatnonzero(fill + length <= self.context_len)
+            if len(slot):
+                target = int(slot[0])
+                packs[target].append(row)
+                fill[target] += length
+            else:
+                packs.append([row])
+                fill = np.append(fill, length)
+
+        out_tokens, out_ids, out_bounds, out_fill = [], [], [], []
+        for members in packs:
+            tokens: List[int] = []
+            bounds = [0]
+            for row in members:
+                seq = values[offsets[row]:offsets[row + 1]][:self.context_len]
+                tokens.extend(int(v) for v in seq)
+                bounds.append(len(tokens))
+            out_tokens.append(tokens)
+            out_ids.append([ids[r] for r in members])
+            out_bounds.append(bounds)
+            out_fill.append(len(tokens) / self.context_len)
+
+        return pa.table({
+            'tokens': pa.array(out_tokens, pa.list_(pa.int32())),
+            'member_ids': pa.array(out_ids),
+            'boundaries': pa.array(out_bounds, pa.list_(pa.int32())),
+            'fill_ratio': pa.array(out_fill, pa.float64()),
+        })

@@ -595,6 +595,19 @@ def q_flagship_tokens(sf_dir: str):
                    round_cols=['n_tok_exclusive_cum_mean_over_doc_id', 'quality_forward_filled_over_doc_id'])
 
 
+def q_token_ops(sf_dir: str):
+    """Token-payload ops over the synthesized sequence table (rows-only):
+    exact token-array dedup -> length buckets -> truncation."""
+    from auto_featurs_ray.datapipe.tokens import add_length_buckets, exact_token_dedup, truncate_tokens
+    from auto_featurs_ray.fixtures import write_sequence_dataset
+    root = write_sequence_dataset('/tmp/afr_f6_q', num_shards=2, docs_per_shard=200, seed=42)
+    ds = ray.data.read_parquet(os.path.join(root, 'sequences'))
+    ds = exact_token_dedup(ds, num_partitions=8)
+    ds = add_length_buckets(ds, boundaries=[16, 32, 64, 128])
+    ds = truncate_tokens(ds, max_tokens=64)
+    return _finish(ds, ['doc_id', 'ts', 'n_tok', 'length_bucket'])
+
+
 QUERIES = {
     'arithmetic_lineitem': q_arithmetic_lineitem,
     'seasonal_orders': q_seasonal_orders,
@@ -616,6 +629,7 @@ QUERIES = {
     'fingerprint_documents': q_fingerprint_documents,
     'langid_quality_documents': q_langid_quality_documents,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
+    'token_ops': q_token_ops,
     'flagship_tokens': q_flagship_tokens,
 }
 
