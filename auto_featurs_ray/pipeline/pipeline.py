@@ -164,6 +164,9 @@ class Pipeline:
                    time_windows: Sequence = (), index_column_name: Optional[str] = None,
                    cumulative: CumulativeOptions = CumulativeOptions.NONE,
                    filtering_condition: Optional[Expr] = None, auxiliary: bool = False) -> 'Pipeline':
+        """Row counts: plain, filtered, expanding (EXCLUSIVE/INCLUSIVE), per
+        group (``over_columns_combinations``; an empty combo adds the
+        ungrouped variant) and over trailing time windows."""
         transformers = self._build_aggregated_transformers(
             transformer_factory=CountTransformer,
             over_columns_combinations=over_columns_combinations,
@@ -174,6 +177,8 @@ class Pipeline:
     def with_lagged(self, subset: ColumnSelection, lags: Sequence[int],
                     over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
                     fill_value: Any = None, auxiliary: bool = False) -> 'Pipeline':
+        """Lag (positive) / lead (negative) features per ordered group — the
+        point-in-time building block; order comes from Dataset.order_by."""
         transformers = self._build_aggregated_transformers(
             subset, transformer_factory=LaggedTransformer,
             over_columns_combinations=over_columns_combinations,
@@ -239,7 +244,7 @@ class Pipeline:
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
     def with_arithmetic_aggregation(self, subset: ColumnSelection,
-                                    aggregations: Sequence[ArithmeticAggregations],
+                                    aggregations: Sequence[ArithmeticAggregations],  # min/max/sum/quantile/median/mean/std/zscore
                                     over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
                                     time_windows: Sequence = (), index_column_name: Optional[str] = None,
                                     cumulative: CumulativeOptions = CumulativeOptions.NONE,
@@ -324,6 +329,8 @@ class Pipeline:
         )
 
     def collect_plan(self, cache_computation: bool = False) -> Dataset:
+        """Plan every layer into Ray Data stages (see engine/runtime.apply_layer)
+        and return the lazily-transformed Dataset; auxiliary columns dropped."""
         current_layer_schema = self._get_schema_from_transformers(self._current_layer())
         dataset = self._dataset.with_schema(new_schema=current_layer_schema)
         data = dataset.data
