@@ -595,6 +595,26 @@ def q_flagship_tokens(sf_dir: str):
                    round_cols=['n_tok_exclusive_cum_mean_over_doc_id', 'quality_forward_filled_over_doc_id'])
 
 
+def q_hash_join_orders_customer(sf_dir: str):
+    """Partitioned hash join (both sides large): orders left-joined to customer."""
+    from auto_featurs_ray.engine.join import hash_join
+    orders = ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                   columns=['o_orderkey', 'o_custkey', 'o_totalprice'])
+    customer = ray.data.read_parquet(os.path.join(sf_dir, 'customer.parquet'),
+                                     columns=['c_custkey', 'c_mktsegment', 'c_acctbal'])
+    joined = hash_join(orders, customer, on=['o_custkey'], right_on=['c_custkey'],
+                       how='left', num_partitions=NUM_PARTITIONS)
+    return _finish(joined, ['o_orderkey', 'o_custkey', 'o_totalprice', 'c_mktsegment', 'c_acctbal'],
+                   round_cols=['o_totalprice', 'c_acctbal'])
+
+
+SQL_HASH_JOIN_ORDERS_CUSTOMER = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 6) AS o_totalprice,
+       c.c_mktsegment, round(c.c_acctbal, 6) AS c_acctbal
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_token_ops(sf_dir: str):
     """Token-payload ops over the synthesized sequence table (rows-only):
     exact token-array dedup -> length buckets -> truncation."""
@@ -624,6 +644,7 @@ QUERIES = {
     'knn_embeddings': q_knn_embeddings,
     'feature_selection_lineitem': q_feature_selection_lineitem,
     'entropy_pmi_events': q_entropy_pmi_events,
+    'hash_join_orders_customer': q_hash_join_orders_customer,
     'lead_distinct_events': q_lead_distinct_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'fingerprint_documents': q_fingerprint_documents,
@@ -649,5 +670,6 @@ ORACLE_SQL = {
     'knn_embeddings': SQL_KNN_EMBEDDINGS,
     'feature_selection_lineitem': SQL_FEATURE_SELECTION_LINEITEM,
     'entropy_pmi_events': SQL_ENTROPY_PMI_EVENTS,
+    'hash_join_orders_customer': SQL_HASH_JOIN_ORDERS_CUSTOMER,
     'lead_distinct_events': SQL_LEAD_DISTINCT_EVENTS,
 }

@@ -177,3 +177,24 @@ class TestResumableWrite:
             assert {'partition_id', 'rows', 'bytes', 'sha256', 'wall_time_s'} <= set(r)
             manifest = json.load(open(os.path.join(out, '_manifest', f"part-{r['partition_id']:05d}.json")))
             assert manifest['sha256'] == r['sha256']
+
+
+class TestHashJoin:
+    def test_inner_and_left(self):
+        from auto_featurs_ray.engine.join import hash_join
+        left = pa.table({'k': [1, 2, 2, 3, 5], 'a': ['x', 'y', 'z', 'w', 'v']})
+        right = pa.table({'kk': [1, 2, 4], 'b': [10.0, 20.0, 40.0], 'a': ['r1', 'r2', 'r4']})
+        inner = (hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'], right_on=['kk'],
+                           num_partitions=3).to_pandas().sort_values(['k', 'a']).reset_index(drop=True))
+        assert inner['k'].tolist() == [1, 2, 2]
+        assert inner['b'].tolist() == [10.0, 20.0, 20.0]
+        assert inner['a_right'].tolist() == ['r1', 'r2', 'r2']
+        louter = (hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'], right_on=['kk'],
+                            how='left', num_partitions=3).to_pandas())
+        assert len(louter) == 5
+        assert louter['b'].isna().sum() == 2
+
+    def test_invalid_how(self):
+        from auto_featurs_ray.engine.join import hash_join
+        with pytest.raises(ValueError):
+            hash_join(None, None, on=['k'], how='full')
