@@ -69,6 +69,12 @@ def _to_arrow_column(values) -> pa.Array:
     values = np.asarray(values)
     if values.dtype == object:
         return pa.Array.from_pandas(pd.Series(values))
+    if values.dtype.kind == 'f':
+        # NaN -> null at the Arrow boundary: kernels use NaN as the in-flight
+        # missing marker, but the engine's output encoding is Arrow null
+        # (DuckDB / reference-Polars NULL parity — e.g. seconds-since-last at
+        # each group's first row).  pa.array(from_pandas=True) maps NaN->null.
+        return pa.array(values, from_pandas=True)
     return pa.array(values)
 
 
