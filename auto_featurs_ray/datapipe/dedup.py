@@ -21,6 +21,7 @@ duplicate cluster is its minimum id.
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -28,38 +29,59 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = (1 << 61) - 1
+# second siphash key for the independent content hash (collision guard):
+# 128 combined bits make a false merge statistically impossible even at
+# 10^12 rows (~2^80 candidate pairs vs 2^-128 per-pair collision odds)
+_HASH_KEY_2 = 'afr2-dedup-k7q9x1'[:16]
 
 
-def _content_hash_batch(texts: List, normalize: bool = True) -> np.ndarray:
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        s = ' '.join((t or '').split()) if normalize else (t or '')
-        digest = hashlib.sha1(s.encode('utf-8')).digest()[:8]
-        out[i] = np.frombuffer(digest, dtype=np.int64)[0]
-    return out
+def _content_hash_batch(texts, normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized 64-bit content hashes per row.
+
+    Uses pandas' siphash (C-vectorized, deterministic across processes) with
+    two fixed keys; whitespace normalization collapses any run of whitespace
+    to one space, matching ``' '.join(s.split())``.
+    """
+    s = pd.Series(texts, dtype=object).fillna('')
+    if normalize:
+        s = s.str.replace(r'\s+', ' ', regex=True).str.strip()
+    h1 = pd.util.hash_pandas_object(s, index=False).to_numpy().view(np.int64)
+    h2 = pd.util.hash_pandas_object(s, index=False, hash_key=_HASH_KEY_2).to_numpy().view(np.int64)
+    return h1, h2
 
 
 def exact_dedup(ds, *, text_column: str, id_column: str, normalize: bool = True,
                 num_partitions: int = 32):
     """Keep the min-``id_column`` row per exact (whitespace-normalized) content.
 
-    One hash exchange keyed on the 64-bit content hash; inside each partition
-    a vectorized sort + drop-duplicates keeps the first row per hash.
+    One hash exchange keyed on a 64-bit content hash; a second independent
+    64-bit hash rides along so rows are only dropped on 128-bit agreement
+    (single-hash equality would silently delete non-duplicates at scale).
+    Inside each partition a vectorized sort + run-boundary diff keeps the
+    first row per (h1, h2).
     """
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = _content_hash_batch(batch.column(text_column).to_pylist(), normalize)
-        return batch.append_column('__content_hash', pa.array(hashes))
+        h1, h2 = _content_hash_batch(batch.column(text_column).to_pandas(), normalize)
+        return (batch.append_column('__content_hash', pa.array(h1))
+                .append_column('__content_hash2', pa.array(h2)))
 
     def keep_first(table: pa.Table, _pid: int) -> pa.Table:
         idx = pc.sort_indices(table, sort_keys=[('__content_hash', 'ascending'),
+                                                ('__content_hash2', 'ascending'),
                                                 (id_column, 'ascending')])
         table = table.take(idx)
-        hashes = table.column('__content_hash').to_numpy(zero_copy_only=False)
-        first = np.concatenate(([True], hashes[1:] != hashes[:-1])) if len(hashes) else np.array([], bool)
-        return table.filter(pa.array(first)).drop_columns(['__content_hash'])
+        h1 = table.column('__content_hash').to_numpy(zero_copy_only=False)
+        h2 = table.column('__content_hash2').to_numpy(zero_copy_only=False)
+        if len(h1):
+            first = np.concatenate(([True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])))
+        else:
+            first = np.array([], bool)
+        return table.filter(pa.array(first)).drop_columns(['__content_hash', '__content_hash2'])
 
     hashed = ds.map_batches(add_hash, batch_format='pyarrow', zero_copy_batch=True)
     return shuffle_map_partitions(hashed, ['__content_hash'], num_partitions, keep_first)
@@ -81,7 +103,9 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 class MinHasher:
-    """Per-batch minhash signatures: ``a*h + b mod p`` universal hashing."""
+    """Minhash signatures: ``a*h + b mod p`` universal hashing, computed for a
+    whole batch of documents in one vectorized pass (shingle hashes of every
+    document share one flat buffer; per-permutation min is one ``reduceat``)."""
 
     def __init__(self, text_column: str, num_perm: int = 64, shingle_size: int = 5, seed: int = 7) -> None:
         rng = np.random.default_rng(seed)
@@ -92,16 +116,44 @@ class MinHasher:
         self.shingle_size = shingle_size
 
     def signature(self, text: str) -> np.ndarray:
-        shingles = _shingle_hashes(text, self.shingle_size)
-        if len(shingles) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) universal hashes, min over shingles
-        products = (shingles[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return products.min(axis=1)
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: Sequence[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix, vectorized across docs."""
+        k = self.shingle_size
+        chunks, gram_counts = [], np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            normalized = ' '.join((t or '').split()).lower()
+            data = np.frombuffer(normalized.encode('utf-8'), dtype=np.uint8)
+            if len(data) < k:
+                data = np.pad(data, (0, k - len(data)), constant_values=0)
+            chunks.append(data)
+            gram_counts[i] = len(data) - k + 1
+        if not chunks:
+            return np.zeros((0, self.num_perm), dtype=np.uint64)
+        flat = np.concatenate(chunks).astype(np.uint64)
+        doc_ends = np.cumsum([len(c) for c in chunks])
+        doc_starts = doc_ends - np.asarray([len(c) for c in chunks])
+        # polynomial k-gram hash over the concatenated buffer (wraps mod 2^64),
+        # identical to _shingle_hashes; windows crossing doc boundaries are
+        # excluded by gathering only each doc's in-range gram positions
+        powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        grams_all = np.zeros(len(flat) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            grams_all += flat[j:len(flat) - k + 1 + j] * powers[j]
+        valid = np.concatenate([np.arange(s, s + c) for s, c in zip(doc_starts, gram_counts)])
+        grams = grams_all[valid]
+        starts = np.concatenate(([0], np.cumsum(gram_counts)[:-1]))
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):
+            prods = (grams * self.a[p] + self.b[p]) % np.uint64(_MERSENNE)
+            sigs[:, p] = np.minimum.reduceat(prods, starts)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack([self.signature(t) for t in batch.column(self.text_column).to_pylist()])
-        return batch.append_column('__minhash', pa.array(list(sigs.astype(np.int64)), pa.list_(pa.int64())))
+        sigs = self.signatures(batch.column(self.text_column).to_pylist())
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm)
+        return batch.append_column('__minhash', arr)
 
 
 def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: int = 64,
@@ -115,58 +167,73 @@ def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: in
     """
     rows_per_band = num_perm // num_bands
     hasher = MinHasher(text_column, num_perm, shingle_size)
+    # per-position weights for the vectorized band hash: any deterministic
+    # hash of the band's signature chunk preserves its equality classes
+    band_weights = np.full(rows_per_band, 0x100000001b3, dtype=np.uint64) \
+        ** np.arange(rows_per_band, dtype=np.uint64)
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_column).to_pylist()
-        ids = batch.column(id_column).to_pylist()
-        band_ids, band_hashes, out_ids, sig_list = [], [], [], []
-        for text, doc in zip(texts, ids):
-            sig = hasher.signature(text)
-            for band in range(num_bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                digest = hashlib.sha1(chunk.tobytes()).digest()[:8]
-                band_ids.append(band)
-                band_hashes.append(int(np.frombuffer(digest, dtype=np.int64)[0]))
-                out_ids.append(doc)
-                sig_list.append(sig.astype(np.int64))
+        n = batch.num_rows
+        sigs = hasher.signatures(batch.column(text_column).to_pylist())
+        band_hashes = np.empty((num_bands, n), dtype=np.uint64)
+        for band in range(num_bands):
+            chunk = sigs[:, band * rows_per_band:(band + 1) * rows_per_band]
+            band_hashes[band] = (chunk * band_weights[None, :]).sum(axis=1, dtype=np.uint64) \
+                * np.uint64(0x9E3779B97F4A7C15) + np.uint64(band)
+        tile_idx = pa.array(np.tile(np.arange(n), num_bands))
+        sig_flat = np.tile(sigs.reshape(-1).view(np.int64), num_bands)
         return pa.table({
-            'band': pa.array(band_ids, pa.int32()),
-            'band_hash': pa.array(band_hashes, pa.int64()),
-            'doc': pa.array(out_ids),
-            'sig': pa.array(sig_list, pa.list_(pa.int64())),
+            'band': pa.array(np.repeat(np.arange(num_bands, dtype=np.int32), n)),
+            'band_hash': pa.array(band_hashes.reshape(-1).view(np.int64)),
+            'doc': batch.column(id_column).take(tile_idx),
+            'sig': pa.FixedSizeListArray.from_arrays(pa.array(sig_flat), num_perm),
         })
 
     def partition_pairs(table: pa.Table, _pid: int) -> pa.Table:
-        df = pd.DataFrame({'band': table.column('band').to_pandas(),
-                           'bh': table.column('band_hash').to_pandas()})
-        codes = df.groupby(['band', 'bh'], sort=False).ngroup().to_numpy()
-        docs = np.asarray(table.column('doc').to_pylist())
-        sigs = np.stack(table.column('sig').to_pylist()).astype(np.uint64)
+        bands = table.column('band').to_numpy(zero_copy_only=False)
+        bh = table.column('band_hash').to_numpy(zero_copy_only=False)
+        docs = table.column('doc').to_numpy(zero_copy_only=False)
+        sig_col = table.column('sig').combine_chunks()
+        sigs = np.asarray(sig_col.values).reshape(-1, num_perm)
+        order = np.lexsort((bh, bands))
+        sb, sh = bands[order], bh[order]
+        boundaries = np.concatenate(([0], np.flatnonzero((np.diff(sb) != 0) | (np.diff(sh) != 0)) + 1,
+                                     [len(order)]))
         lefts, rights, sims = [], [], []
-        order = np.argsort(codes, kind='stable')
-        boundaries = np.concatenate(([0], np.flatnonzero(np.diff(codes[order])) + 1, [len(codes)]))
+        skipped = 0
         for s, e in zip(boundaries[:-1], boundaries[1:]):
             rows = order[s:e]
             n = len(rows)
-            if n < 2 or n > max_bucket:
+            if n < 2:
                 continue
-            for ii in range(n):
-                for jj in range(ii + 1, n):
-                    di, dj = docs[rows[ii]], docs[rows[jj]]
-                    if di == dj:
-                        continue
-                    est = float((sigs[rows[ii]] == sigs[rows[jj]]).mean())
-                    if est >= jaccard_threshold:
-                        a, b = sorted((di, dj))
-                        lefts.append(a)
-                        rights.append(b)
-                        sims.append(est)
-        return pa.table({'left': pa.array(lefts, pa.int64()), 'right': pa.array(rights, pa.int64()),
-                         'sim': pa.array(sims, pa.float64())})
+            if n > max_bucket:
+                skipped += 1
+                continue
+            bucket_sigs = sigs[rows]
+            bucket_docs = docs[rows]
+            # pairwise signature-agreement fraction, fully vectorized
+            agree = (bucket_sigs[:, None, :] == bucket_sigs[None, :, :]).mean(axis=2)
+            ii, jj = np.triu_indices(n, 1)
+            keep = (agree[ii, jj] >= jaccard_threshold) & (bucket_docs[ii] != bucket_docs[jj])
+            di, dj = bucket_docs[ii[keep]], bucket_docs[jj[keep]]
+            lefts.append(np.minimum(di, dj))
+            rights.append(np.maximum(di, dj))
+            sims.append(agree[ii[keep], jj[keep]])
+        if skipped:
+            # silent truncation would read as full coverage — surface it
+            logger.warning('minhash-LSH partition %d: skipped %d buckets larger than '
+                           'max_bucket=%d (likely boilerplate shingles); raise max_bucket '
+                           'or pre-filter templates to cover them', _pid, skipped, max_bucket)
+        if not lefts:
+            return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
+                             'sim': pa.array([], pa.float64())})
+        return pa.table({'left': pa.array(np.concatenate(lefts).astype(np.int64)),
+                         'right': pa.array(np.concatenate(rights).astype(np.int64)),
+                         'sim': pa.array(np.concatenate(sims).astype(np.float64))})
 
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
     exploded = ds.map_batches(explode, batch_format='pyarrow')
-    pairs = (shuffle_map_partitions(exploded, ['band', 'band_hash'], 16, partition_pairs)
+    pairs = (shuffle_map_partitions(exploded, ['band_hash'], 16, partition_pairs)
              .to_pandas().drop_duplicates(['left', 'right']))
     return _connected_components(pairs)
 
@@ -190,14 +257,24 @@ def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_dedup(ds, *, text_column: str, id_column: str, **kwargs):
-    """Drop all non-representative members of near-duplicate clusters."""
+    """Drop all non-representative members of near-duplicate clusters.
+
+    The drop-id set is broadcast once via ``ray.put`` (not pickled into every
+    task closure) and the membership test is a vectorized ``pc.is_in`` — no
+    per-row Python, no driver-sized state shipped per batch.
+    """
+    import ray
+
     clusters = minhash_lsh_duplicates(ds, text_column=text_column, id_column=id_column, **kwargs)
-    drop = set(clusters.loc[clusters['id'] != clusters['cluster_id'], 'id'])
+    drop = clusters.loc[clusters['id'] != clusters['cluster_id'], 'id'].to_numpy()
+    drop_ref = ray.put(pa.array(drop))
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_pylist()
-        mask = pa.array([i not in drop for i in ids])
-        return batch.filter(mask)
+        drop_arr = ray.get(drop_ref)
+        ids = batch.column(id_column)
+        if drop_arr.type != ids.type:
+            drop_arr = drop_arr.cast(ids.type)
+        return batch.filter(pc.invert(pc.is_in(ids, value_set=drop_arr)))
 
     return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
 
@@ -278,12 +355,12 @@ def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_si
     if candidates.empty:
         return pd.DataFrame({'left': [], 'right': [], 'jaccard': []})
     # fetch texts of candidate docs (small set) and verify exactly
-    wanted = set(candidates['id'])
+    wanted = pa.array(candidates['id'].to_numpy())
 
     def project(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_pylist()
-        mask = pa.array([i in wanted for i in ids])
-        sub = batch.filter(mask)
+        ids = batch.column(id_column)
+        value_set = wanted if wanted.type == ids.type else wanted.cast(ids.type)
+        sub = batch.filter(pc.is_in(ids, value_set=value_set))
         return sub.select([id_column, text_column])
 
     texts = {r[id_column]: r[text_column] for r in ds.map_batches(project, batch_format='pyarrow').take_all()}
