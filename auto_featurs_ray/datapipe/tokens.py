@@ -27,6 +27,11 @@ import pyarrow.compute as pc
 
 _HASH_BASE = np.uint64(0x100000001b3)
 _HASH_SEED = np.uint64(0xcbf29ce484222325)
+# independent second polynomial (different base+seed): dedup drops only on
+# 126-bit agreement — a single 63-bit hash would collide (and silently delete
+# non-duplicate sequences) at multi-billion-row scale
+_HASH_BASE_2 = np.uint64(0x00000100000001B5)
+_HASH_SEED_2 = np.uint64(0x84222325cbf29ce4)
 
 
 def _list_layout(column: pa.ChunkedArray):
@@ -39,7 +44,8 @@ def _list_layout(column: pa.ChunkedArray):
     return values, offsets
 
 
-def token_array_hashes(column: pa.ChunkedArray) -> np.ndarray:
+def token_array_hashes(column: pa.ChunkedArray, *, base: np.uint64 = _HASH_BASE,
+                       seed: np.uint64 = _HASH_SEED) -> np.ndarray:
     """Deterministic 64-bit hash of each row's token array (vectorized).
 
     Polynomial hash ``seed + sum(v_i * B^pos_i) mod 2^64`` with the position
@@ -50,16 +56,15 @@ def token_array_hashes(column: pa.ChunkedArray) -> np.ndarray:
     n = len(offsets) - 1
     lengths = np.diff(offsets)
     if len(values) == 0:
-        return (_HASH_SEED + lengths.astype(np.uint64) * _HASH_BASE).astype(np.int64)
-    row_of = np.repeat(np.arange(n), lengths)
+        return (seed + lengths.astype(np.uint64) * base).astype(np.int64)
     positions = np.arange(len(values), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
-    powers = _HASH_BASE ** positions.astype(np.uint64)  # wraps mod 2^64
+    powers = base ** positions.astype(np.uint64)  # wraps mod 2^64
     terms = (values.astype(np.uint64) + np.uint64(1)) * powers
     sums = np.zeros(n, dtype=np.uint64)
     non_empty = lengths > 0
     starts = offsets[:-1][non_empty]
     sums[non_empty] = np.add.reduceat(terms, starts)
-    mixed = (_HASH_SEED + sums) * _HASH_BASE + lengths.astype(np.uint64)
+    mixed = (seed + sums) * base + lengths.astype(np.uint64)
     return (mixed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
@@ -70,17 +75,30 @@ def add_token_hash(batch: pa.Table, tokens_column: str = 'tokens',
 
 def exact_token_dedup(ds, *, tokens_column: str = 'tokens', id_column: str = 'doc_id',
                       num_partitions: int = 32):
-    """Drop rows with exactly-duplicate token arrays (keep the min-id row)."""
+    """Drop rows with exactly-duplicate token arrays (keep the min-id row).
+
+    Rows are dropped only when TWO independent 63-bit polynomial hashes agree
+    (~126 collision bits): hash-only equality on one 63-bit key is
+    statistically expected to collide at multi-billion-row scale and would
+    silently delete non-duplicate sequences.
+    """
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions, sort_partition
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return add_token_hash(batch, tokens_column, '__tok_hash')
+        col = batch.column(tokens_column)
+        batch = batch.append_column('__tok_hash', pa.array(token_array_hashes(col)))
+        return batch.append_column('__tok_hash2', pa.array(
+            token_array_hashes(col, base=_HASH_BASE_2, seed=_HASH_SEED_2)))
 
     def keep_first(table: pa.Table, _pid: int) -> pa.Table:
-        table = sort_partition(table, ['__tok_hash', id_column])
-        hashes = table.column('__tok_hash').to_numpy(zero_copy_only=False)
-        first = np.concatenate(([True], hashes[1:] != hashes[:-1])) if len(hashes) else np.array([], bool)
-        return table.filter(pa.array(first)).drop_columns(['__tok_hash'])
+        table = sort_partition(table, ['__tok_hash', '__tok_hash2', id_column])
+        h1 = table.column('__tok_hash').to_numpy(zero_copy_only=False)
+        h2 = table.column('__tok_hash2').to_numpy(zero_copy_only=False)
+        if len(h1):
+            first = np.concatenate(([True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])))
+        else:
+            first = np.array([], bool)
+        return table.filter(pa.array(first)).drop_columns(['__tok_hash', '__tok_hash2'])
 
     hashed = ds.map_batches(add_hash, batch_format='pyarrow', zero_copy_batch=True)
     return shuffle_map_partitions(hashed, ['__tok_hash'], num_partitions, keep_first)

@@ -17,7 +17,7 @@ from typing import Optional, Sequence
 
 import pyarrow as pa
 
-from auto_featurs_ray.engine.runtime import cogroup_map_partitions
+from auto_featurs_ray.engine.runtime import _canonical_key_array, cogroup_map_partitions
 
 
 def hash_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str]] = None,
@@ -33,13 +33,24 @@ def hash_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str
     right_on = list(right_on or on)
     join_type = 'inner' if how == 'inner' else 'left outer'
 
-    if right_on != on:
-        rename = dict(zip(right_on, on))
+    rename = dict(zip(right_on, on))
 
-        def align(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns([rename.get(c, c) for c in batch.column_names])
+    def align(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns([rename.get(c, c) for c in batch.column_names])
+        return _canonicalize_keys(batch)
 
-        right = right.map_batches(align, batch_format='pyarrow', zero_copy_batch=True)
+    def _canonicalize_keys(batch: pa.Table) -> pa.Table:
+        # equal keys must share one physical type on both sides: the hash
+        # partitioner is representation-sensitive and Arrow's join requires
+        # matching key types (int32 vs int64 would silently drop matches)
+        for key in on:
+            canonical = _canonical_key_array(batch.column(key))
+            if canonical.type != batch.column(key).type:
+                batch = batch.set_column(batch.column_names.index(key), key, canonical)
+        return batch
+
+    left = left.map_batches(_canonicalize_keys, batch_format='pyarrow', zero_copy_batch=True)
+    right = right.map_batches(align, batch_format='pyarrow', zero_copy_batch=True)
 
     def join_partition(left_t: pa.Table, right_t: pa.Table, _pid: int) -> pa.Table:
         return left_t.join(right_t, keys=on, join_type=join_type,

@@ -78,13 +78,33 @@ def _to_arrow_column(values) -> pa.Array:
     return pa.array(values)
 
 
+def _canonical_key_array(column: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Cast a join/shuffle key to its canonical physical type.
+
+    pandas' siphash is representation-sensitive: int32(-5) != int64(-5) and
+    int(7) != float(7.0), so equal keys arriving with different physical types
+    on two sides of an exchange would land in different partitions (silently
+    missing join matches).  Normalize: any integer -> int64, any float ->
+    float64, dictionary -> decoded values.
+    """
+    t = column.type
+    if pa.types.is_dictionary(t):
+        column = column.cast(t.value_type)
+        t = column.type
+    if pa.types.is_integer(t) and t != pa.int64():
+        return column.cast(pa.int64())
+    if pa.types.is_floating(t) and t != pa.float64():
+        return column.cast(pa.float64())
+    return column
+
+
 def hash_partition_codes(table: pa.Table, key_columns: Sequence[str], num_partitions: int) -> np.ndarray:
     """Deterministic hash of the key columns -> [0, num_partitions)."""
     acc = np.zeros(table.num_rows, dtype=np.uint64)
     for name in key_columns:
         # siphash with pandas' fixed default key: deterministic across batches,
         # processes and nodes — safe as a shuffle key.
-        series = table.column(name).to_pandas()
+        series = _canonical_key_array(table.column(name)).to_pandas()
         hashed = pd.util.hash_pandas_object(series, index=False).to_numpy()
         acc = acc * np.uint64(1000003) + hashed.astype(np.uint64)
     return (acc % np.uint64(num_partitions)).astype(np.int64)

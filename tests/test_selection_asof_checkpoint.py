@@ -198,3 +198,14 @@ class TestHashJoin:
         from auto_featurs_ray.engine.join import hash_join
         with pytest.raises(ValueError):
             hash_join(None, None, on=['k'], how='full')
+
+    def test_mismatched_key_widths_still_match(self):
+        # int32 vs int64 keys (incl. negatives, whose two's-complement views
+        # hash differently) must land in the same partition and join
+        from auto_featurs_ray.engine.join import hash_join
+        left = pa.table({'k': pa.array([-5, -5, 7, 9], pa.int32()), 'a': ['p', 'q', 'r', 's']})
+        right = pa.table({'k': pa.array([-5, 7], pa.int64()), 'b': [1.0, 2.0]})
+        out = (hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'],
+                         num_partitions=4).to_pandas().sort_values(['k', 'a']))
+        assert out['k'].tolist() == [-5, -5, 7]
+        assert out['b'].tolist() == [1.0, 1.0, 2.0]
