@@ -31,7 +31,7 @@ from auto_featurs_ray.transformers.aggregating import ArithmeticAggregations, Sc
 from auto_featurs_ray.transformers.base import CumulativeOptions
 from auto_featurs_ray.transformers.comparison import Comparisons
 from auto_featurs_ray.transformers.datetime import SeasonalOperation
-from auto_featurs_ray.transformers.numeric import ArithmeticOperation
+from auto_featurs_ray.transformers.numeric import ArithmeticOperation, Goniometric
 from auto_featurs_ray.transformers.temporal import FillStrategy
 
 ORDER_EVENTS = ['ts', 'event_id']
@@ -41,7 +41,14 @@ NUM_PARTITIONS = 32
 def _round_columns(table: pa.Table, columns: Sequence[str], digits: int = 6) -> pa.Table:
     for name in columns:
         if name in table.column_names:
-            rounded = pc.round(pc.cast(table.column(name), pa.float64()), ndigits=digits)
+            col = pc.cast(table.column(name), pa.float64())
+            # np.round (scale-rint-divide) produces the same result double as
+            # DuckDB's round(); pc.round can return a double 1 ulp away (e.g.
+            # interpolated quantiles landing on x.xxx25), which breaks the
+            # driver's bit-exact value hash
+            values = np.round(col.to_numpy(zero_copy_only=False), digits)
+            mask = np.asarray(pc.is_null(col).combine_chunks())
+            rounded = pa.array(values, mask=mask)
             table = table.set_column(table.column_names.index(name), name, rounded)
     return table
 
@@ -530,6 +537,427 @@ FROM events e JOIN uniq USING (user_id)
 
 
 # ---------------------------------------------------------------------------
+# 16. mode / argmin / argmax / filtered first-value (round-2 coverage)
+# ---------------------------------------------------------------------------
+
+def q_mode_argminmax_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_mode('event_type', over_columns_combinations=[['user_id']])
+         .with_argmin('value', 'ts', over_columns_combinations=[['user_id']])
+         .with_argmax('value', 'ts', over_columns_combinations=[['user_id']])
+         .with_first_value('value', over_columns_combinations=[['user_id']],
+                           filtering_condition=(col('event_type') == 'click')))
+    keep = ['event_id', 'event_type_mode_over_user_id',
+            'argmin_of_value_by_ts_over_user_id', 'argmax_of_value_by_ts_over_user_id',
+            'value_first_value_where_event_type_over_user_id']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['value_first_value_where_event_type_over_user_id'])
+
+
+SQL_MODE_ARGMINMAX_EVENTS = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), mode_w AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY c DESC, event_type DESC) AS rn
+  FROM counts
+), ranked AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         MIN(value) OVER (PARTITION BY user_id) AS mn,
+         MAX(value) OVER (PARTITION BY user_id) AS mx,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), amin AS (
+  SELECT user_id, min_by(ts, rn) AS t FROM ranked WHERE value = mn GROUP BY user_id
+), amax AS (
+  SELECT user_id, min_by(ts, rn) AS t FROM ranked WHERE value = mx GROUP BY user_id
+), firstclick AS (
+  SELECT user_id, min_by(value, rn) AS v FROM ranked WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT e.event_id,
+       m.event_type AS event_type_mode_over_user_id,
+       amin.t AS argmin_of_value_by_ts_over_user_id,
+       amax.t AS argmax_of_value_by_ts_over_user_id,
+       round(firstclick.v, 6) AS value_first_value_where_event_type_over_user_id
+FROM events e
+JOIN (SELECT user_id, event_type FROM mode_w WHERE rn = 1) m USING (user_id)
+LEFT JOIN amin USING (user_id)
+LEFT JOIN amax USING (user_id)
+LEFT JOIN firstclick USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. quantile / median / zscore / minmax scaling (global + grouped)
+# ---------------------------------------------------------------------------
+
+def q_quantile_scaling_lineitem(sf_dir: str):
+    p = (Pipeline(_lineitem_dataset(sf_dir))
+         .with_arithmetic_aggregation('l_quantity', aggregations=[ArithmeticAggregations.QUANTILE],
+                                      quantiles=[0.25])
+         .with_arithmetic_aggregation('l_quantity',
+                                      aggregations=[ArithmeticAggregations.MEDIAN,
+                                                    ArithmeticAggregations.ZSCORE])
+         .with_scaling('l_quantity', scalings=[Scaling.MIN_MAX])
+         .with_arithmetic_aggregation('l_extendedprice',
+                                      aggregations=[ArithmeticAggregations.QUANTILE],
+                                      over_columns_combinations=[['l_orderkey']],
+                                      quantiles=[0.75]))
+    keep = ['l_orderkey', 'l_linenumber', 'l_quantity_quantile_25', 'l_quantity_median',
+            'l_quantity_z_score', 'l_quantity_minmax_scaled',
+            'l_extendedprice_quantile_75_over_l_orderkey']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['l_quantity_quantile_25', 'l_quantity_median', 'l_quantity_z_score',
+                               'l_quantity_minmax_scaled', 'l_extendedprice_quantile_75_over_l_orderkey'])
+
+
+SQL_QUANTILE_SCALING_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(quantile_cont(l_quantity, 0.25) OVER (), 6) AS l_quantity_quantile_25,
+       round(quantile_cont(l_quantity, 0.5) OVER (), 6) AS l_quantity_median,
+       round((l_quantity - AVG(l_quantity) OVER ()) / STDDEV_SAMP(l_quantity) OVER (), 6)
+           AS l_quantity_z_score,
+       round((l_quantity - MIN(l_quantity) OVER ()) /
+             (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) AS l_quantity_minmax_scaled,
+       round(quantile_cont(l_extendedprice, 0.75) OVER (PARTITION BY l_orderkey), 6)
+           AS l_extendedprice_quantile_75_over_l_orderkey
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. row-local comparisons / time-diff / goniometric / angular seasonal
+# ---------------------------------------------------------------------------
+
+def q_row_locals_events(sf_dir: str):
+    base = _events_dataset(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        shift_us = pc.cast(pc.trunc(pc.multiply(pc.cast(batch.column('value'), pa.float64()),
+                                                3_600_000_000.0)), pa.int64())
+        ts2 = pc.add(batch.column('ts'), pc.cast(shift_us, pa.duration('us')))
+        half = pa.array(np.full(batch.num_rows, 50.0))
+        return batch.append_column('ts_shifted', ts2).append_column('half', half)
+
+    ds = Dataset(base.data.map_batches(derive, batch_format='pyarrow', zero_copy_batch=True),
+                 base.schema + Schema([CS.datetime(name='ts_shifted'), CS.numeric(name='half')]),
+                 order_by=ORDER_EVENTS, num_partitions=NUM_PARTITIONS)
+    p = (Pipeline(ds)
+         .with_time_diff(['ts_shifted'], ['ts'], unit='s')
+         .with_time_diff(['ts_shifted'], ['ts'], unit='h')
+         .with_time_diff(['ts_shifted'], ['ts'], unit='d')
+         .with_comparison(['value'], ['half'], comparisons=[Comparisons.EQUAL,
+                                                            Comparisons.GREATER_THAN,
+                                                            Comparisons.GREATER_OR_EQUAL])
+         .with_goniometric('value', functions=[Goniometric.SIN, Goniometric.COS])
+         .with_seasonal('ts', operations=[SeasonalOperation.HOUR_OF_DAY], periodic=True))
+    keep = ['event_id', 'ts_shifted_total_seconds_diff_ts', 'ts_shifted_total_hours_diff_ts',
+            'ts_shifted_total_days_diff_ts', 'value_equal_half', 'value_greater_than_half',
+            'value_greater_or_equal_half', 'value_sin', 'value_cos',
+            'ts_hour_of_day_angular_sin', 'ts_hour_of_day_angular_cos']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['value_sin', 'value_cos', 'ts_hour_of_day_angular_sin',
+                               'ts_hour_of_day_angular_cos'])
+
+
+SQL_ROW_LOCALS_EVENTS = """
+WITH d AS (
+  SELECT *, ts + to_microseconds(CAST(trunc(value * 3600000000.0) AS BIGINT)) AS ts_shifted
+  FROM events
+)
+SELECT event_id,
+       trunc(date_diff('microsecond', ts, ts_shifted) / 1000000.0) AS ts_shifted_total_seconds_diff_ts,
+       trunc(date_diff('microsecond', ts, ts_shifted) / 3600000000.0) AS ts_shifted_total_hours_diff_ts,
+       trunc(date_diff('microsecond', ts, ts_shifted) / 86400000000.0) AS ts_shifted_total_days_diff_ts,
+       value = 50.0 AS value_equal_half,
+       value > 50.0 AS value_greater_than_half,
+       value >= 50.0 AS value_greater_or_equal_half,
+       round(sin(value), 6) AS value_sin,
+       round(cos(value), 6) AS value_cos,
+       round(sin(2 * pi() * EXTRACT(hour FROM ts) / 24.0), 6) AS ts_hour_of_day_angular_sin,
+       round(cos(2 * pi() * EXTRACT(hour FROM ts) / 24.0), 6) AS ts_hour_of_day_angular_cos
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. character entropy + email-domain extraction
+# ---------------------------------------------------------------------------
+
+def q_textextra_documents(sf_dir: str):
+    schema = Schema([
+        CS.numeric(name='doc_id', role=ColumnRole.IDENTIFIER),
+        CS.text(name='text'),
+        CS.nominal(name='lang'),
+    ])
+    base = Dataset.from_parquet(os.path.join(sf_dir, 'documents.parquet'), schema,
+                                order_by=['doc_id'], columns=['doc_id', 'text', 'lang'])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        email = pc.binary_join_element_wise(
+            'user', pc.cast(batch.column('doc_id'), pa.string()), '@',
+            batch.column('lang'), '.example.org', '')
+        return batch.append_column('email', email)
+
+    ds = Dataset(base.data.map_batches(derive, batch_format='pyarrow', zero_copy_batch=True),
+                 base.schema + Schema([CS.nominal(name='email')]), order_by=['doc_id'])
+    from auto_featurs_ray.transformers.text import TextExtraction
+    p = (Pipeline(ds)
+         .with_text_extraction(['text'], text_extractions=[TextExtraction.CHARACTER_ENTROPY])
+         .with_text_extraction(['email'], text_extractions=[TextExtraction.EMAIL_DOMAIN]))
+    keep = ['doc_id', 'text_character_entropy', 'email_email_domain']
+    return _finish(p.collect_plan().data, keep, round_cols=['text_character_entropy'])
+
+
+SQL_TEXTEXTRA_DOCUMENTS = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), cc AS (
+  SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chars GROUP BY 1, 2
+), ent AS (
+  SELECT doc_id, -SUM((c / t) * log2(c / t)) AS h
+  FROM (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS t FROM cc)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(ent.h, 0.0), 6) AS text_character_entropy,
+       d.lang || '.example.org' AS email_email_domain
+FROM documents d LEFT JOIN ent USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20. cumulative num_unique / std-quirk / exclusive min
+# ---------------------------------------------------------------------------
+
+def q_cumulative_extras_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_num_unique('event_type', over_columns_combinations=[['user_id']],
+                          cumulative=CumulativeOptions.INCLUSIVE)
+         .with_num_unique('event_type', over_columns_combinations=[['user_id']],
+                          cumulative=CumulativeOptions.EXCLUSIVE)
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.STD],
+                                      over_columns_combinations=[['user_id']],
+                                      cumulative=CumulativeOptions.INCLUSIVE)
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.MIN],
+                                      over_columns_combinations=[['user_id']],
+                                      cumulative=CumulativeOptions.EXCLUSIVE))
+    keep = ['event_id', 'event_type_inclusive_cum_num_unique_over_user_id',
+            'event_type_exclusive_cum_num_unique_over_user_id',
+            'value_inclusive_cum_std_over_user_id', 'value_exclusive_cum_min_over_user_id']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['value_inclusive_cum_std_over_user_id',
+                               'value_exclusive_cum_min_over_user_id'])
+
+
+SQL_CUMULATIVE_EXTRAS_EVENTS = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS firstocc
+  FROM events
+), uniq AS (
+  SELECT event_id, user_id, ts, value,
+         SUM(firstocc) OVER w AS inc_u
+  FROM flagged WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+), withmean AS (
+  SELECT *,
+         SUM(value) OVER w / COUNT(*) OVER w AS running_mean
+  FROM uniq WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id,
+       inc_u AS event_type_inclusive_cum_num_unique_over_user_id,
+       coalesce(LAG(inc_u) OVER w, 0) AS event_type_exclusive_cum_num_unique_over_user_id,
+       round(sqrt(SUM((value - running_mean) * (value - running_mean))
+                  OVER (w ROWS UNBOUNDED PRECEDING)), 6) AS value_inclusive_cum_std_over_user_id,
+       round(MIN(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+           AS value_exclusive_cum_min_over_user_id
+FROM withmean WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 21. cumulative entity entropy + cumulative PMI (ungrouped global order)
+# ---------------------------------------------------------------------------
+
+def q_cumulative_entropy_pmi_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_entity_entropy(source_subset='user_id', target_subset='event_type',
+                              cumulative=CumulativeOptions.INCLUSIVE)
+         .with_pointwise_mutual_information(column_a_subset='event_type', column_b_subset='user_id',
+                                            cumulative=CumulativeOptions.INCLUSIVE))
+    keep = ['event_id', 'event_type_by_user_id_inclusive_cum_entropy',
+            'event_type_user_id_inclusive_cum_pmi']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['event_type_by_user_id_inclusive_cum_entropy',
+                               'event_type_user_id_inclusive_cum_pmi'])
+
+
+SQL_CUMULATIVE_ENTROPY_PMI_EVENTS = """
+WITH pre AS (
+  SELECT e.event_id, w.event_type AS wt, count(*)::DOUBLE AS c
+  FROM events e JOIN events w
+    ON w.user_id = e.user_id AND (w.ts < e.ts OR (w.ts = e.ts AND w.event_id <= e.event_id))
+  GROUP BY 1, 2
+), ent AS (
+  SELECT event_id,
+         CASE WHEN SUM(c) > 1 THEN log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) ELSE 0.0 END AS h
+  FROM pre GROUP BY event_id
+), counted AS (
+  SELECT event_id,
+         COUNT(*) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)::DOUBLE AS cab,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)::DOUBLE AS ca,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING)::DOUBLE AS cb,
+         COUNT(*) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::DOUBLE AS n
+  FROM events
+)
+SELECT c.event_id,
+       round(ent.h, 6) AS event_type_by_user_id_inclusive_cum_entropy,
+       round(log2(c.cab * c.n / (c.ca * c.cb)), 6) AS event_type_user_id_inclusive_cum_pmi
+FROM counted c JOIN ent USING (event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22. text similarity (Damerau-Levenshtein / Jaccard / Jaro / Jaro-Winkler)
+# ---------------------------------------------------------------------------
+
+def q_text_similarity_documents(sf_dir: str):
+    schema = Schema([
+        CS.numeric(name='doc_id', role=ColumnRole.IDENTIFIER),
+        CS.text(name='text'),
+    ])
+    base = Dataset.from_parquet(os.path.join(sf_dir, 'documents.parquet'), schema,
+                                order_by=['doc_id'], columns=['doc_id', 'text'])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        a = pc.utf8_slice_codeunits(batch.column('text'), 0, 12)
+        b = pc.utf8_slice_codeunits(batch.column('text'), 2, 14)
+        return batch.append_column('head_a', a).append_column('head_b', b)
+
+    ds = Dataset(base.data.map_batches(derive, batch_format='pyarrow', zero_copy_batch=True),
+                 base.schema + Schema([CS.text(name='head_a'), CS.text(name='head_b')]),
+                 order_by=['doc_id'])
+    from auto_featurs_ray.transformers.text import TextSimilarity
+    p = Pipeline(ds).with_text_similarity(
+        ['head_a'], ['head_b'],
+        text_similarities=[TextSimilarity.DAMERAU_LEVENSHTEIN, TextSimilarity.JACCARD,
+                           TextSimilarity.JARO, TextSimilarity.JARO_WINKLER],
+        substr_size=1)
+    keep = ['doc_id', 'head_a_damerau_levenshtein_text_similarity_head_b',
+            'head_a_jaccard_text_similarity_head_b', 'head_a_jaro_text_similarity_head_b',
+            'head_a_jaro_winkler_text_similarity_head_b']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['head_a_damerau_levenshtein_text_similarity_head_b',
+                               'head_a_jaccard_text_similarity_head_b',
+                               'head_a_jaro_text_similarity_head_b',
+                               'head_a_jaro_winkler_text_similarity_head_b'])
+
+
+SQL_TEXT_SIMILARITY_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 12) AS a, substr(text, 3, 12) AS b FROM documents
+)
+SELECT doc_id,
+       round(1.0 - damerau_levenshtein(a, b)::DOUBLE / greatest(length(a), length(b)), 6)
+           AS head_a_damerau_levenshtein_text_similarity_head_b,
+       round(jaccard(a, b), 6) AS head_a_jaccard_text_similarity_head_b,
+       round(jaro_similarity(a, b), 6) AS head_a_jaro_text_similarity_head_b,
+       round(jaro_winkler_similarity(a, b), 6) AS head_a_jaro_winkler_text_similarity_head_b
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# 23. feature selection: Welch-style t-test + chi-squared
+# ---------------------------------------------------------------------------
+
+def q_ttest_chi2_lineitem(sf_dir: str):
+    import pandas as pd
+    base = _lineitem_dataset(sf_dir, columns=['l_orderkey', 'l_linenumber', 'l_quantity',
+                                              'l_extendedprice', 'l_discount', 'l_tax',
+                                              'l_returnflag'])
+
+    def add_label(batch: pa.Table) -> pa.Table:
+        return batch.append_column('is_high', pc.greater(batch.column('l_quantity'), 25.0))
+
+    ds = Dataset(base.data.map_batches(add_label, batch_format='pyarrow', zero_copy_batch=True),
+                 base.schema + Schema([CS.boolean(name='is_high', role=ColumnRole.LABEL)]))
+    selector = FeatureSelector()
+    t_report = selector.get_report(ds, ['l_extendedprice', 'l_discount'], SelectionMethod.T_TEST)
+    chi_report = selector.get_report(ds, ['l_returnflag'], SelectionMethod.CHI_SQUARED)
+    frame = pd.DataFrame({
+        'feature_name': t_report.feature_names + chi_report.feature_names,
+        'stat_value': [round(v, 6) for v in t_report.stat_values]
+                      + [round(v, 6) for v in chi_report.stat_values],
+    })
+    return frame
+
+
+SQL_TTEST_CHI2_LINEITEM = """
+WITH lab AS (
+  SELECT CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END AS f, l_extendedprice, l_discount, l_returnflag
+  FROM lineitem
+), stats AS (
+  SELECT f, count(*) AS n, avg(l_extendedprice) AS m_e, var_samp(l_extendedprice) AS v_e,
+         avg(l_discount) AS m_d, var_samp(l_discount) AS v_d
+  FROM lab GROUP BY f
+), t AS (
+  SELECT abs(s1.m_e - s0.m_e) / sqrt(s1.v_e / s1.n + s0.v_e / s0.n) AS t_e,
+         abs(s1.m_d - s0.m_d) / sqrt(s1.v_d / s1.n + s0.v_d / s0.n) AS t_d
+  FROM (SELECT * FROM stats WHERE f = 1) s1, (SELECT * FROM stats WHERE f = 0) s0
+), cells AS (
+  SELECT r.l_returnflag, fv.f, coalesce(o.c, 0)::DOUBLE AS o
+  FROM (SELECT DISTINCT l_returnflag FROM lab) r
+  CROSS JOIN (SELECT DISTINCT f FROM lab) fv
+  LEFT JOIN (SELECT l_returnflag, f, count(*) AS c FROM lab GROUP BY 1, 2) o
+    USING (l_returnflag, f)
+), chi AS (
+  SELECT SUM(CASE WHEN e > 0 THEN (o - e) * (o - e) / e ELSE 0 END) AS chi2
+  FROM (SELECT o, SUM(o) OVER (PARTITION BY l_returnflag) * SUM(o) OVER (PARTITION BY f)
+                  / SUM(o) OVER () AS e
+        FROM cells)
+)
+SELECT 'l_extendedprice' AS feature_name, round(t_e, 6) AS stat_value FROM t
+UNION ALL SELECT 'l_discount', round(t_d, 6) FROM t
+UNION ALL SELECT 'l_returnflag', round(chi2, 6) FROM chi
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24. rolling num_unique / median / min over trailing time windows
+# ---------------------------------------------------------------------------
+
+def q_rolling_extras_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_num_unique('event_type', over_columns_combinations=[['user_id']],
+                          time_windows=['6h'], index_column_name='ts')
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.MEDIAN,
+                                                             ArithmeticAggregations.MIN],
+                                      over_columns_combinations=[['user_id']],
+                                      time_windows=['6h'], index_column_name='ts'))
+    keep = ['event_id', 'event_type_num_unique_in_the_last_6h_over_user_id',
+            'value_median_in_the_last_6h_over_user_id', 'value_min_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['value_median_in_the_last_6h_over_user_id',
+                               'value_min_in_the_last_6h_over_user_id'])
+
+
+SQL_ROLLING_EXTRAS_EVENTS = """
+SELECT e.event_id,
+       COUNT(DISTINCT w.event_type) AS event_type_num_unique_in_the_last_6h_over_user_id,
+       round(quantile_cont(w.value, 0.5), 6) AS value_median_in_the_last_6h_over_user_id,
+       round(MIN(w.value), 6) AS value_min_in_the_last_6h_over_user_id
+FROM events e JOIN events w
+  ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+GROUP BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -646,6 +1074,15 @@ QUERIES = {
     'entropy_pmi_events': q_entropy_pmi_events,
     'hash_join_orders_customer': q_hash_join_orders_customer,
     'lead_distinct_events': q_lead_distinct_events,
+    'mode_argminmax_events': q_mode_argminmax_events,
+    'quantile_scaling_lineitem': q_quantile_scaling_lineitem,
+    'row_locals_events': q_row_locals_events,
+    'textextra_documents': q_textextra_documents,
+    'cumulative_extras_events': q_cumulative_extras_events,
+    'cumulative_entropy_pmi_events': q_cumulative_entropy_pmi_events,
+    'text_similarity_documents': q_text_similarity_documents,
+    'ttest_chi2_lineitem': q_ttest_chi2_lineitem,
+    'rolling_extras_events': q_rolling_extras_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'fingerprint_documents': q_fingerprint_documents,
     'langid_quality_documents': q_langid_quality_documents,
@@ -672,4 +1109,13 @@ ORACLE_SQL = {
     'entropy_pmi_events': SQL_ENTROPY_PMI_EVENTS,
     'hash_join_orders_customer': SQL_HASH_JOIN_ORDERS_CUSTOMER,
     'lead_distinct_events': SQL_LEAD_DISTINCT_EVENTS,
+    'mode_argminmax_events': SQL_MODE_ARGMINMAX_EVENTS,
+    'quantile_scaling_lineitem': SQL_QUANTILE_SCALING_LINEITEM,
+    'row_locals_events': SQL_ROW_LOCALS_EVENTS,
+    'textextra_documents': SQL_TEXTEXTRA_DOCUMENTS,
+    'cumulative_extras_events': SQL_CUMULATIVE_EXTRAS_EVENTS,
+    'cumulative_entropy_pmi_events': SQL_CUMULATIVE_ENTROPY_PMI_EVENTS,
+    'text_similarity_documents': SQL_TEXT_SIMILARITY_DOCUMENTS,
+    'ttest_chi2_lineitem': SQL_TTEST_CHI2_LINEITEM,
+    'rolling_extras_events': SQL_ROLLING_EXTRAS_EVENTS,
 }
