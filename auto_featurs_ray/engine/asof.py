@@ -37,6 +37,20 @@ import pyarrow.compute as pc
 from auto_featurs_ray.engine.runtime import cogroup_map_partitions
 
 
+def _dedupe_max(table: pa.Table, by: Sequence[str], on: str, value_column: str) -> pa.Table:
+    """One row per (by, on): the max-``value_column`` row (vectorized run filter)."""
+    keys = [(k, 'ascending') for k in by] + [(on, 'ascending'), (value_column, 'descending')]
+    table = table.take(pc.sort_indices(table, sort_keys=keys))
+    n = table.num_rows
+    if n <= 1:
+        return table
+    diff = np.zeros(n - 1, dtype=bool)
+    for name in [*by, on]:
+        arr = table.column(name).to_numpy(zero_copy_only=False)
+        diff |= arr[1:] != arr[:-1]
+    return table.filter(pa.array(np.concatenate(([True], diff))))
+
+
 def _arrow_schema(ds) -> pa.Schema:
     if isinstance(ds, (list, tuple)):  # parquet shard paths (fused scan+split)
         import pyarrow.parquet as pq
@@ -50,12 +64,19 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
               suffix: str = '_right', num_partitions: int = 64,
               post_transformers: Optional[Sequence] = None,
               post_order_by: Sequence[str] = (),
-              post_row_local: Optional[Sequence] = None):
+              post_row_local: Optional[Sequence] = None,
+              right_dedupe_max: Optional[str] = None):
     """As-of join two ``ray.data.Dataset``s; returns a new Dataset.
 
     ``by``: entity key columns (must exist on both sides).
     ``on`` / ``right_on``: event-time columns (timestamp or numeric).
     Right value columns colliding with left names get ``suffix``.
+    ``right_dedupe_max``: optionally collapse the right side to one row per
+    ``(by, right_on)`` — the row with the maximum value of this column —
+    INSIDE the co-group reduce.  The right side is already key-partitioned
+    there, so this replaces a whole extra ``groupby().map_groups`` exchange
+    (whose fixed overhead dominated the round-1 asof query) with a local
+    sort-run filter.
     """
     if direction not in ('backward', 'forward'):
         raise ValueError(f'Unsupported direction: {direction}')
@@ -82,6 +103,8 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
                 result = result.append_column(out_names[c],
                                               pa.nulls(left_t.num_rows, right_schema.field(c).type))
         else:
+            if right_dedupe_max is not None:
+                right_t = _dedupe_max(right_t, by, right_on, right_dedupe_max)
             right_t = right_t.take(pc.sort_indices(right_t, sort_keys=[(right_on, 'ascending')]))
             lframe = pd.DataFrame({**{k: left_t.column(k).to_pandas() for k in by},
                                    '__ts': left_t.column(on).to_pandas(),

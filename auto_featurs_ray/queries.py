@@ -310,14 +310,10 @@ def q_asof_events_orders(sf_dir: str):
               .map_batches(prep_orders, batch_format='pyarrow'))
 
     # dedupe the right side to one row per (user, date): max price — makes the
-    # as-of match unambiguous for both engines
-    def dedupe(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[('price', 'descending')])
-        return group.take(idx[:1])
-
-    orders = orders.groupby(['user_id', 'ts']).map_groups(dedupe, batch_format='pyarrow')
+    # as-of match unambiguous for both engines; runs inside the co-group
+    # reduce (already key-partitioned) instead of its own exchange
     joined = asof_join(events, orders, by=['user_id'], on='ts', direction='backward',
-                       num_partitions=NUM_PARTITIONS)
+                       num_partitions=NUM_PARTITIONS, right_dedupe_max='price')
     return _finish(joined, ['event_id', 'user_id', 'price'], round_cols=['price'])
 
 

@@ -65,25 +65,51 @@ class RollingWrapper(AggregatingTransformer):
         return self._inner_transformer.output_name + f'_in_the_last_{window_to_string(self._time_window)}'
 
     def window_bounds(self, frame: AggFrame, codes: Optional[np.ndarray]):
-        """Per-row [lo, hi) window slice offsets in the sorted partition."""
+        """Per-row [lo, hi) window slice offsets in the sorted partition.
+
+        Cached on the frame per (index column, period, codes identity): a
+        window suite evaluates many rolling features over the same few
+        (keys, period) combinations, and recomputing bounds per transformer
+        dominated the round-1 flagship reduce (16 x ~180ms per partition).
+        """
+        cache = frame.__dict__.setdefault('_rolling_bounds_cache', {})
+        key = (self.index_column_name, self._period_us, id(codes) if codes is not None else None)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         ts = frame.timestamps_us(self.index_column_name)
         n = len(ts)
-        lo = np.empty(n, dtype=np.int64)
-        hi = np.empty(n, dtype=np.int64)
         if codes is not None and len(codes) and len(np.unique(codes)) != np.count_nonzero(np.diff(codes)) + 1:
             raise ValueError('Rolling windows require rows sorted by (group keys, index column); '
                              'group codes are not contiguous.')
         bounds = contiguous_segments(codes, n)
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            seg = ts[s:e]
-            if np.any(np.diff(seg) < 0):
+        diff_ts = np.diff(ts)
+        if n > 1:
+            interior = np.ones(n - 1, dtype=bool)
+            interior[bounds[1:-1] - 1] = False  # diffs across group boundaries may reset
+            if np.any((diff_ts < 0) & interior):
                 raise ValueError(
                     f'Rolling index column {self.index_column_name!r} is not sorted within its '
                     'partition group; the engine sorts by (keys, order_by) — include the index '
                     'column in order_by.')
+        # hi = end of the current (group, ts) run, vectorized: rows sharing a
+        # timestamp share one window anchored at the last duplicate
+        if n:
+            change = np.zeros(n - 1, dtype=bool)
+            change |= diff_ts != 0
+            change[bounds[1:-1] - 1] = True
+            run_starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            run_ends = np.append(run_starts[1:], n)
+            hi = np.repeat(run_ends, run_ends - run_starts)
+        else:
+            hi = np.empty(0, dtype=np.int64)
+        lo = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
             lo[s:e] = s + np.searchsorted(seg, seg - self._period_us, side='right')
-            hi[s:e] = s + np.searchsorted(seg, seg, side='right')
-        return lo, hi
+        result = (lo, hi.astype(np.int64))
+        cache[key] = result
+        return result
 
     def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
         lo, hi = self.window_bounds(frame, codes)
