@@ -286,6 +286,53 @@ class ModeTransformer(AggregatingTransformer):
             result = _gshift(result, codes, 1)
         return pa.Array.from_pandas(result, type=frame.table.column(self._column.name).type)
 
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        """Sliding-counter rolling mode: counter updates are O(1) amortized;
+        the winner scan per row is O(distinct-in-window).  Same tie rule as
+        NONE mode: among max-count values a tied null wins, else the largest
+        value (ref :136)."""
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        series = frame.series(self._column.name)
+        values = series.to_numpy(dtype=object)
+        isna = series.isna().to_numpy()
+        cond = frame.cond_mask(self.filtering_condition)
+        n = frame.num_rows
+        out = np.empty(n, dtype=object)
+        counts: dict = {}
+        a = b = 0
+        for i in range(n):
+            while b < hi[i]:
+                if cond is None or cond[b]:
+                    key = _NULL_KEY if isna[b] else values[b]
+                    counts[key] = counts.get(key, 0) + 1
+                b += 1
+            while a < lo[i]:
+                if cond is None or cond[a]:
+                    key = _NULL_KEY if isna[a] else values[a]
+                    c = counts[key] - 1
+                    if c == 0:
+                        del counts[key]
+                    else:
+                        counts[key] = c
+                a += 1
+            if not counts:
+                out[i] = None
+                continue
+            top = max(counts.values())
+            winner = None
+            saw_null = False
+            for key, c in counts.items():
+                if c != top:
+                    continue
+                if key is _NULL_KEY:
+                    saw_null = True
+                    break
+                if winner is None or key > winner:
+                    winner = key
+            out[i] = None if saw_null else winner
+        return pa.Array.from_pandas(pd.Series(out), type=frame.table.column(self._column.name).type)
+
 
 class NumUniqueTransformer(AggregatingTransformer):
     """Distinct count; nulls count as a value (ref :152-181)."""
@@ -333,6 +380,39 @@ class NumUniqueTransformer(AggregatingTransformer):
         fd2 = ~pd.DataFrame({'g': codes, 'v': inclusive}).duplicated()
         out = pd.Series(fd2.to_numpy().astype(np.int64)).groupby(codes).cumsum()
         return _gshift(out, codes, 1, fill_value=0)
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        """Incremental sliding-counter distinct count: O(1) amortized per row
+        instead of re-evaluating the inner on every window slice (round-1
+        verdict item 7)."""
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        series = frame.series(self._column)
+        values = series.to_numpy(dtype=object)
+        isna = series.isna().to_numpy()
+        cond = frame.cond_mask(self.filtering_condition)
+        n = frame.num_rows
+        out = np.empty(n, dtype=np.int64)
+        counts: dict = {}
+        a = b = 0
+        for i in range(n):
+            target_hi, target_lo = hi[i], lo[i]
+            while b < target_hi:
+                if cond is None or cond[b]:
+                    key = _NULL_KEY if isna[b] else values[b]
+                    counts[key] = counts.get(key, 0) + 1
+                b += 1
+            while a < target_lo:
+                if cond is None or cond[a]:
+                    key = _NULL_KEY if isna[a] else values[a]
+                    c = counts[key] - 1
+                    if c == 0:
+                        del counts[key]
+                    else:
+                        counts[key] = c
+                a += 1
+            out[i] = len(counts)
+        return out
 
 
 class ApproxNumUniqueTransformer(AggregatingTransformer):
@@ -452,6 +532,57 @@ class EntityEntropyTransformer(AggregatingTransformer):
         if self.cumulative == CumulativeOptions.EXCLUSIVE:
             result = _gshift(result, combined, 1)
         return result
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        """Sliding per-source entropy: each add/remove updates one source's
+        (count, total, sum c*log2 c) in O(1); the emitted value is the
+        entropy of the anchor row's source within the window."""
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        source = frame.series(self._source).to_numpy(dtype=object)
+        src_na = frame.series(self._source).isna().to_numpy()
+        targets = self._target_values(frame)
+        n = frame.num_rows
+        out = np.full(n, np.nan)
+        counts: dict = {}   # (source, target) -> count
+        totals: dict = {}   # source -> (total, sum c*log2 c)
+        a = b = 0
+
+        def bump(row: int, delta: int) -> None:
+            s = _NULL_KEY if src_na[row] else source[row]
+            key = (s, targets[row])
+            c = counts.get(key, 0)
+            total, clogc = totals.get(s, (0, 0.0))
+            if c > 1:
+                clogc -= c * math.log2(c)
+            nc = c + delta
+            if nc:
+                counts[key] = nc
+                if nc > 1:
+                    clogc += nc * math.log2(nc)
+            else:
+                counts.pop(key, None)
+            total += delta
+            if total:
+                totals[s] = (total, clogc)
+            else:
+                totals.pop(s, None)
+
+        for i in range(n):
+            while b < hi[i]:
+                bump(b, 1)
+                b += 1
+            while a < lo[i]:
+                bump(a, -1)
+                a += 1
+            anchor = hi[i] - 1
+            if anchor < a:
+                continue  # empty window -> NaN
+            s = _NULL_KEY if src_na[anchor] else source[anchor]
+            total, clogc = totals.get(s, (0, 0.0))
+            if total:
+                out[i] = math.log2(total) - clogc / total
+        return out
 
 
 class PointwiseMutualInformationTransformer(AggregatingTransformer):

@@ -1,0 +1,91 @@
+"""Rolling fast paths for num_unique / mode / entity entropy (verdict item 7).
+
+Each incremental sliding-counter kernel must produce exactly what the generic
+per-window-slice fallback produced, and scale ~O(n) rather than O(n*w).
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+from auto_featurs_ray.engine.aggframe import AggFrame
+from auto_featurs_ray.transformers.aggregating import (
+    EntityEntropyTransformer,
+    ModeTransformer,
+    NumUniqueTransformer,
+)
+from auto_featurs_ray.transformers.rolling_wrapper import RollingWrapper
+
+
+def _frame(n=400, seed=9):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, n * 40, size=n)) * 1_000_000
+    cats = rng.choice(['a', 'b', 'c', 'd', None], size=n, p=[0.3, 0.3, 0.2, 0.1, 0.1])
+    srcs = rng.choice(['s1', 's2'], size=n)
+    table = pa.table({
+        'ts': pa.array(ts.astype('datetime64[us]')),
+        'cat': pa.array(pd.Series(cats)),
+        'src': pa.array(srcs),
+    })
+    return AggFrame(table)
+
+
+def _brute(frame, lo, hi, fn):
+    out = []
+    for i in range(frame.num_rows):
+        out.append(fn(frame.slice(lo[i], hi[i])))
+    return out
+
+
+def _bounds(frame, period='120s'):
+    wrapper = RollingWrapper(NumUniqueTransformer('cat'), CS.datetime(name='ts'), period)
+    return wrapper.window_bounds(frame, None)
+
+
+def test_rolling_num_unique_matches_slice_eval():
+    frame = _frame()
+    lo, hi = _bounds(frame)
+    fast = NumUniqueTransformer('cat').compute_windowed(frame, lo, hi)
+    brute = _brute(frame, lo, hi,
+                   lambda sub: sub.series('cat').nunique(dropna=False))
+    assert list(fast) == brute
+
+
+def test_rolling_mode_matches_slice_eval():
+    frame = _frame()
+    lo, hi = _bounds(frame)
+    mode = ModeTransformer(CS.nominal(name='cat'))
+    fast = mode.compute_windowed(frame, lo, hi).to_pylist()
+    brute = [np.asarray(mode.compute(frame.slice(lo[i], hi[i]), None))[-1]
+             for i in range(frame.num_rows)]
+    brute = [None if v is None else v for v in brute]
+    assert fast == brute
+
+
+def test_rolling_entropy_matches_slice_eval():
+    frame = _frame()
+    lo, hi = _bounds(frame)
+    ent = EntityEntropyTransformer('src', 'cat')
+    fast = ent.compute_windowed(frame, lo, hi)
+    brute = [np.asarray(ent.compute(frame.slice(lo[i], hi[i]), None))[-1]
+             for i in range(frame.num_rows)]
+    np.testing.assert_allclose(np.asarray(fast, dtype=float), np.asarray(brute, dtype=float),
+                               rtol=1e-12)
+
+
+def test_rolling_num_unique_is_linear():
+    # doubling n with a fixed window should ~double the time, not quadruple it
+    def run(n):
+        frame = _frame(n=n, seed=2)
+        lo, hi = _bounds(frame, period='600s')
+        t0 = time.perf_counter()
+        NumUniqueTransformer('cat').compute_windowed(frame, lo, hi)
+        return time.perf_counter() - t0
+
+    run(2000)  # warm
+    t1 = min(run(4000) for _ in range(3))
+    t2 = min(run(16000) for _ in range(3))
+    assert t2 / t1 < 12  # O(n*w) would be ~16x or worse with the wider data
