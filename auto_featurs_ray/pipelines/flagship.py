@@ -146,7 +146,7 @@ def _ratio_transformers(rolling_window: str) -> list:
 
 
 def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
-                 out_dir: Optional[str] = None, num_partitions: int = 64,
+                 out_dir: Optional[str] = None, num_partitions: Optional[int] = 64,
                  rolling_window: str = '1h', session_gap: str = '30m'):
     """Execute the flagship pipeline with ONE entity shuffle end-to-end.
 
@@ -171,6 +171,12 @@ def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
 
     seq_shards = parquet_shards(seq_path)
     sequences = seq_shards if seq_shards else ray.data.read_parquet(seq_path)
+    if num_partitions is None:
+        # size the exchange to the data: ~TARGET_PARTITION_BYTES of
+        # (decompressed, ~3x) input per reduce partition
+        from auto_featurs_ray.engine.runtime import suggest_num_partitions
+        file_bytes = sum(os.path.getsize(s) for s in (seq_shards or [])) or (64 << 30)
+        num_partitions = suggest_num_partitions(file_bytes * 3)
     if events_path is None:
         import pyarrow as pa
 
