@@ -394,7 +394,8 @@ def embedding_duplicates(ds, *, embedding_column: str, id_column: str,
     state = {'planes': None, 'seed': seed, 'num_planes': num_planes}
 
     def explode(batch: pa.Table) -> pa.Table:
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column(embedding_column).to_pylist()])
+        from auto_featurs_ray.datapipe.similarity import _embedding_matrix
+        emb = _embedding_matrix(batch.column(embedding_column))
         if state['planes'] is None:
             rng = np.random.default_rng(state['seed'])
             state['planes'] = rng.standard_normal((emb.shape[1], state['num_planes']))

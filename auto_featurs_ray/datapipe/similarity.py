@@ -26,6 +26,22 @@ def _unit(matrix: np.ndarray) -> np.ndarray:
     return matrix / np.where(norms == 0, 1.0, norms)
 
 
+def _embedding_matrix(column: pa.ChunkedArray) -> np.ndarray:
+    """(n, dim) float64 view of a list<float> column via the Arrow list
+    layout — no per-row Python."""
+    combined = column.combine_chunks()
+    if isinstance(combined, pa.ChunkedArray):
+        combined = combined.chunk(0)
+    offsets = np.diff(combined.offsets.to_numpy(zero_copy_only=False))
+    values = combined.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if len(offsets) == 0:
+        return values.reshape(0, 0)
+    dim = int(offsets[0])
+    if not (offsets == dim).all():
+        raise ValueError('Embedding column has ragged dimensions')
+    return values.reshape(len(offsets), dim)
+
+
 def knn_brute_force(ds, *, embedding_column: str, id_column: str,
                     queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k per query row; returns (query_idx, id, cosine) sorted."""
@@ -34,7 +50,7 @@ def knn_brute_force(ds, *, embedding_column: str, id_column: str,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(query_ref)
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column(embedding_column).to_pylist()])
+        emb = _embedding_matrix(batch.column(embedding_column))
         ids = np.asarray(batch.column(id_column).to_pylist())
         sims = _unit(emb) @ q.T  # (batch, num_queries)
         take = min(k, len(ids))
@@ -97,7 +113,7 @@ def knn_ivf(ds, *, embedding_column: str, id_column: str, queries: np.ndarray,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         centroids, q, probe_list = ray.get(handle)
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in batch.column(embedding_column).to_pylist()])
+        emb = _embedding_matrix(batch.column(embedding_column))
         ids = np.asarray(batch.column(id_column).to_pylist())
         unit = _unit(emb)
         assign = np.argmax(unit @ centroids.T, axis=1)
@@ -117,6 +133,89 @@ def knn_ivf(ds, *, embedding_column: str, id_column: str, queries: np.ndarray,
                          'cosine': pa.array(out_sim, pa.float64())})
 
     partials = ds.map_batches(partial_topk, batch_format='pyarrow').to_pandas()
+    if partials.empty:
+        return partials
+    return (partials.sort_values(['query_idx', 'cosine', 'id'], ascending=[True, False, True])
+            .groupby('query_idx', sort=True).head(k).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (round-1 verdict stretch item 10)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds, *, embedding_column: str, id_column: str, index_dir: str,
+                    num_centroids: int = 16, train_sample: int = 2048,
+                    iterations: int = 10, seed: int = 3) -> 'KMeansQuantizer':
+    """Train the coarse quantizer once and persist the whole index:
+    ``centroids.npy`` plus centroid-partitioned parquet buckets.  Repeated
+    queries then skip re-clustering AND read only the probed centroid
+    directories — partition pruning at the read, the 100-TB story.
+    """
+    import os
+
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.stack([np.asarray(r[embedding_column], dtype=np.float64) for r in sample_rows])
+    quantizer = KMeansQuantizer(num_centroids=num_centroids, iterations=iterations, seed=seed).fit(sample)
+    cref = ray.put(quantizer.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centroids = ray.get(cref)
+        emb = _embedding_matrix(batch.column(embedding_column))
+        codes = np.argmax(_unit(emb) @ centroids.T, axis=1).astype(np.int32)
+        # partition col is stripped from the data files on write; keep a copy
+        return (batch.append_column('centroid', pa.array(codes))
+                .append_column('centroid_id', pa.array(codes)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, 'centroids.npy'), quantizer.centroids)
+    (ds.map_batches(assign, batch_format='pyarrow', zero_copy_batch=True)
+       .write_parquet(os.path.join(index_dir, 'buckets'), partition_cols=['centroid']))
+    return quantizer
+
+
+def knn_ivf_from_index(index_dir: str, *, embedding_column: str, id_column: str,
+                       queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+    """ANN top-k against a persisted IVF index; only the probed centroid
+    partitions are read from storage."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, 'centroids.npy'))
+    queries = _unit(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probes = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
+    probe_sets = [set(p.tolist()) for p in probes]
+    needed = sorted({int(c) for row in probes for c in row})
+    paths = [p for c in needed
+             for p in sorted(glob.glob(os.path.join(index_dir, 'buckets', f'centroid={c}', '*.parquet')))]
+    if not paths:
+        return pd.DataFrame({'query_idx': [], 'id': [], 'cosine': []})
+    handle = ray.put((queries, probe_sets))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, probe_list = ray.get(handle)
+        emb = _embedding_matrix(batch.column(embedding_column))
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        assign = batch.column('centroid_id').to_numpy(zero_copy_only=False)
+        unit = _unit(emb)
+        out_q, out_id, out_sim = [], [], []
+        for qi, probe in enumerate(probe_list):
+            mask = np.isin(assign, list(probe))
+            if not mask.any():
+                continue
+            sims = unit[mask] @ q[qi]
+            take = min(k, int(mask.sum()))
+            order = np.argpartition(-sims, take - 1)[:take]
+            out_q.extend([qi] * take)
+            out_id.extend(ids[mask][order].tolist())
+            out_sim.extend(sims[order].tolist())
+        return pa.table({'query_idx': pa.array(out_q, pa.int32()),
+                         'id': pa.array(out_id),
+                         'cosine': pa.array(out_sim, pa.float64())})
+
+    partials = (rd.read_parquet(paths, columns=[id_column, embedding_column, 'centroid_id'])
+                .map_batches(partial_topk, batch_format='pyarrow').to_pandas())
     if partials.empty:
         return partials
     return (partials.sort_values(['query_idx', 'cosine', 'id'], ascending=[True, False, True])

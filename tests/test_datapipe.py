@@ -116,6 +116,24 @@ class TestEmbedding:
         expected = np.argsort(-sims)[:5].tolist()
         assert top['id'].tolist() == expected
 
+    def test_persisted_ivf_index_roundtrip(self, tmp_path):
+        from auto_featurs_ray.datapipe.similarity import build_ivf_index, knn_ivf_from_index
+        table = embedding_table()
+        emb = np.stack(table.column('embedding').to_pylist())
+        index_dir = str(tmp_path / 'ivf')
+        build_ivf_index(rd.from_arrow(table), embedding_column='embedding', id_column='vec_id',
+                        index_dir=index_dir, num_centroids=8)
+        # index persisted: centroid-partitioned buckets + centroids.npy
+        import glob
+        import os
+        assert os.path.exists(os.path.join(index_dir, 'centroids.npy'))
+        assert glob.glob(os.path.join(index_dir, 'buckets', 'centroid=*'))
+        # query WITHOUT re-clustering (no dataset needed)
+        top = knn_ivf_from_index(index_dir, embedding_column='embedding', id_column='vec_id',
+                                 queries=emb[0][None, :], k=5, nprobe=4)
+        assert top['id'].tolist()[0] == 0
+        assert 1 in top['id'].tolist()  # the planted near-dup
+
     def test_knn_ivf_finds_neighbor(self):
         table = embedding_table()
         emb = np.stack(table.column('embedding').to_pylist())
@@ -182,3 +200,76 @@ class TestMultimodal:
         a = out.sort_values('media_id')['image_features'].tolist()
         b = out2.sort_values('media_id')['image_features'].tolist()
         assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    @staticmethod
+    def _ppm(pixels: np.ndarray) -> bytes:
+        h, w, _ = pixels.shape
+        return b'P6\n# comment\n%d %d\n255\n' % (w, h) + pixels.tobytes()
+
+    @staticmethod
+    def _bmp(pixels: np.ndarray) -> bytes:
+        h, w, _ = pixels.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        data = rows.tobytes()
+        header = (b'BM' + (54 + len(data)).to_bytes(4, 'little') + b'\0\0\0\0'
+                  + (54).to_bytes(4, 'little') + (40).to_bytes(4, 'little')
+                  + w.to_bytes(4, 'little') + h.to_bytes(4, 'little')
+                  + (1).to_bytes(2, 'little') + (24).to_bytes(2, 'little')
+                  + (0).to_bytes(4, 'little') + len(data).to_bytes(4, 'little')
+                  + b'\0' * 16)
+        return header + data
+
+    def test_real_image_decode_ppm_and_bmp(self):
+        from auto_featurs_ray.datapipe.multimodal import decode_image_bytes
+        rng = np.random.default_rng(4)
+        pixels = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_image_bytes(self._ppm(pixels)), pixels)
+        np.testing.assert_array_equal(decode_image_bytes(self._bmp(pixels)), pixels)
+        with pytest.raises(NotImplementedError):
+            decode_image_bytes(b'\x89PNG\r\n\x1a\n....')
+
+    def test_auto_decode_pipeline_end_to_end(self):
+        rng = np.random.default_rng(5)
+        imgs = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(4)]
+        table = pa.table({
+            'media_id': pa.array([f'm{i}' for i in range(4)], pa.string()),
+            'payload': pa.array([self._ppm(p) if i % 2 else self._bmp(p)
+                                 for i, p in enumerate(imgs)], pa.binary()),
+            'mime_type': pa.array(['image/x-portable-pixmap'] * 4, pa.string()),
+        })
+        out = decode_pipeline(rd.from_arrow(table), decoder='auto',
+                              concurrency=2, batch_size=2).to_pandas()
+        assert len(out) == 4
+        assert all(len(p) == 32 * 32 * 3 for p in out['pixels'])
+        # nearest-neighbor resize preserves channel means approximately
+        for i, row in out.sort_values('media_id').reset_index(drop=True).iterrows():
+            decoded_mean = np.asarray(row['image_features'][:3])
+            src_mean = imgs[i].reshape(-1, 3).mean(axis=0)
+            assert np.abs(decoded_mean - src_mean).max() < 30
+
+    def test_real_wav_frame_sampling(self):
+        import io as _io
+        import wave as _wave
+
+        from auto_featurs_ray.datapipe.multimodal import AudioFrameSample
+        rate = 8000
+        t = np.arange(rate) / rate
+        signal = (np.sin(2 * np.pi * 440 * t) * 32000).astype(np.int16)
+        buf = _io.BytesIO()
+        with _wave.open(buf, 'wb') as wav:
+            wav.setnchannels(1)
+            wav.setsampwidth(2)
+            wav.setframerate(rate)
+            wav.writeframes(signal.tobytes())
+        table = pa.table({'media_id': pa.array(['a'], pa.string()),
+                          'payload': pa.array([buf.getvalue()], pa.binary())})
+        out = (rd.from_arrow(table)
+               .map_batches(AudioFrameSample, fn_constructor_kwargs={'decoder': 'auto'},
+                            batch_format='pyarrow', concurrency=1)
+               .to_pandas())
+        frames = np.asarray(out['audio_frames'][0])
+        assert len(frames) == 8 * 16
+        assert np.abs(frames).max() <= 1.0
+        assert np.abs(frames).max() > 0.5  # actually decoded the sine, not silence
