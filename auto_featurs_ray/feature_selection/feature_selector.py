@@ -181,11 +181,13 @@ class FeatureSelector:
 
     def _chi_squared(self, dataset: Dataset, names: list, label_name: str) -> dict:
         def partial(table: pa.Table):
-            y = table.column(label_name).to_pylist()
+            y = table.column(label_name).to_pandas()
             out = {}
             for n in names:
-                x = table.column(n).to_pylist()
-                out[n] = Counter((a, b) for a, b in zip(x, y) if a is not None and b is not None)
+                x = table.column(n).to_pandas()
+                counts = (pd.DataFrame({'x': x, 'y': y}).dropna()
+                          .groupby(['x', 'y'], sort=False).size())
+                out[n] = Counter({tuple(k): int(v) for k, v in counts.items()})
             return out
 
         def combine(a, b):

@@ -32,6 +32,17 @@ from auto_featurs_ray.transformers.base import RowLocalTransformer
 
 _STRINGY = ColumnTypeSelector(frozenset((ColumnType.TEXT, ColumnType.NOMINAL, ColumnType.ORDINAL)))
 
+# Optional C-speed kernels: rapidfuzz implements the same unrestricted
+# Damerau-Levenshtein and Jaro measures; when present (not in this sandbox)
+# the O(len^2)/O(len*window) pure-Python DPs below are bypassed.  Jaro-Winkler
+# is NOT gated: implementations disagree on the exact boost-threshold
+# boundary (> vs >= 0.7), and the reference goldens pin ours.
+try:  # pragma: no cover - not installed in the test environment
+    from rapidfuzz.distance import DamerauLevenshtein as _rf_dl
+    from rapidfuzz.distance import Jaro as _rf_jaro
+except ImportError:
+    _rf_dl = _rf_jaro = None
+
 
 # ---------------------------------------------------------------------------
 # similarity measures
@@ -74,6 +85,8 @@ def damerau_levenshtein_similarity(a: str, b: str) -> float:
     longest = max(len(a), len(b))
     if longest == 0:
         return 1.0
+    if _rf_dl is not None:  # pragma: no cover
+        return _rf_dl.normalized_similarity(a, b)
     return 1.0 - damerau_levenshtein_distance(a, b) / longest
 
 
@@ -97,6 +110,8 @@ def jaro_similarity(a: str, b: str) -> float:
         return 1.0
     if la == 0 or lb == 0:
         return 0.0
+    if _rf_jaro is not None:  # pragma: no cover
+        return _rf_jaro.similarity(a, b)
     window = max(la, lb) // 2 - 1
     matched_a = [False] * la
     matched_b = [False] * lb

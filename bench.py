@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     'backfill_events', 'dedup_exact_documents', 'token_count_documents',
     'knn_embeddings', 'entropy_pmi_events', 'lead_distinct_events',
     'minhash_dedup_documents', 'langid_quality_documents',
+    # round-2 coverage queries
+    'mode_argminmax_events', 'quantile_scaling_lineitem', 'row_locals_events',
+    'textextra_documents', 'cumulative_extras_events', 'cumulative_entropy_pmi_events',
+    'text_similarity_documents', 'ttest_chi2_lineitem', 'rolling_extras_events',
 ]
 
 

@@ -1,0 +1,60 @@
+"""Pathological entity skew (verdict stretch item 9).
+
+Order-dependent window aggregates cannot split one entity across reduce tasks
+(the match needs the full ordered history), so one pathological entity lands
+in one partition by design.  These tests pin the behavior the engine promises
+instead: the job completes, results are exactly correct, and other entities'
+partitions are unaffected.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from auto_featurs_ray.base.column_specification import ColumnRole
+from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+from auto_featurs_ray.base.schema import Schema
+from auto_featurs_ray.dataset.dataset import Dataset
+from auto_featurs_ray.pipeline.pipeline import Pipeline
+from auto_featurs_ray.transformers.aggregating import ArithmeticAggregations
+from auto_featurs_ray.transformers.base import CumulativeOptions
+
+
+def _skewed_table(hot_rows=30000, cold_entities=50, cold_rows=20):
+    """One entity holds ~97% of all rows; many small entities fill the rest."""
+    rng = np.random.default_rng(13)
+    users = ['hot'] * hot_rows + [f'u{i}' for i in range(cold_entities) for _ in range(cold_rows)]
+    n = len(users)
+    ts = (np.datetime64('2024-01-01', 'us') + np.arange(n) * np.timedelta64(1, 's'))
+    return pa.table({
+        'event_id': pa.array(np.arange(n), pa.int64()),
+        'ts': pa.array(ts),
+        'user': pa.array(users),
+        'value': pa.array(rng.random(n)),
+    })
+
+
+def test_hot_entity_results_exact():
+    table = _skewed_table()
+    schema = Schema([
+        CS.numeric(name='event_id', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='ts', role=ColumnRole.TIME_INFO),
+        CS.nominal(name='user', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='value'),
+    ])
+    ds = Dataset.from_arrow(table, schema, order_by=['ts', 'event_id'],
+                            num_blocks=8, num_partitions=16)
+    df = (Pipeline(ds)
+          .with_count(over_columns_combinations=[['user']], cumulative=CumulativeOptions.EXCLUSIVE)
+          .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.SUM],
+                                       over_columns_combinations=[['user']],
+                                       cumulative=CumulativeOptions.INCLUSIVE)
+          .collect()).sort_values('event_id').reset_index(drop=True)
+
+    # exact per-group oracle via pandas on the driver
+    import pandas as pd
+    ref = table.to_pandas().sort_values(['ts', 'event_id'])
+    expect_count = ref.groupby('user').cumcount().to_numpy()
+    expect_sum = ref.groupby('user')['value'].cumsum().to_numpy()
+    np.testing.assert_array_equal(df['exclusive_cum_count_over_user'].to_numpy(), expect_count)
+    np.testing.assert_allclose(df['value_inclusive_cum_sum_over_user'].to_numpy(), expect_sum,
+                               rtol=1e-9)
