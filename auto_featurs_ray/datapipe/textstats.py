@@ -79,28 +79,40 @@ class TextStats:
         self.alnum_re = _ALNUM_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_column).to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n, np.int64)
-        n_words = np.zeros(n, np.int64)
-        n_bpe = np.zeros(n, np.int64)
-        mean_word_len = np.zeros(n, np.float64)
-        punct_ratio = np.zeros(n, np.float64)
-        alnum_ratio = np.zeros(n, np.float64)
-        stop_ratio = np.zeros(n, np.float64)
-        for i, text in enumerate(texts):
-            if not text:
-                continue
-            words = self.word_re.findall(text)
-            n_chars[i] = len(text)
-            n_words[i] = len(words)
-            n_bpe[i] = bpe_token_count(text)
-            if words:
-                mean_word_len[i] = float(np.mean([len(w) for w in words]))
-                lower = [w.lower().strip('.,;:!?"\'()') for w in words]
-                stop_ratio[i] = sum(w in self.stopwords for w in lower) / len(words)
-            punct_ratio[i] = len(self.punct_re.findall(text)) / len(text)
-            alnum_ratio[i] = len(self.alnum_re.findall(text)) / len(text)
+        col = batch.column(self.text_column)
+        col = pc.fill_null(col, '')
+        n = len(col)
+        # Arrow RE2 kernels: every count below is one vectorized C pass
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = pc.count_substring_regex(col, pattern=r'\S+').to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ws = pc.count_substring_regex(col, pattern=r'\s').to_numpy(zero_copy_only=False).astype(np.int64)
+        n_punct = pc.count_substring_regex(col, pattern=r'[.,;:!?]').to_numpy(zero_copy_only=False)
+        n_alnum = pc.count_substring_regex(col, pattern=r'[A-Za-z0-9]').to_numpy(zero_copy_only=False)
+        # mean word length == (non-whitespace chars) / word count
+        with np.errstate(divide='ignore', invalid='ignore'):
+            mean_word_len = np.where(n_words > 0, (n_chars - n_ws) / n_words, 0.0)
+            punct_ratio = np.where(n_chars > 0, n_punct / n_chars, 0.0)
+            alnum_ratio = np.where(n_chars > 0, n_alnum / n_chars, 0.0)
+        # stopword ratio: split -> lower -> trim -> hashed set membership,
+        # summed per row with one bincount over the flattened token layout
+        tokens = pc.utf8_split_whitespace(col).combine_chunks()
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.chunk(0) if tokens.num_chunks else pa.array([], pa.list_(pa.string()))
+        flat = tokens.values
+        trimmed = pc.utf8_trim(pc.utf8_lower(flat), characters='.,;:!?"\'()')
+        is_stop = pc.is_in(trimmed, value_set=pa.array(sorted(self.stopwords)))
+        nonempty = pc.greater(pc.utf8_length(flat), 0)
+        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(np.arange(n), np.diff(offsets))
+        stop_hits = np.bincount(row_of, weights=np.asarray(pc.and_(is_stop, nonempty)).astype(np.float64),
+                                minlength=n)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            stop_ratio = np.where(n_words > 0, stop_hits / n_words, 0.0)
+        # BPE-ish count: the pattern needs lookahead (unsupported by RE2), so
+        # this one stays a compiled-Python finditer
+        texts = col.to_pylist()
+        n_bpe = np.fromiter((sum(1 for _ in _BPE_RE.finditer(t)) if t else 0 for t in texts),
+                            dtype=np.int64, count=n)
         quality = np.clip(
             0.3 * np.clip(n_words / 100.0, 0, 1)
             + 0.3 * stop_ratio * 2.0
@@ -125,37 +137,59 @@ class LanguageId:
         self.profiles = {lang: words for lang, words in _LANG_PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_column).to_pylist()
-        langs = []
-        scores = []
-        for text in texts:
-            words = self.word_re.findall((text or '').lower())[:200]
-            if not words:
-                langs.append('und')
-                scores.append(0.0)
-                continue
-            best_lang, best = 'und', 0.0
-            for lang, profile in self.profiles.items():
-                hit = sum(w in profile for w in words) / len(words)
-                if hit > best:
-                    best_lang, best = lang, hit
-            if best < self.min_confidence:
-                best_lang = 'und'
-            langs.append(best_lang)
-            scores.append(best)
-        batch = batch.append_column('lang_pred', pa.array(langs, pa.string()))
-        return batch.append_column('lang_score', pa.array(scores, pa.float64()))
+        col = pc.fill_null(batch.column(self.text_column), '')
+        n = len(col)
+        # tokens = maximal runs of profile-alphabet chars; realized by
+        # splitting the lowercased text on everything else (empties dropped)
+        lowered = pc.utf8_lower(col)
+        tokens = pc.split_pattern_regex(lowered, pattern=r"[^a-zà-ÿäöüß']+").combine_chunks()
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.chunk(0) if tokens.num_chunks else pa.array([], pa.list_(pa.string()))
+        flat = tokens.values
+        valid = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        row_of = np.repeat(np.arange(n), counts)
+        # cap at the first 200 valid tokens per row, like the per-doc loop did
+        cum_valid = np.cumsum(valid)
+        valid_before = np.concatenate(([0], cum_valid))  # exclusive prefix, len+1
+        rank = cum_valid - np.repeat(valid_before[offsets[:-1]], counts)
+        keep = valid & (rank <= 200)
+        words_per_row = np.bincount(row_of, weights=keep.astype(np.float64), minlength=n) if len(flat) \
+            else np.zeros(n)
+        ratios = np.zeros((len(self.profiles), n))
+        for li, (lang, profile) in enumerate(self.profiles.items()):
+            hit = np.asarray(pc.is_in(flat, value_set=pa.array(sorted(profile)))) & keep
+            hits = np.bincount(row_of, weights=hit.astype(np.float64), minlength=n) if len(flat) \
+                else np.zeros(n)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                ratios[li] = np.where(words_per_row > 0, hits / words_per_row, 0.0)
+        best_idx = np.argmax(ratios, axis=0) if n else np.zeros(0, np.int64)
+        best = ratios[best_idx, np.arange(n)] if n else np.zeros(0)
+        names = np.asarray(list(self.profiles), dtype=object)
+        langs = np.where((best >= self.min_confidence) & (best > 0), names[best_idx], 'und')
+        batch = batch.append_column('lang_pred', pa.array(langs.astype(object), pa.string()))
+        return batch.append_column('lang_score', pa.array(best, pa.float64()))
 
 
 class Fingerprinter:
-    """Exact + winnowing fingerprints per document."""
+    """Exact + winnowing fingerprints per document.
+
+    The exact fingerprint is a vectorized 64-bit siphash of the
+    whitespace-normalized, lowercased text (one C pass over the batch;
+    the per-byte Python FNV loop it replaces was the stage's hot spot).
+    """
 
     def __init__(self, text_column: str = 'text') -> None:
         self.text_column = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         texts = batch.column(self.text_column).to_pylist()
-        exact = pa.array([np.uint64(fingerprint64(t or '')).astype(np.int64) for t in texts], pa.int64())
+        s = pd.Series(texts, dtype=object).fillna('')
+        s = s.str.replace(r'\s+', ' ', regex=True).str.strip().str.lower()
+        exact = pa.array(pd.util.hash_pandas_object(s, index=False).to_numpy().view(np.int64))
         sketches = pa.array([winnowing_fingerprints(t or '') for t in texts], pa.list_(pa.int64()))
         batch = batch.append_column('fingerprint', exact)
         return batch.append_column('winnow_sketch', sketches)

@@ -406,7 +406,9 @@ def q_token_count_documents(sf_dir: str):
     from auto_featurs_ray.datapipe.textstats import TextStats
     docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
                                  columns=['doc_id', 'text'])
-    out = docs.map_batches(TextStats, batch_format='pyarrow', concurrency=2)
+    # instance => task-pool map (regexes compile once on the driver and ship
+    # precompiled); an actor pool pays ~2s spin-up for microseconds of state
+    out = docs.map_batches(TextStats(), batch_format='pyarrow')
     return _finish(out, ['doc_id', 'n_chars_computed', 'n_words'])
 
 
@@ -969,7 +971,7 @@ def q_fingerprint_documents(sf_dir: str):
     from auto_featurs_ray.datapipe.textstats import Fingerprinter
     docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
                                  columns=['doc_id', 'text'])
-    out = docs.map_batches(Fingerprinter, batch_format='pyarrow', concurrency=2)
+    out = docs.map_batches(Fingerprinter(), batch_format='pyarrow')
 
     def project(batch: pa.Table) -> pa.Table:
         sketch_sizes = pc.list_value_length(batch.column('winnow_sketch'))
@@ -984,8 +986,8 @@ def q_langid_quality_documents(sf_dir: str):
     from auto_featurs_ray.datapipe.textstats import LanguageId, TextStats
     docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
                                  columns=['doc_id', 'text'])
-    out = docs.map_batches(TextStats, batch_format='pyarrow', concurrency=2)
-    out = out.map_batches(LanguageId, batch_format='pyarrow', concurrency=2)
+    out = docs.map_batches(TextStats(), batch_format='pyarrow')
+    out = out.map_batches(LanguageId(), batch_format='pyarrow')
     return _finish(out, ['doc_id', 'lang_pred', 'n_words', 'quality_score'],
                    round_cols=['quality_score'])
 
