@@ -284,16 +284,51 @@ def minhash_dedup(ds, *, text_column: str, id_column: str, **kwargs):
 # ---------------------------------------------------------------------------
 
 def _simhash64(text: str) -> int:
-    shingles = _shingle_hashes(text, 4)
-    if len(shingles) == 0:
-        return 0
-    bits = ((shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    value = 0
-    for b in range(64):
-        if votes[b] > 0:
-            value |= (1 << b)
-    return value - (1 << 63) if value >= (1 << 63) else value
+    return int(_simhash64_batch([text])[0])
+
+
+def _simhash64_batch(texts: Sequence[str]) -> np.ndarray:
+    """64-bit SimHash per document, vectorized across the whole batch: one
+    flat shingle-hash buffer, per-(doc, gram) dedup via lexsort, bit votes
+    via one reduceat over the expanded bit matrix."""
+    k = 4
+    chunks = []
+    for t in texts:
+        normalized = ' '.join((t or '').split()).lower()
+        data = np.frombuffer(normalized.encode('utf-8'), dtype=np.uint8)
+        if len(data) < k:
+            data = np.pad(data, (0, k - len(data)), constant_values=0)
+        chunks.append(data)
+    if not chunks:
+        return np.zeros(0, dtype=np.int64)
+    flat = np.concatenate(chunks).astype(np.uint64)
+    lens = np.asarray([len(c) for c in chunks])
+    gram_counts = lens - k + 1
+    doc_starts = np.cumsum(lens) - lens
+    powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    grams_all = np.zeros(len(flat) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        grams_all += flat[j:len(flat) - k + 1 + j] * powers[j]
+    valid = np.concatenate([np.arange(s, s + c) for s, c in zip(doc_starts, gram_counts)])
+    grams = grams_all[valid]
+    doc_of = np.repeat(np.arange(len(texts)), gram_counts)
+    # per-document unique grams (matches _shingle_hashes -> np.unique)
+    order = np.lexsort((grams, doc_of))
+    sg, sd = grams[order], doc_of[order]
+    first = np.concatenate(([True], (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])))
+    sg, sd = sg[first], sd[first]
+    bits = ((sg[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
+    signed = (2 * bits - 1).astype(np.int32)
+    starts = np.concatenate(([0], np.flatnonzero(sd[1:] != sd[:-1]) + 1))
+    votes = np.add.reduceat(signed, starts, axis=0)
+    docs_present = sd[starts]
+    out_bits = np.zeros((len(texts), 64), dtype=np.uint64)
+    out_bits[docs_present] = (votes > 0).astype(np.uint64)
+    packed = (out_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    # round-1 parity: the original scalar returned value - 2^63 when bit 63
+    # was set (clearing the top bit, not two's-complement) — effectively a
+    # 63-bit simhash; keep the same encoding for deterministic outputs
+    return (packed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
@@ -301,19 +336,16 @@ def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int
     """Near-dup clusters via 64-bit SimHash, bucketed by 4x16-bit bands."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_column).to_pylist()
-        ids = batch.column(id_column).to_pylist()
-        bands, keys, docs, hashes = [], [], [], []
-        for text, doc in zip(texts, ids):
-            h = _simhash64(text)
-            uh = h & 0xFFFFFFFFFFFFFFFF
-            for band in range(4):
-                bands.append(band)
-                keys.append((uh >> (16 * band)) & 0xFFFF)
-                docs.append(doc)
-                hashes.append(h)
-        return pa.table({'band': pa.array(bands, pa.int32()), 'key': pa.array(keys, pa.int64()),
-                         'doc': pa.array(docs), 'h': pa.array(hashes, pa.int64())})
+        n = batch.num_rows
+        hashes = _simhash64_batch(batch.column(text_column).to_pylist())
+        uh = hashes.view(np.uint64)
+        bands = np.repeat(np.arange(4, dtype=np.int32), n)
+        keys = np.concatenate([(uh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+                               for band in range(4)]).view(np.int64)
+        tile_idx = pa.array(np.tile(np.arange(n), 4))
+        return pa.table({'band': pa.array(bands), 'key': pa.array(keys),
+                         'doc': batch.column(id_column).take(tile_idx),
+                         'h': pa.array(np.tile(hashes, 4))})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows

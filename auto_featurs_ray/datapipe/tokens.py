@@ -166,38 +166,43 @@ class SequencePacker:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         values, offsets = _list_layout(batch.column(self.tokens_column))
-        lengths = np.diff(offsets)
-        ids = batch.column(self.id_column).to_pylist()
+        lengths = np.minimum(np.diff(offsets), self.context_len).astype(np.int64)
+        ids = batch.column(self.id_column)
 
         packs: List[List[int]] = []
-        fill = np.array([], dtype=np.int64)
+        fill: List[int] = []
         for row, length in enumerate(lengths):
-            length = min(int(length), self.context_len)
-            slot = np.flatnonzero(fill + length <= self.context_len)
-            if len(slot):
-                target = int(slot[0])
-                packs[target].append(row)
-                fill[target] += length
+            for target in range(len(packs)):  # first-fit in arrival order
+                if fill[target] + length <= self.context_len:
+                    packs[target].append(row)
+                    fill[target] += int(length)
+                    break
             else:
                 packs.append([row])
-                fill = np.append(fill, length)
+                fill.append(int(length))
 
-        out_tokens, out_ids, out_bounds, out_fill = [], [], [], []
-        for members in packs:
-            tokens: List[int] = []
-            bounds = [0]
-            for row in members:
-                seq = values[offsets[row]:offsets[row + 1]][:self.context_len]
-                tokens.extend(int(v) for v in seq)
-                bounds.append(len(tokens))
-            out_tokens.append(tokens)
-            out_ids.append([ids[r] for r in members])
-            out_bounds.append(bounds)
-            out_fill.append(len(tokens) / self.context_len)
-
+        # token payloads move as ONE flat gather over the values buffer —
+        # never through Python ints
+        member_rows = np.array([r for members in packs for r in members], dtype=np.int64)
+        member_lens = lengths[member_rows] if len(member_rows) else np.zeros(0, np.int64)
+        gather = (np.concatenate([np.arange(offsets[r], offsets[r] + lengths[r])
+                                  for r in member_rows])
+                  if len(member_rows) else np.zeros(0, np.int64))
+        pack_sizes = np.array([len(m) for m in packs], dtype=np.int64)
+        tokens_per_pack = (np.add.reduceat(member_lens, np.concatenate(
+            ([0], np.cumsum(pack_sizes)[:-1]))) if len(packs) else np.zeros(0, np.int64))
+        tok_offsets = np.concatenate(([0], np.cumsum(tokens_per_pack))).astype(np.int32)
+        tokens_arr = pa.ListArray.from_arrays(pa.array(tok_offsets, pa.int32()),
+                                              pa.array(values[gather], pa.int32()))
+        id_offsets = np.concatenate(([0], np.cumsum(pack_sizes))).astype(np.int32)
+        member_ids = pa.ListArray.from_arrays(pa.array(id_offsets, pa.int32()),
+                                              ids.take(pa.array(member_rows)).combine_chunks())
+        # per-pack member boundary offsets (small control data)
+        bounds = [np.concatenate(([0], np.cumsum(member_lens[id_offsets[i]:id_offsets[i + 1]])))
+                  for i in range(len(packs))]
         return pa.table({
-            'tokens': pa.array(out_tokens, pa.list_(pa.int32())),
-            'member_ids': pa.array(out_ids),
-            'boundaries': pa.array(out_bounds, pa.list_(pa.int32())),
-            'fill_ratio': pa.array(out_fill, pa.float64()),
+            'tokens': tokens_arr,
+            'member_ids': member_ids,
+            'boundaries': pa.array([b.tolist() for b in bounds], pa.list_(pa.int32())),
+            'fill_ratio': pa.array(tokens_per_pack / self.context_len, pa.float64()),
         })
