@@ -1021,6 +1021,102 @@ def q_flagship_tokens(sf_dir: str):
                    round_cols=['n_tok_exclusive_cum_mean_over_doc_id', 'quality_forward_filled_over_doc_id'])
 
 
+def q_simhash_dedup_documents(sf_dir: str):
+    """SimHash near-dup clusters over documents (rows-only: cluster members)."""
+    from auto_featurs_ray.datapipe.dedup import simhash_duplicates
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    clusters = simhash_duplicates(docs, text_column='text', id_column='doc_id')
+    return pa.table({'id': pa.array(clusters['id'].to_numpy(), pa.int64()),
+                     'cluster_id': pa.array(clusters['cluster_id'].to_numpy(), pa.int64())})
+
+
+def q_embedding_dedup_embeddings(sf_dir: str):
+    """Embedding-cosine near-dup clusters via hyperplane-LSH buckets.
+
+    The synthetic embeddings carry no near-dups (max pairwise cosine ~0.51),
+    so every 5th vector is re-emitted with a small deterministic perturbation;
+    the operator must recover exactly those planted pairs (rows-only check
+    records the cluster membership count).
+    """
+    from auto_featurs_ray.datapipe.dedup import embedding_duplicates
+
+    def plant_dups(batch: pa.Table) -> pa.Table:
+        from auto_featurs_ray.datapipe.similarity import _embedding_matrix
+        ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(batch.column('embedding'))
+        pick = ids % 5 == 0
+        # per-row deterministic perturbation (batch boundaries must not
+        # change the result): smooth pseudo-noise derived from (id, dim)
+        noise = np.sin(np.outer(ids[pick] + 1, np.arange(1, emb.shape[1] + 1)) * 12.9898)
+        dup = emb[pick] + 0.02 * noise
+        all_ids = np.concatenate([ids, ids[pick] + 1_000_000])
+        all_emb = np.concatenate([emb, dup])
+        return pa.table({'vec_id': pa.array(all_ids, pa.int64()),
+                         'embedding': pa.array(list(all_emb), pa.list_(pa.float64()))})
+
+    ds = (ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'),
+                                columns=['vec_id', 'embedding'])
+          .map_batches(plant_dups, batch_format='pyarrow'))
+    clusters = embedding_duplicates(ds, embedding_column='embedding', id_column='vec_id',
+                                    threshold=0.95)
+    import pandas as pd
+    return pd.DataFrame({'id': clusters['id'].astype('int64'),
+                         'cluster_id': clusters['cluster_id'].astype('int64')})
+
+
+def q_pack_sequences(sf_dir: str):
+    """Token pipeline: exact dedup -> length buckets -> truncate -> pack into
+    fixed 512-token training contexts (rows-only: one row per packed context)."""
+    from auto_featurs_ray.datapipe.tokens import (SequencePacker, add_length_buckets,
+                                                  exact_token_dedup, truncate_tokens)
+    from auto_featurs_ray.fixtures import write_sequence_dataset
+    root = write_sequence_dataset('/tmp/afr_f6_q', num_shards=2, docs_per_shard=200, seed=42)
+    ds = ray.data.read_parquet(os.path.join(root, 'sequences'))
+    ds = exact_token_dedup(ds, num_partitions=8)
+    ds = add_length_buckets(ds, boundaries=[16, 32, 64, 128])
+    ds = truncate_tokens(ds, max_tokens=128)
+    packed = ds.map_batches(SequencePacker, fn_constructor_kwargs={'context_len': 512},
+                            batch_format='pyarrow', concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'n_members': pc.list_value_length(batch.column('member_ids')),
+            'n_tokens': pc.list_value_length(batch.column('tokens')),
+            'fill_ratio': batch.column('fill_ratio'),
+        })
+
+    return packed.map_batches(project, batch_format='pyarrow')
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Real PPM decode + feature extraction over deterministically synthesized
+    binary payloads (rows-only; exercises the media plumbing end-to-end)."""
+    from auto_featurs_ray.datapipe.multimodal import decode_pipeline
+
+    def make_payloads(batch: pa.Table) -> pa.Table:
+        rng_ids = batch.column('id').to_numpy(zero_copy_only=False)
+        payloads = []
+        for i in rng_ids:
+            rng = np.random.default_rng(int(i))
+            px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            payloads.append(b'P6\n16 16\n255\n' + px.tobytes())
+        return pa.table({'media_id': pa.array([f'm{int(i)}' for i in rng_ids], pa.string()),
+                         'payload': pa.array(payloads, pa.binary())})
+
+    media = (ray.data.range(200, override_num_blocks=8)
+             .map_batches(make_payloads, batch_format='pyarrow'))
+    out = decode_pipeline(media, decoder='auto', concurrency=2, batch_size=32)
+
+    def project(batch: pa.Table) -> pa.Table:
+        feats = batch.column('image_features')
+        return pa.table({'media_id': batch.column('media_id'),
+                         'n_pixels': pc.list_value_length(batch.column('pixels')),
+                         'feat_dim': pc.list_value_length(feats)})
+
+    return out.map_batches(project, batch_format='pyarrow')
+
+
 def q_hash_join_orders_customer(sf_dir: str):
     """Partitioned hash join (both sides large): orders left-joined to customer."""
     from auto_featurs_ray.engine.join import hash_join
@@ -1087,6 +1183,10 @@ QUERIES = {
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
     'flagship_tokens': q_flagship_tokens,
+    'simhash_dedup_documents': q_simhash_dedup_documents,
+    'embedding_dedup_embeddings': q_embedding_dedup_embeddings,
+    'pack_sequences': q_pack_sequences,
+    'multimodal_decode': q_multimodal_decode,
 }
 
 ORACLE_SQL = {
