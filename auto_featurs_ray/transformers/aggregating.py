@@ -513,21 +513,19 @@ class EntityEntropyTransformer(AggregatingTransformer):
             counts['term'] = -p * np.log2(p)
             ent = counts.groupby('g')['term'].sum()
             return ent.reindex(np.arange(combined.max() + 1 if n else 0)).to_numpy()[combined] if n else np.zeros(0)
-        out = np.full(n, np.nan)
-        for rows in group_index_lists(combined):
-            counters: dict = {}
-            total = 0
-            sum_clogc = 0.0
-            for i in rows:
-                v = values[i]
-                c = counters.get(v, 0)
-                if c:
-                    sum_clogc -= c * math.log2(c)
-                c += 1
-                counters[v] = c
-                sum_clogc += c * math.log2(c)
-                total += 1
-                out[i] = math.log2(total) - sum_clogc / total if total > 1 else 0.0
+        # vectorized running entropy: appending one target value changes one
+        # count c-1 -> c, so sum(c*log2 c) advances by the per-row delta
+        # c*log2(c) - (c-1)*log2(c-1); both cumcounts and the delta cumsum are
+        # pandas C kernels (the round-1 per-row Python loop was the global
+        # cumulative path's scale wall)
+        pair_frame = pd.DataFrame({'g': combined, 'v': values})
+        c = pair_frame.groupby(['g', 'v'], sort=False).cumcount().to_numpy() + 1
+        with np.errstate(divide='ignore', invalid='ignore'):
+            delta = c * np.log2(c) - np.where(c > 1, (c - 1) * np.log2(np.maximum(c - 1, 1)), 0.0)
+        sum_clogc = pd.Series(delta).groupby(combined).cumsum().to_numpy()
+        total = pd.Series(np.ones(n)).groupby(combined).cumcount().to_numpy() + 1
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = np.where(total > 1, np.log2(total) - sum_clogc / total, 0.0)
         result = pd.Series(out)
         if self.cumulative == CumulativeOptions.EXCLUSIVE:
             result = _gshift(result, combined, 1)
