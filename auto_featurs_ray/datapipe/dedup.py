@@ -238,6 +238,76 @@ def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: in
     return _connected_components(pairs)
 
 
+def connected_components_distributed(pairs, *, num_partitions: int = 16,
+                                     max_rounds: int = 25) -> pd.DataFrame:
+    """Connected components by distributed min-label propagation.
+
+    The scale path for the duplicate-pair graph: labels and (undirected)
+    edges are hash-partitioned; each round co-groups edges with labels and
+    reduces ``label[dst] = min(label[dst], label[src])`` on the exchange, so
+    no node ever holds the whole pair set (the driver union-find in
+    :func:`_connected_components` does — fine until the pair set itself is
+    huge).  Labels only decrease, so an unchanged label sum certifies
+    convergence; rounds needed = component diameter (small for dup clusters).
+
+    Returns the same (id, cluster_id) frame as the driver union-find.
+    """
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.runtime import cogroup_map_partitions, shuffle_map_partitions
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = pa.table({'left': pa.array(pairs['left'].to_numpy(), pa.int64()),
+                          'right': pa.array(pairs['right'].to_numpy(), pa.int64())})
+    if isinstance(pairs, pa.Table):
+        if pairs.num_rows == 0:
+            return pd.DataFrame({'id': [], 'cluster_id': []})
+        pairs = rd.from_arrow(pairs)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        left = batch.column('left').combine_chunks()
+        right = batch.column('right').combine_chunks()
+        return pa.table({'src': pa.concat_arrays([left.cast(pa.int64()), right.cast(pa.int64())]),
+                         'dst': pa.concat_arrays([right.cast(pa.int64()), left.cast(pa.int64())])})
+
+    edges = pairs.map_batches(undirect, batch_format='pyarrow').materialize()
+
+    def init_labels(table: pa.Table, _pid: int) -> pa.Table:
+        nodes = pc.unique(table.column('src').combine_chunks())
+        return pa.table({'src': nodes, 'label': nodes})
+
+    # labels keep the column name 'src' so edges and labels co-partition on
+    # the same key through every round
+    labels = shuffle_map_partitions(edges, ['src'], num_partitions, init_labels).materialize()
+    prev_sum = None
+    for _round in range(max_rounds):
+        def propagate(edge_t: pa.Table, label_t: pa.Table, _pid: int) -> pa.Table:
+            # messages: each edge forwards its src's label to dst; labels
+            # forward themselves (so isolated/settled nodes persist)
+            merged = edge_t.join(label_t, keys=['src'], join_type='inner', use_threads=False)
+            return pa.table({
+                'node': pa.concat_arrays([merged.column('dst').combine_chunks(),
+                                          label_t.column('src').combine_chunks()]),
+                'label': pa.concat_arrays([merged.column('label').combine_chunks(),
+                                           label_t.column('label').combine_chunks()]),
+            })
+
+        messages = cogroup_map_partitions(edges, labels, ['src'], num_partitions, propagate)
+
+        def reduce_min(table: pa.Table, _pid: int) -> pa.Table:
+            grouped = table.group_by('node').aggregate([('label', 'min')])
+            return pa.table({'src': grouped.column('node'), 'label': grouped.column('label_min')})
+
+        labels = shuffle_map_partitions(messages, ['node'], num_partitions, reduce_min).materialize()
+        label_sum = labels.sum('label')
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+
+    frame = labels.to_pandas().rename(columns={'src': 'id', 'label': 'cluster_id'})
+    return frame.sort_values('id').reset_index(drop=True)
+
+
 def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     """Union-find over the (small) verified pair set -> (id, cluster_id)."""
     parent: Dict = {}
@@ -256,27 +326,56 @@ def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({'id': members, 'cluster_id': [find(m) for m in members]})
 
 
-def minhash_dedup(ds, *, text_column: str, id_column: str, **kwargs):
-    """Drop all non-representative members of near-duplicate clusters.
+def anti_join_ids(ds, drop_ids: np.ndarray, *, id_column: str,
+                  broadcast_threshold: int = 5_000_000, num_partitions: int = 32):
+    """Drop rows whose ``id_column`` appears in ``drop_ids``.
 
-    The drop-id set is broadcast once via ``ray.put`` (not pickled into every
-    task closure) and the membership test is a vectorized ``pc.is_in`` — no
-    per-row Python, no driver-sized state shipped per batch.
+    Small drop sets broadcast once via ``ray.put`` and filter with a
+    vectorized ``pc.is_in``.  Beyond ``broadcast_threshold`` ids, the drop set
+    is hash-partitioned alongside the data and each co-located partition pair
+    filters locally — a true anti-join on the exchange, so no node ever holds
+    the full drop set.
     """
     import ray
 
-    clusters = minhash_lsh_duplicates(ds, text_column=text_column, id_column=id_column, **kwargs)
-    drop = clusters.loc[clusters['id'] != clusters['cluster_id'], 'id'].to_numpy()
-    drop_ref = ray.put(pa.array(drop))
+    if len(drop_ids) <= broadcast_threshold:
+        drop_ref = ray.put(pa.array(drop_ids))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        drop_arr = ray.get(drop_ref)
-        ids = batch.column(id_column)
+        def keep(batch: pa.Table) -> pa.Table:
+            drop_arr = ray.get(drop_ref)
+            ids = batch.column(id_column)
+            if drop_arr.type != ids.type:
+                drop_arr = drop_arr.cast(ids.type)
+            return batch.filter(pc.invert(pc.is_in(ids, value_set=drop_arr)))
+
+        return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
+
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.runtime import cogroup_map_partitions
+    drop_ds = rd.from_arrow(pa.table({id_column: pa.array(drop_ids)}))
+
+    def filter_partition(left: pa.Table, right: pa.Table, _pid: int) -> pa.Table:
+        ids = left.column(id_column)
+        drop_arr = right.column(id_column).combine_chunks()
         if drop_arr.type != ids.type:
             drop_arr = drop_arr.cast(ids.type)
-        return batch.filter(pc.invert(pc.is_in(ids, value_set=drop_arr)))
+        return left.filter(pc.invert(pc.is_in(ids, value_set=drop_arr)))
 
-    return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
+    return cogroup_map_partitions(ds, drop_ds, [id_column], num_partitions, filter_partition)
+
+
+def minhash_dedup(ds, *, text_column: str, id_column: str,
+                  broadcast_threshold: int = 5_000_000, **kwargs):
+    """Drop all non-representative members of near-duplicate clusters.
+
+    The drop-id set either broadcasts once (small) or anti-joins on the hash
+    exchange (large) — see :func:`anti_join_ids`; the membership test is a
+    vectorized ``pc.is_in`` either way.
+    """
+    clusters = minhash_lsh_duplicates(ds, text_column=text_column, id_column=id_column, **kwargs)
+    drop = clusters.loc[clusters['id'] != clusters['cluster_id'], 'id'].to_numpy()
+    return anti_join_ids(ds, drop, id_column=id_column, broadcast_threshold=broadcast_threshold)
 
 
 # ---------------------------------------------------------------------------

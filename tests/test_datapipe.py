@@ -71,6 +71,36 @@ class TestMinHash:
         assert a.equals(b)
 
 
+class TestScalePaths:
+    def test_anti_join_ids_both_paths_agree(self):
+        from auto_featurs_ray.datapipe.dedup import anti_join_ids
+        table = pa.table({'doc_id': pa.array(range(100), pa.int64()),
+                          'payload': pa.array([f'p{i}' for i in range(100)])})
+        drop = np.arange(0, 100, 3)
+        small = anti_join_ids(rd.from_arrow(table), drop, id_column='doc_id').to_pandas()
+        large = anti_join_ids(rd.from_arrow(table), drop, id_column='doc_id',
+                              broadcast_threshold=0, num_partitions=4).to_pandas()
+        assert sorted(small['doc_id']) == sorted(large['doc_id'])
+        assert set(small['doc_id']) == set(range(100)) - set(drop.tolist())
+
+    def test_distributed_cc_matches_union_find(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.dedup import (_connected_components,
+                                                     connected_components_distributed)
+        rng = np.random.default_rng(3)
+        pairs = pd.DataFrame({'left': rng.integers(0, 300, 400),
+                              'right': rng.integers(0, 300, 400)})
+        pairs = pairs[pairs.left != pairs.right]
+        pairs[['left', 'right']] = np.sort(pairs[['left', 'right']].to_numpy(), axis=1)
+        pairs = pairs.drop_duplicates()
+        uf = _connected_components(pairs).sort_values('id').reset_index(drop=True)
+        dist = connected_components_distributed(pairs, num_partitions=4)
+        merged = uf.merge(dist, on='id', suffixes=('_uf', '_d'))
+        assert len(merged) == len(uf) == len(dist)
+        assert (merged['cluster_id_uf'] == merged['cluster_id_d']).all()
+
+
 class TestSimHash:
     def test_exact_dup_found(self):
         clusters = simhash_duplicates(rd.from_arrow(doc_table()), text_column='text', id_column='doc_id')
