@@ -294,18 +294,29 @@ class CharacterEntropyTransformer(TextExtractionTransformer):
         return f'{self._column}_character_entropy'
 
     def apply(self, table: pa.Table):
-        out = []
-        for value in table.column(self._column).to_pylist():
-            if value is None:
-                out.append(None)
-                continue
-            if value == '':
-                out.append(0.0)
-                continue
-            counts = np.fromiter(Counter(value).values(), dtype=np.float64)
-            p = counts / counts.sum()
-            out.append(float(-(p * np.log2(p)).sum()))
-        return pa.array(out, type=pa.float64())
+        texts = table.column(self._column).to_pylist()
+        n = len(texts)
+        # vectorized: one UTF-32 decode of the whole batch -> (row, codepoint)
+        # run counts via lexsort -> per-row entropy from sum(c*log2 c)
+        lengths = np.fromiter((0 if t is None else len(t) for t in texts), dtype=np.int64, count=n)
+        joined = ''.join(t for t in texts if t)
+        codes = np.frombuffer(joined.encode('utf-32-le'), dtype=np.uint32)
+        row_of = np.repeat(np.arange(n), lengths)
+        order = np.lexsort((codes, row_of))
+        sr, sc = row_of[order], codes[order]
+        run_start = np.concatenate(([True], (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1]))) \
+            if len(sr) else np.zeros(0, bool)
+        starts = np.flatnonzero(run_start)
+        run_counts = np.diff(np.append(starts, len(sr))).astype(np.float64)
+        clogc = run_counts * np.log2(run_counts)
+        # sum of c*log2(c) per row over its runs
+        run_rows = sr[starts]
+        sum_clogc = np.bincount(run_rows, weights=clogc, minlength=n) if len(starts) else np.zeros(n)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = np.where(lengths > 0, np.log2(np.maximum(lengths, 1)) - sum_clogc / np.maximum(lengths, 1),
+                           0.0)
+        mask = np.fromiter((t is None for t in texts), dtype=bool, count=n)
+        return pa.array(out, type=pa.float64(), mask=mask)
 
 
 class TextExtraction(Enum):
