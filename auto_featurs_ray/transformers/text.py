@@ -13,7 +13,6 @@ from __future__ import annotations
 import math
 import re
 from abc import ABC
-from collections import Counter
 from dataclasses import dataclass
 from enum import Enum
 from typing import Any
