@@ -65,7 +65,8 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
               post_transformers: Optional[Sequence] = None,
               post_order_by: Sequence[str] = (),
               post_row_local: Optional[Sequence] = None,
-              right_dedupe_max: Optional[str] = None):
+              right_dedupe_max: Optional[str] = None,
+              presplit: Optional[dict] = None):
     """As-of join two ``ray.data.Dataset``s; returns a new Dataset.
 
     ``by``: entity key columns (must exist on both sides).
@@ -77,6 +78,10 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
     there, so this replaces a whole extra ``groupby().map_groups`` exchange
     (whose fixed overhead dominated the round-1 asof query) with a local
     sort-run filter.
+
+    ``presplit``: a handle from ``cogroup_launch_splits(left, right, by,
+    num_partitions)`` — lets the caller overlap driver-side work (e.g.
+    broadcast-state computation) with the scan+split phase.
     """
     if direction not in ('backward', 'forward'):
         raise ValueError(f'Unsupported direction: {direction}')
@@ -126,4 +131,7 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
             result = result.append_column(transformer.output_name, transformer.apply(result))
         return result
 
+    if presplit is not None:
+        from auto_featurs_ray.engine.runtime import cogroup_reduce_from_splits
+        return cogroup_reduce_from_splits(presplit, merge_partition)
     return cogroup_map_partitions(left, right, by, num_partitions, merge_partition)

@@ -250,21 +250,15 @@ def shuffle_map_partitions(ds, key_columns: Sequence[str], num_partitions: int, 
     return ray.data.from_arrow_refs(out_refs)
 
 
-def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_partitions: int,
-                           partition_fn):
-    """Co-partition two datasets on the same key and reduce pairwise.
+def cogroup_launch_splits(left_ds, right_ds, key_columns: Sequence[str], num_partitions: int):
+    """Phase 1 of the co-grouped exchange: launch both sides' split tasks.
 
-    ``partition_fn(left_table, right_table, partition_id)`` receives the
-    complete co-located partitions of both sides — the primitive behind the
-    as-of join (and any partitioned join): one exchange, no union/schema
-    alignment, each side's blocks ride through untouched.
-
-    Either side may be given as a list of parquet file paths instead of a
-    Dataset: the split tasks then read the shards directly (fused scan+split),
-    skipping one full object-store round-trip of the raw input.
+    Returns an opaque handle for :func:`cogroup_reduce_from_splits`.  Split
+    work proceeds in the background, so driver-side work that must finish
+    before the reduce closure exists (e.g. computing broadcast lookup states)
+    can overlap the scan+split instead of serializing in front of it.
     """
     import ray
-    import ray.data
 
     key_columns = list(key_columns)
 
@@ -288,6 +282,28 @@ def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_pa
                 *[side[i] for i in group]) for group in groups if len(group)]
         return _launch_split_tasks(side, split_task, num_partitions)
 
+    def refs_for(side):
+        if isinstance(side, (list, tuple)):
+            import ray.data as rd
+            return rd.read_parquet(list(side)).to_arrow_refs()
+        return side.to_arrow_refs()
+
+    if num_partitions == 1:
+        left_refs = refs_for(left_ds)
+        right_refs = refs_for(right_ds)
+        return {'mode': 'single', 'left': left_refs, 'right': right_refs,
+                'num_partitions': num_partitions}
+    return {'mode': 'split', 'left': splits_for(left_ds), 'right': splits_for(right_ds),
+            'num_partitions': num_partitions}
+
+
+def cogroup_reduce_from_splits(handle: dict, partition_fn):
+    """Phase 2: launch one reduce task per co-located partition pair."""
+    import ray
+    import ray.data
+
+    num_partitions = handle['num_partitions']
+
     @ray.remote
     def reduce_task(partition_id: int, n_left: int, *slices: pa.Table) -> pa.Table:
         def concat(parts):
@@ -298,25 +314,34 @@ def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_pa
 
         return partition_fn(concat(slices[:n_left]), concat(slices[n_left:]), partition_id)
 
-    def refs_for(side):
-        if isinstance(side, (list, tuple)):
-            import ray.data as rd
-            return rd.read_parquet(list(side)).to_arrow_refs()
-        return side.to_arrow_refs()
-
-    if num_partitions == 1:
-        left_refs = refs_for(left_ds)
-        right_refs = refs_for(right_ds)
+    if handle['mode'] == 'single':
+        left_refs, right_refs = handle['left'], handle['right']
         out_refs = [reduce_task.remote(0, len(left_refs), *left_refs, *right_refs)]
     else:
-        left_splits = splits_for(left_ds)
-        right_splits = splits_for(right_ds)
+        left_splits, right_splits = handle['left'], handle['right']
         out_refs = [
             reduce_task.remote(p, len(left_splits),
                                *[s[p] for s in left_splits], *[s[p] for s in right_splits])
             for p in range(num_partitions)
         ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def cogroup_map_partitions(left_ds, right_ds, key_columns: Sequence[str], num_partitions: int,
+                           partition_fn):
+    """Co-partition two datasets on the same key and reduce pairwise.
+
+    ``partition_fn(left_table, right_table, partition_id)`` receives the
+    complete co-located partitions of both sides — the primitive behind the
+    as-of join (and any partitioned join): one exchange, no union/schema
+    alignment, each side's blocks ride through untouched.
+
+    Either side may be given as a list of parquet file paths instead of a
+    Dataset: the split tasks then read the shards directly (fused scan+split),
+    skipping one full object-store round-trip of the raw input.
+    """
+    handle = cogroup_launch_splits(left_ds, right_ds, key_columns, num_partitions)
+    return cogroup_reduce_from_splits(handle, partition_fn)
 
 
 def apply_window_stage(ds, transformers: Sequence[AggregatingTransformer], key_columns: Sequence[str],

@@ -193,6 +193,13 @@ def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
     window = _window_transformers(rolling_window, session_gap)
     ratios = _ratio_transformers(rolling_window)
 
+    # NOTE: launching the exchange's split phase before the broadcast-state
+    # pass (cogroup_launch_splits + presplit=) was measured SLOWER here — the
+    # states executor and the split tasks contend for the same 32 CPUs rather
+    # than overlapping; on a real multi-node cluster with I/O-bound scans the
+    # two-phase form is the right shape, so the API stays available.
+    presplit = None
+
     # per-source (zipf-hot key) aggregates: partials over a COLUMN-PRUNED read
     # (source, n_tok only), combined on the driver, then attached inside the
     # reduce task — the skew-immune path with zero extra passes over the wide
@@ -217,7 +224,7 @@ def run_flagship(seq_path: str, events_path: Optional[str] = None, *,
         data = asof_join(sequences, events_side, by=['doc_id'], on='ts', direction='backward',
                          num_partitions=num_partitions,
                          post_transformers=window, post_order_by=['ts'],
-                         post_row_local=ratios + source_features)
+                         post_row_local=ratios + source_features, presplit=presplit)
     else:
         from auto_featurs_ray.engine.runtime import apply_window_stage
         joined = apply_window_stage(sequences, window, ['doc_id'], ['ts'], num_partitions)
