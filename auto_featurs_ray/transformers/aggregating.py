@@ -242,19 +242,22 @@ class ModeTransformer(AggregatingTransformer):
             if cond is not None:
                 df = df[cond]
             # nulls count as a value (polars mode); ties -> sort(descending).first(),
-            # where polars places null FIRST, so a tied null wins (ref :136)
+            # where polars places null FIRST, so a tied null wins (ref :136).
+            # Vectorized winner pick: sort (count desc, null-first, value desc)
+            # and keep the first row per group — no per-group Python.
             counts = df.groupby(['g', 'v'], sort=False, dropna=False).size().reset_index(name='c')
-            winners: dict = {}
-            for g, sub in counts.groupby('g'):
-                top = sub['c'].max()
-                candidates = sub.loc[sub['c'] == top, 'v']
-                if candidates.isna().any():
-                    winners[g] = None
-                else:
-                    winners[g] = candidates.max()
-            out = np.empty(n, dtype=object)
-            for i, g in enumerate(codes):
-                out[i] = winners.get(g)
+            counts['__isna'] = counts['v'].isna()
+            winners_frame = (counts.sort_values(['g', 'c', '__isna', 'v'],
+                                                ascending=[True, False, False, False],
+                                                na_position='first')
+                             .drop_duplicates('g', keep='first'))
+            max_g = int(codes.max()) + 1 if n else 0
+            lookup = np.empty(max_g, dtype=object)
+            lookup[:] = None
+            values = winners_frame['v'].to_numpy(dtype=object)
+            values[winners_frame['__isna'].to_numpy()] = None
+            lookup[winners_frame['g'].to_numpy()] = values
+            out = lookup[codes] if n else np.empty(0, dtype=object)
             return pa.Array.from_pandas(pd.Series(out), type=frame.table.column(self._column.name).type)
         # cumulative: running mode, ties -> latest value to reach max count (ref :138-145)
         values = series.to_numpy(dtype=object)
