@@ -12,8 +12,7 @@
 
 from __future__ import annotations
 
-import heapq
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -9,7 +9,6 @@ differs between engines are rounded to 6 decimals on BOTH sides.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, List, Optional, Sequence
 
