@@ -1116,6 +1116,48 @@ def q_multimodal_decode(sf_dir: str):
     return out.map_batches(project, batch_format='pyarrow')
 
 
+def q_resumable_sink(sf_dir: str):
+    """Kill/resume resumability, driver-visible (rows-only): write events to a
+    checkpointed partitioned sink, kill after 3 partitions, resume, and emit
+    one row per partition proving the resumed set is byte-identical to an
+    uninterrupted run."""
+    import hashlib
+    import shutil
+
+    import pandas as pd
+
+    from auto_featurs_ray.engine.checkpoint import resumable_write
+
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'ts', 'user_id', 'value'])
+    full_dir, resumed_dir = '/tmp/afr_sink_full', '/tmp/afr_sink_resumed'
+    for d in (full_dir, resumed_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    resumable_write(events, full_dir, key_columns=['user_id'], order_by=['ts', 'event_id'],
+                    num_partitions=8)
+    try:  # killed run: stops after 3 fresh partition writes
+        resumable_write(events, resumed_dir, key_columns=['user_id'],
+                        order_by=['ts', 'event_id'], num_partitions=8, fail_after=3)
+    except RuntimeError:
+        pass
+    records = resumable_write(events, resumed_dir, key_columns=['user_id'],
+                              order_by=['ts', 'event_id'], num_partitions=8)
+
+    def sha(path: str) -> str:
+        return hashlib.sha256(open(path, 'rb').read()).hexdigest()
+
+    rows = []
+    for r in sorted(records, key=lambda r: r['partition_id']):
+        pid = r['partition_id']
+        a = os.path.join(full_dir, f'part-{pid:05d}.parquet')
+        b = os.path.join(resumed_dir, f'part-{pid:05d}.parquet')
+        rows.append({'partition_id': pid, 'rows': r['rows'],
+                     'byte_identical': sha(a) == sha(b)})
+    frame = pd.DataFrame(rows)
+    assert frame['byte_identical'].all()
+    return frame
+
+
 def q_hash_join_orders_customer(sf_dir: str):
     """Partitioned hash join (both sides large): orders left-joined to customer."""
     from auto_featurs_ray.engine.join import hash_join
@@ -1186,6 +1228,7 @@ QUERIES = {
     'embedding_dedup_embeddings': q_embedding_dedup_embeddings,
     'pack_sequences': q_pack_sequences,
     'multimodal_decode': q_multimodal_decode,
+    'resumable_sink': q_resumable_sink,
 }
 
 ORACLE_SQL = {
