@@ -495,7 +495,9 @@ def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_si
         return sub.select([id_column, text_column])
 
     texts = {r[id_column]: r[text_column] for r in ds.map_batches(project, batch_format='pyarrow').take_all()}
-    shingle_cache = {i: set(_shingle_hashes(t, shingle_size).tolist()) for i, t in texts.items()}
+    # _shingle_hashes returns sorted-unique arrays: intersections are one
+    # C-level merge each instead of Python set ops over substring objects
+    shingle_cache = {i: _shingle_hashes(t, shingle_size) for i, t in texts.items()}
     out = {'left': [], 'right': [], 'jaccard': []}
     by_cluster: Dict = {}
     for _, row in candidates.iterrows():
@@ -505,8 +507,9 @@ def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_si
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 a, b = shingle_cache[members[i]], shingle_cache[members[j]]
-                union = len(a | b)
-                jac = len(a & b) / union if union else 1.0
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                union = len(a) + len(b) - inter
+                jac = inter / union if union else 1.0
                 if jac >= threshold:
                     out['left'].append(members[i])
                     out['right'].append(members[j])

@@ -33,6 +33,24 @@ def _skewed_table(hot_rows=30000, cold_entities=50, cold_rows=20):
     })
 
 
+def test_suggest_num_partitions_targets_bytes():
+    from auto_featurs_ray.engine.runtime import TARGET_PARTITION_BYTES, suggest_num_partitions
+    assert suggest_num_partitions(0) == 8  # floor
+    assert suggest_num_partitions(100 * TARGET_PARTITION_BYTES) == 100
+    assert suggest_num_partitions(100 * TARGET_PARTITION_BYTES + 1) == 101
+    assert suggest_num_partitions(10**18) == 65536  # ceiling
+
+
+def test_flagship_derives_partition_count(tmp_path):
+    from auto_featurs_ray.fixtures import write_sequence_dataset
+    from auto_featurs_ray.pipelines.flagship import run_flagship
+    root = write_sequence_dataset(str(tmp_path / 'f6'), num_shards=2, docs_per_shard=50, seed=3)
+    import os
+    result = run_flagship(os.path.join(root, 'sequences'), os.path.join(root, 'events'),
+                          num_partitions=None)  # derive from shard bytes
+    assert result.data.count() > 0
+
+
 def test_hot_entity_results_exact():
     table = _skewed_table()
     schema = Schema([
