@@ -1116,6 +1116,18 @@ def q_multimodal_decode(sf_dir: str):
     return out.map_batches(project, batch_format='pyarrow')
 
 
+def q_shuffle_split_documents(sf_dir: str):
+    """Deterministic global shuffle + hash train/val/test split (rows-only):
+    reproducible on any block layout / partition count / cluster size."""
+    from auto_featurs_ray.datapipe.shuffle import deterministic_shuffle, hash_split
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'lang'])
+    ds = hash_split(docs, key_column='doc_id',
+                    fractions={'train': 0.8, 'val': 0.1, 'test': 0.1}, seed=11)
+    ds = deterministic_shuffle(ds, key_column='doc_id', seed=11, num_partitions=8)
+    return _finish(ds, ['doc_id', 'lang', 'split'])
+
+
 def q_resumable_sink(sf_dir: str):
     """Kill/resume resumability, driver-visible (rows-only): write events to a
     checkpointed partitioned sink, kill after 3 partitions, resume, and emit
@@ -1229,6 +1241,7 @@ QUERIES = {
     'pack_sequences': q_pack_sequences,
     'multimodal_decode': q_multimodal_decode,
     'resumable_sink': q_resumable_sink,
+    'shuffle_split_documents': q_shuffle_split_documents,
 }
 
 ORACLE_SQL = {

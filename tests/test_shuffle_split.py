@@ -1,0 +1,55 @@
+"""Deterministic shuffle / hash-split operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from auto_featurs_ray.datapipe.shuffle import deterministic_shuffle, hash_split
+
+
+def _table(n=2000):
+    return pa.table({'doc_id': pa.array(np.arange(n), pa.int64()),
+                     'payload': pa.array([f'p{i}' for i in range(n)])})
+
+
+def test_shuffle_is_permutation_and_deterministic():
+    out1 = deterministic_shuffle(rd.from_arrow(_table()), key_column='doc_id',
+                                 seed=7, num_partitions=8).to_pandas()
+    out2 = deterministic_shuffle(rd.from_arrow(_table()), key_column='doc_id',
+                                 seed=7, num_partitions=8).to_pandas()
+    assert sorted(out1['doc_id']) == list(range(2000))       # a permutation
+    assert out1['doc_id'].tolist() == out2['doc_id'].tolist()  # reproducible
+    assert out1['doc_id'].tolist() != sorted(out1['doc_id'])   # actually shuffled
+    # a different seed gives a different order
+    out3 = deterministic_shuffle(rd.from_arrow(_table()), key_column='doc_id',
+                                 seed=8, num_partitions=8).to_pandas()
+    assert out1['doc_id'].tolist() != out3['doc_id'].tolist()
+
+
+def test_shuffle_independent_of_layout():
+    # block count / partition count must not change the permutation
+    a = deterministic_shuffle(rd.from_arrow(_table()).repartition(3), key_column='doc_id',
+                              seed=7, num_partitions=4).to_pandas()
+    b = deterministic_shuffle(rd.from_arrow(_table()).repartition(11), key_column='doc_id',
+                              seed=7, num_partitions=4).to_pandas()
+    assert a['doc_id'].tolist() == b['doc_id'].tolist()
+
+
+def test_hash_split_fractions_and_stability():
+    out = hash_split(rd.from_arrow(_table(5000)), key_column='doc_id',
+                     fractions={'train': 0.8, 'val': 0.1, 'test': 0.1}, seed=3).to_pandas()
+    counts = out['split'].value_counts(normalize=True)
+    assert abs(counts['train'] - 0.8) < 0.03
+    assert abs(counts['val'] - 0.1) < 0.02
+    # membership is per-key stable: recompute on a subset, assignments agree
+    sub = hash_split(rd.from_arrow(_table(1000)), key_column='doc_id',
+                     fractions={'train': 0.8, 'val': 0.1, 'test': 0.1}, seed=3).to_pandas()
+    merged = out.merge(sub, on='doc_id', suffixes=('_full', '_sub'))
+    assert (merged['split_full'] == merged['split_sub']).all()
+
+
+def test_hash_split_validates_fractions():
+    with pytest.raises(ValueError):
+        hash_split(rd.from_arrow(_table(10)), key_column='doc_id',
+                   fractions={'train': 0.5, 'val': 0.1})
