@@ -138,7 +138,9 @@ class Dataset:
     def collect(self) -> pd.DataFrame:
         """Materialize to pandas in canonical order (test/small-result path)."""
         df = self._data.to_pandas()
-        if self.order_by:
+        if self.order_by and all(c in df.columns for c in self.order_by):
+            # an empty dataset materializes with no columns at all — nothing
+            # to sort then (or ever, at 0 rows)
             df = df.sort_values(self.order_by, kind='stable').reset_index(drop=True)
         return df
 

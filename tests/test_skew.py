@@ -51,6 +51,34 @@ def test_flagship_derives_partition_count(tmp_path):
     assert result.data.count() > 0
 
 
+def test_empty_and_single_row_pipelines():
+    schema = Schema([
+        CS.numeric(name='id', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='ts', role=ColumnRole.TIME_INFO),
+        CS.nominal(name='g', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='x'),
+    ])
+
+    def run(table):
+        ds = Dataset.from_arrow(table, schema, order_by=['ts', 'id'],
+                                num_blocks=2, num_partitions=3)
+        return (Pipeline(ds)
+                .with_count(over_columns_combinations=[['g']],
+                            cumulative=CumulativeOptions.EXCLUSIVE)
+                .with_arithmetic_aggregation('x', aggregations=[ArithmeticAggregations.MEAN],
+                                             over_columns_combinations=[['g']])
+                .collect())
+
+    single = pa.table({'id': pa.array([1], pa.int64()),
+                       'ts': pa.array([np.datetime64('2024-01-01', 'us')]),
+                       'g': pa.array(['a']), 'x': pa.array([2.0])})
+    out = run(single)
+    assert len(out) == 1
+    assert out['exclusive_cum_count_over_g'].tolist() == [0]
+    assert out['x_mean_over_g'].tolist() == [2.0]
+    assert len(run(single.slice(0, 0))) == 0  # empty input -> empty output, no crash
+
+
 def test_hot_entity_results_exact():
     table = _skewed_table()
     schema = Schema([
