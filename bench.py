@@ -112,10 +112,14 @@ def run_bench() -> dict:
     import gc
     query_times = {}
     for name in BENCH_QUERIES:
-        start = time.monotonic()
-        _consume(QUERIES[name](SF_DIR))
-        query_times[name] = round(time.monotonic() - start, 3)
-        gc.collect()
+        timings = []
+        for _ in range(int(os.environ.get('GRAFT_QUERY_REPS', '2'))):
+            start = time.monotonic()
+            _consume(QUERIES[name](SF_DIR))
+            timings.append(time.monotonic() - start)
+            gc.collect()
+        # best-of-N per query: single shots swing ~3x with ambient VM load
+        query_times[name] = round(min(timings), 3)
 
     ray.shutdown()
     return {
