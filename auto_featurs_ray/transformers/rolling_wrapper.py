@@ -103,13 +103,38 @@ class RollingWrapper(AggregatingTransformer):
             hi = np.repeat(run_ends, run_ends - run_starts)
         else:
             hi = np.empty(0, dtype=np.int64)
-        lo = np.empty(n, dtype=np.int64)
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            seg = ts[s:e]
-            lo[s:e] = s + np.searchsorted(seg, seg - self._period_us, side='right')
+        lo = self._window_lo(ts, codes, bounds, n)
         result = (lo, hi.astype(np.int64))
         cache[key] = result
         return result
+
+    def _window_lo(self, ts: np.ndarray, codes: Optional[np.ndarray], bounds: np.ndarray,
+                   n: int) -> np.ndarray:
+        """First in-window row per anchor.
+
+        Fast path: fold (group, rebased-ts) into one int64 composite key so a
+        SINGLE searchsorted serves every group — by construction a target
+        ``comp - period`` can never land inside the previous group's range
+        (groups are ``span = rel_max + period + 2`` apart).  Falls back to the
+        per-group loop when the composite would overflow int64.
+        """
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        period = np.int64(self._period_us)
+        if codes is None or len(bounds) <= 2:
+            return np.searchsorted(ts, ts - period, side='right').astype(np.int64)
+        rel = ts - ts.min()
+        span = np.int64(rel.max()) + period + 2
+        num_groups = len(bounds) - 1
+        if span > 0 and num_groups < (2 ** 62) // span:
+            group_of = np.repeat(np.arange(num_groups, dtype=np.int64), np.diff(bounds))
+            comp = group_of * span + rel
+            return np.searchsorted(comp, comp - period, side='right').astype(np.int64)
+        lo = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - period, side='right')
+        return lo
 
     def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
         lo, hi = self.window_bounds(frame, codes)
