@@ -548,8 +548,9 @@ def embedding_duplicates(ds, *, embedding_column: str, id_column: str,
         if n < 2 or n > max_bucket:
             return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
                              'cosine': pa.array([], pa.float64())})
+        from auto_featurs_ray.datapipe.similarity import _embedding_matrix
         docs = group.column('doc').to_pylist()
-        vecs = np.stack(group.column('vec').to_pylist())
+        vecs = _embedding_matrix(group.column('vec'))
         sims = vecs @ vecs.T
         lefts, rights, cosines = [], [], []
         ii, jj = np.where(np.triu(sims, 1) >= threshold)
