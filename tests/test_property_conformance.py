@@ -45,7 +45,7 @@ def frames(draw):
     return table, num_blocks, num_partitions
 
 
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=20, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
 @given(frames())
 def test_window_suite_matches_pandas(case):
@@ -102,7 +102,7 @@ def asof_cases(draw):
     return lk, lt, rk, rt, num_partitions
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
 @given(asof_cases())
 def test_asof_join_matches_pandas_merge_asof(case):
@@ -133,7 +133,7 @@ def test_asof_join_matches_pandas_merge_asof(case):
                                expect['v'].to_numpy(dtype=float), equal_nan=True)
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
 @given(frames())
 def test_rolling_suite_matches_window_slices(case):
