@@ -98,20 +98,24 @@ def _lineitem_dataset(sf_dir: str, columns: Optional[List[str]] = None) -> Datas
 def q_arithmetic_lineitem(sf_dir: str):
     p = (Pipeline(_lineitem_dataset(sf_dir))
          .with_arithmetic(['l_extendedprice'], ['l_discount'],
-                          operations=[ArithmeticOperation.MULTIPLY, ArithmeticOperation.SUBTRACT])
+                          operations=[ArithmeticOperation.ADD, ArithmeticOperation.MULTIPLY,
+                                      ArithmeticOperation.SUBTRACT])
          .with_arithmetic(['l_quantity'], ['l_extendedprice'], operations=[ArithmeticOperation.DIVIDE])
          .with_polynomial('l_quantity', degrees=[2])
          .with_log('l_quantity', bases=[10]))
-    keep = ['l_orderkey', 'l_linenumber', 'l_extendedprice_multiply_l_discount',
+    keep = ['l_orderkey', 'l_linenumber', 'l_extendedprice_add_l_discount',
+            'l_extendedprice_multiply_l_discount',
             'l_extendedprice_subtract_l_discount', 'l_quantity_divide_l_extendedprice',
             'l_quantity_pow_2', 'l_quantity_log10']
     return _finish(p.collect_plan().data, keep,
-                   round_cols=['l_extendedprice_multiply_l_discount', 'l_extendedprice_subtract_l_discount',
+                   round_cols=['l_extendedprice_add_l_discount',
+                               'l_extendedprice_multiply_l_discount', 'l_extendedprice_subtract_l_discount',
                                'l_quantity_divide_l_extendedprice', 'l_quantity_log10'])
 
 
 SQL_ARITHMETIC_LINEITEM = """
 SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice + l_discount, 6) AS l_extendedprice_add_l_discount,
        round(l_extendedprice * l_discount, 6) AS l_extendedprice_multiply_l_discount,
        round(l_extendedprice - l_discount, 6) AS l_extendedprice_subtract_l_discount,
        round(l_quantity / l_extendedprice, 6) AS l_quantity_divide_l_extendedprice,
@@ -1116,6 +1120,27 @@ def q_multimodal_decode(sf_dir: str):
     return out.map_batches(project, batch_format='pyarrow')
 
 
+def q_approx_distinct_events(sf_dir: str):
+    """KMV approximate distinct count, mergeable two-pass path.  Exact (and so
+    SQL-checkable) whenever true cardinality < k — the sketch's documented
+    contract; the estimate kicks in beyond k."""
+    from auto_featurs_ray.engine.runtime import apply_global_two_pass_stage
+    from auto_featurs_ray.transformers.aggregating import ApproxNumUniqueTransformer
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'event_type'])
+    out = apply_global_two_pass_stage(events, [ApproxNumUniqueTransformer('event_type')])
+    return _finish(out, ['event_id', 'event_type_approx_num_unique'],
+                   round_cols=['event_type_approx_num_unique'])
+
+
+SQL_APPROX_DISTINCT_EVENTS = """
+SELECT event_id,
+       CAST((SELECT COUNT(DISTINCT event_type) FROM events) AS DOUBLE)
+           AS event_type_approx_num_unique
+FROM events
+"""
+
+
 def q_shuffle_split_documents(sf_dir: str):
     """Deterministic global shuffle + hash train/val/test split (rows-only):
     reproducible on any block layout / partition count / cluster size."""
@@ -1242,6 +1267,7 @@ QUERIES = {
     'multimodal_decode': q_multimodal_decode,
     'resumable_sink': q_resumable_sink,
     'shuffle_split_documents': q_shuffle_split_documents,
+    'approx_distinct_events': q_approx_distinct_events,
 }
 
 ORACLE_SQL = {
@@ -1271,4 +1297,5 @@ ORACLE_SQL = {
     'text_similarity_documents': SQL_TEXT_SIMILARITY_DOCUMENTS,
     'ttest_chi2_lineitem': SQL_TTEST_CHI2_LINEITEM,
     'rolling_extras_events': SQL_ROLLING_EXTRAS_EVENTS,
+    'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
 }
