@@ -367,18 +367,25 @@ def q_backfill_events(sf_dir: str):
     ds = Dataset(base.data.map_batches(mask, batch_format='pyarrow', zero_copy_batch=True),
                  base.schema + Schema([CS.numeric(name='value_masked')]),
                  order_by=ORDER_EVENTS, num_partitions=NUM_PARTITIONS)
-    p = Pipeline(ds).with_fill('value_masked', strategies=[FillStrategy.FORWARD],
+    p = Pipeline(ds).with_fill('value_masked', strategies=[FillStrategy.FORWARD,
+                                                           FillStrategy.BACKWARD],
                                over_columns_combinations=[['user_id']])
-    keep = ['event_id', 'value_masked_forward_filled_over_user_id']
-    return _finish(p.collect_plan().data, keep, round_cols=['value_masked_forward_filled_over_user_id'])
+    keep = ['event_id', 'value_masked_forward_filled_over_user_id',
+            'value_masked_backward_filled_over_user_id']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['value_masked_forward_filled_over_user_id',
+                               'value_masked_backward_filled_over_user_id'])
 
 
 SQL_BACKFILL_EVENTS = """
 SELECT event_id,
        round(LAST_VALUE(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6)
-           AS value_masked_forward_filled_over_user_id
-FROM events
+           OVER (w ROWS UNBOUNDED PRECEDING), 6)
+           AS value_masked_forward_filled_over_user_id,
+       round(FIRST_VALUE(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+           OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+           AS value_masked_backward_filled_over_user_id
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
