@@ -343,9 +343,9 @@ def q_session_events(sf_dir: str):
 
 SQL_SESSION_EVENTS = """
 SELECT event_id,
-       SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 6 HOUR THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 6 HOUR THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-           AS ts_session_id_gap_6h_over_user_id,
+           AS BIGINT) AS ts_session_id_gap_6h_over_user_id,
        round(date_diff('microsecond', prev_ts, ts) / 1000000.0, 6) AS ts_seconds_since_last_over_user_id
 FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
 """
@@ -766,7 +766,7 @@ WITH flagged AS (
   FROM events
 ), uniq AS (
   SELECT event_id, user_id, ts, value,
-         SUM(firstocc) OVER w AS inc_u
+         CAST(SUM(firstocc) OVER w AS BIGINT) AS inc_u
   FROM flagged WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
 ), withmean AS (
   SELECT *,

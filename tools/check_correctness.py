@@ -8,6 +8,14 @@ Runs every ``queries()`` entry and its ``oracle_sql()`` DuckDB counterpart over
 * schema (column-name set)
 * per-column null count (NaN in a float column is NOT null — the round-1
   ``session_events`` failure was exactly a NaN-vs-NULL encoding drift)
+* per-column Arrow TYPE (the driver's hash is type-sensitive: a DuckDB
+  ``SUM()`` left un-CAST emits decimal128(38,0)/hugeint where the engine
+  emits int64, and ``Decimal('5') != 5`` under the driver's hash even though
+  ``str()`` of both is ``'5'`` — the round-2 ``session_events`` /
+  ``cumulative_extras_events`` failure).  Types are compared after a light
+  canonicalization (string==large_string, dictionary-decoded); any
+  decimal-vs-integer or int-vs-float mismatch is a hard FAIL here even when
+  the stringified values agree.
 * order-insensitive value hash (columns sorted by name, rows sorted by all
   columns, nulls hashed distinctly from NaN)
 
@@ -54,6 +62,31 @@ def _canonical(table):
         except pa.ArrowNotImplementedError:
             pass
     return table
+
+
+def _canonical_type(t):
+    """Canonicalize an Arrow type for comparison.  Representation-only variants
+    are equal: large_string vs string, dictionary encoding, integer widths
+    (the driver hashes via Python values, so int32 5 == int64 5 — verified by
+    text_counts_documents passing r02 with engine int32 vs oracle int64), and
+    float32 vs float64 likewise.  Semantic variants are NOT equal: decimal vs
+    int/float (``Decimal('5') != 5`` — the r02 session_events failure)."""
+    import pyarrow as pa
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_floating(t):
+        return pa.float64()
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t):
+        return pa.list_(_canonical_type(t.value_type))
+    if pa.types.is_list(t):
+        return pa.list_(_canonical_type(t.value_type))
+    return t
 
 
 def _value_repr(v):
@@ -115,19 +148,26 @@ def main(argv):
             rows_ok = got.num_rows == want.num_rows
             schema_ok = set(got.column_names) == set(want.column_names)
             null_ok, null_detail = True, []
+            types_ok, type_detail = True, []
             if schema_ok:
                 for c in got.column_names:
                     gn, wn = got.column(c).null_count, want.column(c).null_count
                     if gn != wn:
                         null_ok = False
                         null_detail.append(f'{c}: engine={gn} oracle={wn}')
+                    gt = _canonical_type(got.schema.field(c).type)
+                    wt = _canonical_type(want.schema.field(c).type)
+                    if gt != wt:
+                        types_ok = False
+                        type_detail.append(f'{c}: engine={gt} oracle={wt}')
             hash_ok = schema_ok and rows_ok and _hash(got) == _hash(want)
-            ok = rows_ok and schema_ok and null_ok and hash_ok
+            ok = rows_ok and schema_ok and null_ok and types_ok and hash_ok
             results[name] = {'rows': rows_ok, 'schema': schema_ok, 'nulls': null_ok,
-                             'hash': hash_ok}
+                             'types': types_ok, 'hash': hash_ok}
             status = 'OK' if ok else 'FAIL'
             detail = '' if ok else (f' rows={got.num_rows}/{want.num_rows}'
-                                    f' schema={schema_ok} nulls={null_detail} hash={hash_ok}')
+                                    f' schema={schema_ok} nulls={null_detail}'
+                                    f' types={type_detail} hash={hash_ok}')
             print(f'{name:32s} {status}{detail}')
             if not ok:
                 fails.append(name)
