@@ -6,12 +6,16 @@ Patterns (all Ray-Data-first):
 * exact — content hash per batch (vectorized) -> ``groupby(hash)`` -> keep the
   min-id row per group.  One shuffle keyed on the 64-bit hash.
 * MinHash-LSH — shingle -> minhash signature per batch (NumPy universal
-  hashing) -> explode to (band, band_hash, id) rows -> ``groupby(band,
-  band_hash)`` buckets -> candidate pairs -> exact Jaccard verify ->
-  connected components (union-find over the verified pair set, which is small
-  relative to the corpus; the scale path iterates min-label propagation).
-* SimHash — 64-bit simhash per batch -> bucket by 4x16-bit bands -> verify
-  Hamming distance <= ``max_hamming``.
+  hashing) -> explode to (band, band_hash, id) rows -> hash-exchange buckets
+  -> candidate pairs -> signature-agreement verify -> connected components.
+  The verified pair set stays a ``ray.data.Dataset`` end to end; components
+  come from distributed min-label propagation once the pair count crosses
+  ``cc_pair_threshold`` (driver union-find below it — cheaper while the pair
+  set comfortably fits one heap).
+* SimHash — 64-bit simhash per batch -> bucket by 4x16-bit bands on the
+  engine exchange -> vectorized XOR + popcount-LUT Hamming verify.
+* n-gram Jaccard — LSH candidates verified EXACTLY by co-grouping the pair
+  list with the corpus on doc id (two exchanges, no driver text dict).
 * embedding cosine — random-hyperplane LSH buckets -> in-bucket cosine verify.
 
 Every function keeps the survivors deterministic: the representative of a
@@ -156,14 +160,16 @@ class MinHasher:
         return batch.append_column('__minhash', arr)
 
 
-def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: int = 64,
-                           num_bands: int = 16, shingle_size: int = 5,
-                           jaccard_threshold: float = 0.8,
-                           max_bucket: int = 200) -> pd.DataFrame:
-    """Near-duplicate clusters via MinHash-LSH.
+def minhash_lsh_pairs(ds, *, text_column: str, id_column: str, num_perm: int = 64,
+                      num_bands: int = 16, shingle_size: int = 5,
+                      jaccard_threshold: float = 0.8,
+                      max_bucket: int = 200, num_partitions: int = 16):
+    """Verified near-duplicate pairs via MinHash-LSH, as a ``ray.data.Dataset``.
 
-    Returns a small pandas frame ``(id, cluster_id)`` for every document that
-    belongs to a verified duplicate cluster (cluster_id = min member id).
+    Columns ``(left, right, sim)`` with ``left < right``, distinct pairs
+    (a pair colliding in several bands is emitted once).  Everything stays on
+    the exchange: explode -> bucket shuffle -> in-partition verify ->
+    distinct-pair shuffle.  Nothing is materialized on the driver.
     """
     rows_per_band = num_perm // num_bands
     hasher = MinHasher(text_column, num_perm, shingle_size)
@@ -233,13 +239,84 @@ def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: in
 
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
     exploded = ds.map_batches(explode, batch_format='pyarrow')
-    pairs = (shuffle_map_partitions(exploded, ['band_hash'], 16, partition_pairs)
-             .to_pandas().drop_duplicates(['left', 'right']))
-    return _connected_components(pairs)
+    raw = shuffle_map_partitions(exploded, ['band_hash'], num_partitions, partition_pairs)
+    return _distinct_pairs(raw, num_partitions)
+
+
+def _distinct_pairs(pairs_ds, num_partitions: int):
+    """Distinct ``(left, right)`` rows via one hash exchange (a pair bucketed
+    by several LSH bands arrives from several partitions); keeps the first of
+    each run after an in-partition sort, so any extra columns (sim) ride
+    along deterministically (they are per-pair constants anyway)."""
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    def keep_first(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0:
+            return table
+        idx = pc.sort_indices(table, sort_keys=[('left', 'ascending'), ('right', 'ascending')])
+        table = table.take(idx)
+        l = table.column('left').to_numpy(zero_copy_only=False)
+        r = table.column('right').to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], (l[1:] != l[:-1]) | (r[1:] != r[:-1])))
+        return table.filter(pa.array(first))
+
+    return shuffle_map_partitions(pairs_ds, ['left', 'right'], num_partitions, keep_first)
+
+
+#: pair count above which connected components switch from driver union-find
+#: to distributed min-label propagation (``cc='auto'``)
+CC_PAIR_THRESHOLD = 200_000
+
+
+def _cluster_frame(pairs_ds, *, cc: str = 'auto', cc_pair_threshold: int = CC_PAIR_THRESHOLD,
+                   num_partitions: int = 16, as_dataset: bool = False):
+    """Connected components of a materialized pair Dataset.
+
+    ``cc``: ``'auto'`` routes on pair count, ``'driver'`` / ``'distributed'``
+    force a path.  Returns ``(id, cluster_id)`` as pandas (default) or as a
+    Dataset (``as_dataset=True`` — nothing touches the driver then)."""
+    n_pairs = pairs_ds.count()
+    use_dist = cc == 'distributed' or (cc == 'auto' and n_pairs > cc_pair_threshold)
+    if use_dist:
+        labels = connected_components_distributed(pairs_ds, num_partitions=num_partitions,
+                                                  as_dataset=True)
+        if as_dataset:
+            return labels
+        frame = labels.to_pandas()
+        return frame.sort_values('id').reset_index(drop=True)
+    frame = _connected_components(pairs_ds.to_pandas()) if n_pairs else \
+        pd.DataFrame({'id': [], 'cluster_id': []})
+    if as_dataset:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({'id': pa.array(frame['id'].to_numpy(), pa.int64()),
+                                       'cluster_id': pa.array(frame['cluster_id'].to_numpy(),
+                                                              pa.int64())}))
+    return frame
+
+
+def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: int = 64,
+                           num_bands: int = 16, shingle_size: int = 5,
+                           jaccard_threshold: float = 0.8, max_bucket: int = 200,
+                           num_partitions: int = 16, cc: str = 'auto',
+                           cc_pair_threshold: int = CC_PAIR_THRESHOLD) -> pd.DataFrame:
+    """Near-duplicate clusters via MinHash-LSH.
+
+    Returns a pandas frame ``(id, cluster_id)`` for every document that
+    belongs to a verified duplicate cluster (cluster_id = min member id).
+    The pair set never lands on the driver; only the (much smaller) cluster
+    membership does.  Above ``cc_pair_threshold`` pairs the components are
+    computed by distributed min-label propagation
+    (:func:`connected_components_distributed`)."""
+    pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
+                              num_perm=num_perm, num_bands=num_bands,
+                              shingle_size=shingle_size, jaccard_threshold=jaccard_threshold,
+                              max_bucket=max_bucket, num_partitions=num_partitions).materialize()
+    return _cluster_frame(pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
+                          num_partitions=num_partitions)
 
 
 def connected_components_distributed(pairs, *, num_partitions: int = 16,
-                                     max_rounds: int = 25) -> pd.DataFrame:
+                                     max_rounds: int = 50, as_dataset: bool = False):
     """Connected components by distributed min-label propagation.
 
     The scale path for the duplicate-pair graph: labels and (undirected)
@@ -250,7 +327,11 @@ def connected_components_distributed(pairs, *, num_partitions: int = 16,
     huge).  Labels only decrease, so an unchanged label sum certifies
     convergence; rounds needed = component diameter (small for dup clusters).
 
-    Returns the same (id, cluster_id) frame as the driver union-find.
+    Returns the same (id, cluster_id) frame as the driver union-find, or the
+    labels as a ``ray.data.Dataset`` when ``as_dataset=True`` (the scale path:
+    nothing ever lands on the driver).  If ``max_rounds`` ends before the
+    label fixpoint (a component of diameter > max_rounds), a warning is
+    logged — silently split clusters would read as converged otherwise.
     """
     import ray.data as rd
 
@@ -260,7 +341,7 @@ def connected_components_distributed(pairs, *, num_partitions: int = 16,
         pairs = pa.table({'left': pa.array(pairs['left'].to_numpy(), pa.int64()),
                           'right': pa.array(pairs['right'].to_numpy(), pa.int64())})
     if isinstance(pairs, pa.Table):
-        if pairs.num_rows == 0:
+        if pairs.num_rows == 0 and not as_dataset:
             return pd.DataFrame({'id': [], 'cluster_id': []})
         pairs = rd.from_arrow(pairs)
 
@@ -303,7 +384,19 @@ def connected_components_distributed(pairs, *, num_partitions: int = 16,
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
+    else:
+        # loop exhausted without an unchanged label sum: the min-label
+        # fixpoint was NOT certified; a component with diameter > max_rounds
+        # would be silently split into several clusters
+        logger.warning('connected_components_distributed: label propagation did not '
+                       'certify convergence within max_rounds=%d; a duplicate cluster '
+                       'with graph diameter > %d may be split — raise max_rounds',
+                       max_rounds, max_rounds)
 
+    if as_dataset:
+        return labels.map_batches(
+            lambda t: t.rename_columns(['id', 'cluster_id']),
+            batch_format='pyarrow', zero_copy_batch=True)
     frame = labels.to_pandas().rename(columns={'src': 'id', 'label': 'cluster_id'})
     return frame.sort_values('id').reset_index(drop=True)
 
@@ -326,17 +419,37 @@ def _connected_components(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({'id': members, 'cluster_id': [find(m) for m in members]})
 
 
-def anti_join_ids(ds, drop_ids: np.ndarray, *, id_column: str,
+def anti_join_ids(ds, drop_ids, *, id_column: str,
                   broadcast_threshold: int = 5_000_000, num_partitions: int = 32):
     """Drop rows whose ``id_column`` appears in ``drop_ids``.
 
-    Small drop sets broadcast once via ``ray.put`` and filter with a
-    vectorized ``pc.is_in``.  Beyond ``broadcast_threshold`` ids, the drop set
-    is hash-partitioned alongside the data and each co-located partition pair
-    filters locally — a true anti-join on the exchange, so no node ever holds
-    the full drop set.
+    ``drop_ids`` may be a numpy array (small sets broadcast once via
+    ``ray.put`` and filter with a vectorized ``pc.is_in``; beyond
+    ``broadcast_threshold`` ids the set is hash-partitioned alongside the
+    data) or a single-column ``ray.data.Dataset`` (always the co-grouped
+    path — the drop set then never lands on the driver at all).
     """
     import ray
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.runtime import cogroup_map_partitions
+
+    if isinstance(drop_ids, rd.Dataset):
+        drop_ds = drop_ids.map_batches(
+            lambda t: t.rename_columns([id_column]), batch_format='pyarrow',
+            zero_copy_batch=True)
+
+        def filter_partition_ds(left: pa.Table, right: pa.Table, _pid: int) -> pa.Table:
+            if right.num_rows == 0 or right.num_columns == 0:
+                return left
+            ids = left.column(id_column)
+            drop_arr = right.column(id_column).combine_chunks()
+            if drop_arr.type != ids.type:
+                drop_arr = drop_arr.cast(ids.type)
+            return left.filter(pc.invert(pc.is_in(ids, value_set=drop_arr)))
+
+        return cogroup_map_partitions(ds, drop_ds, [id_column], num_partitions,
+                                      filter_partition_ds)
 
     if len(drop_ids) <= broadcast_threshold:
         drop_ref = ray.put(pa.array(drop_ids))
@@ -350,9 +463,6 @@ def anti_join_ids(ds, drop_ids: np.ndarray, *, id_column: str,
 
         return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
 
-    import ray.data as rd
-
-    from auto_featurs_ray.engine.runtime import cogroup_map_partitions
     drop_ds = rd.from_arrow(pa.table({id_column: pa.array(drop_ids)}))
 
     def filter_partition(left: pa.Table, right: pa.Table, _pid: int) -> pa.Table:
@@ -366,16 +476,38 @@ def anti_join_ids(ds, drop_ids: np.ndarray, *, id_column: str,
 
 
 def minhash_dedup(ds, *, text_column: str, id_column: str,
-                  broadcast_threshold: int = 5_000_000, **kwargs):
+                  broadcast_threshold: int = 5_000_000, cc: str = 'auto',
+                  cc_pair_threshold: int = CC_PAIR_THRESHOLD,
+                  num_partitions: int = 16, **kwargs):
     """Drop all non-representative members of near-duplicate clusters.
 
-    The drop-id set either broadcasts once (small) or anti-joins on the hash
-    exchange (large) — see :func:`anti_join_ids`; the membership test is a
-    vectorized ``pc.is_in`` either way.
+    Below ``cc_pair_threshold`` verified pairs: driver union-find, numpy drop
+    set, broadcast ``pc.is_in`` filter (one heap comfortably holds it).
+    Above it (or with ``cc='distributed'``): the pair set stays a Dataset,
+    components come from distributed min-label propagation, and the drop-id
+    set is derived and anti-joined entirely on the exchange — no
+    ``to_pandas()`` anywhere on the path.
     """
-    clusters = minhash_lsh_duplicates(ds, text_column=text_column, id_column=id_column, **kwargs)
-    drop = clusters.loc[clusters['id'] != clusters['cluster_id'], 'id'].to_numpy()
-    return anti_join_ids(ds, drop, id_column=id_column, broadcast_threshold=broadcast_threshold)
+    pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
+                              num_partitions=num_partitions, **kwargs).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+    use_dist = cc == 'distributed' or (cc == 'auto' and n_pairs > cc_pair_threshold)
+    if not use_dist:
+        clusters = _connected_components(pairs.to_pandas())
+        drop = clusters.loc[clusters['id'] != clusters['cluster_id'], 'id'].to_numpy()
+        return anti_join_ids(ds, drop, id_column=id_column,
+                             broadcast_threshold=broadcast_threshold)
+    labels = connected_components_distributed(pairs, num_partitions=num_partitions,
+                                              as_dataset=True)
+    drop_ds = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column('id'), t.column('cluster_id')))
+                   .select(['id']),
+        batch_format='pyarrow', zero_copy_batch=True)
+    return anti_join_ids(ds, drop_ds, id_column=id_column,
+                         broadcast_threshold=broadcast_threshold,
+                         num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -430,9 +562,26 @@ def _simhash64_batch(texts: Sequence[str]) -> np.ndarray:
     return (packed & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
-def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
-                       max_bucket: int = 500) -> pd.DataFrame:
-    """Near-dup clusters via 64-bit SimHash, bucketed by 4x16-bit bands."""
+# vectorized popcount: numpy 1.26 has no np.bitwise_count, so Hamming
+# distances use a 256-entry lookup over the uint8 view of the XOR matrix
+_POPCOUNT8 = np.array([bin(i).count('1') for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_matrix(hs: np.ndarray) -> np.ndarray:
+    """(n, n) pairwise Hamming distances of 64-bit hashes, no Python loop."""
+    xor = np.ascontiguousarray(hs[:, None] ^ hs[None, :])
+    n = len(hs)
+    return _POPCOUNT8[xor.view(np.uint8)].reshape(n, n, 8).sum(axis=2, dtype=np.int32)
+
+
+def simhash_pairs(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
+                  max_bucket: int = 500, num_partitions: int = 16):
+    """Verified SimHash near-dup pairs as a Dataset ``(left, right)``.
+
+    4x16-bit band bucketing on the engine's hash exchange (not Ray's
+    sort-based groupby — its sampling+sort barrier has a high fixed cost at
+    scale); the in-bucket Hamming verify is one XOR matrix + popcount LUT.
+    """
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -446,75 +595,198 @@ def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int
                          'doc': batch.column(id_column).take(tile_idx),
                          'h': pa.array(np.tile(hashes, 4))})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2 or n > max_bucket:
-            return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64())})
-        docs = group.column('doc').to_pylist()
-        hs = group.column('h').to_numpy(zero_copy_only=False).astype(np.int64)
+    def partition_pairs(table: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64())})
+        if table.num_rows == 0:
+            return empty
+        bands = table.column('band').to_numpy(zero_copy_only=False)
+        keys = table.column('key').to_numpy(zero_copy_only=False)
+        docs = table.column('doc').to_numpy(zero_copy_only=False)
+        hs = table.column('h').to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((keys, bands))
+        sb, sk = bands[order], keys[order]
+        boundaries = np.concatenate(([0], np.flatnonzero((np.diff(sb) != 0) | (np.diff(sk) != 0)) + 1,
+                                     [len(order)]))
         lefts, rights = [], []
-        for i in range(n):
-            hamming = np.bitwise_count((hs ^ hs[i]).astype(np.uint64)) if hasattr(np, 'bitwise_count') else \
-                np.array([bin((int(h) ^ int(hs[i])) & 0xFFFFFFFFFFFFFFFF).count('1') for h in hs])
-            for j in range(i + 1, n):
-                if docs[i] != docs[j] and hamming[j] <= max_hamming:
-                    a, b = sorted((docs[i], docs[j]))
-                    lefts.append(a)
-                    rights.append(b)
-        return pa.table({'left': pa.array(lefts, pa.int64()), 'right': pa.array(rights, pa.int64())})
+        skipped = 0
+        for s, e in zip(boundaries[:-1], boundaries[1:]):
+            rows = order[s:e]
+            n = len(rows)
+            if n < 2:
+                continue
+            if n > max_bucket:
+                skipped += 1
+                continue
+            bd = docs[rows]
+            ham = _hamming_matrix(hs[rows])
+            ii, jj = np.triu_indices(n, 1)
+            keep = (ham[ii, jj] <= max_hamming) & (bd[ii] != bd[jj])
+            di, dj = bd[ii[keep]], bd[jj[keep]]
+            lefts.append(np.minimum(di, dj))
+            rights.append(np.maximum(di, dj))
+        if skipped:
+            logger.warning('simhash partition %d: skipped %d buckets larger than '
+                           'max_bucket=%d; raise max_bucket or pre-filter templates '
+                           'to cover them', _pid, skipped, max_bucket)
+        if not lefts:
+            return empty
+        return pa.table({'left': pa.array(np.concatenate(lefts).astype(np.int64)),
+                         'right': pa.array(np.concatenate(rights).astype(np.int64))})
 
-    pairs = (ds.map_batches(explode, batch_format='pyarrow')
-             .groupby(['band', 'key'])
-             .map_groups(bucket_pairs, batch_format='pyarrow')
-             .to_pandas().drop_duplicates(['left', 'right']))
-    return _connected_components(pairs)
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+    exploded = ds.map_batches(explode, batch_format='pyarrow')
+    raw = shuffle_map_partitions(exploded, ['band', 'key'], num_partitions, partition_pairs)
+    return _distinct_pairs(raw, num_partitions)
+
+
+def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
+                       max_bucket: int = 500, num_partitions: int = 16, cc: str = 'auto',
+                       cc_pair_threshold: int = CC_PAIR_THRESHOLD) -> pd.DataFrame:
+    """Near-dup clusters via 64-bit SimHash, bucketed by 4x16-bit bands."""
+    pairs = simhash_pairs(ds, text_column=text_column, id_column=id_column,
+                          max_hamming=max_hamming, max_bucket=max_bucket,
+                          num_partitions=num_partitions).materialize()
+    return _cluster_frame(pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
+                          num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact verify on LSH candidates)
 # ---------------------------------------------------------------------------
 
+def _expand_cluster_pairs(table: pa.Table, _pid: int) -> pa.Table:
+    """(id, cluster_id) partition -> all intra-cluster member pairs, sorted so
+    the pair's smaller id lands in ``id`` (named for the downstream cogroup
+    key).  Clusters are complete within a partition because the exchange
+    keyed on cluster_id."""
+    empty = pa.table({'id': pa.array([], pa.int64()), 'right': pa.array([], pa.int64())})
+    if table.num_rows == 0 or table.num_columns == 0:
+        return empty
+    cid = table.column('cluster_id').to_numpy(zero_copy_only=False)
+    ids = table.column('id').to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, cid))
+    cid, ids = cid[order], ids[order]
+    starts = np.concatenate(([0], np.flatnonzero(cid[1:] != cid[:-1]) + 1, [len(cid)]))
+    lefts, rights = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        members = ids[s:e]
+        if len(members) < 2:
+            continue
+        ii, jj = np.triu_indices(len(members), 1)
+        lefts.append(members[ii])
+        rights.append(members[jj])
+    if not lefts:
+        return empty
+    return pa.table({'id': pa.array(np.concatenate(lefts).astype(np.int64)),
+                     'right': pa.array(np.concatenate(rights).astype(np.int64))})
+
+
+def _shingle_list_column(texts, shingle_size: int) -> pa.ListArray:
+    """One Arrow list<uint64> column of sorted-unique shingle hashes per doc."""
+    arrays = [_shingle_hashes(t, shingle_size) for t in texts]
+    lengths = np.array([len(a) for a in arrays], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    flat = np.concatenate(arrays) if arrays else np.array([], dtype=np.uint64)
+    # int32 offsets cap one partition's flat shingle buffer at 2^31 entries
+    # (~16 GiB) — far beyond the ~512 MiB partition sizing; from_arrays
+    # raises loudly rather than truncating if that is ever exceeded
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(flat, pa.uint64()))
+
+
 def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_size: int = 5,
-                             threshold: float = 0.7, **lsh_kwargs) -> pd.DataFrame:
+                             threshold: float = 0.7, num_partitions: int = 16,
+                             cc: str = 'auto',
+                             cc_pair_threshold: int = CC_PAIR_THRESHOLD,
+                             **lsh_kwargs) -> pd.DataFrame:
     """MinHash-LSH candidates verified with EXACT character-n-gram Jaccard.
 
-    Returns verified pairs ``(left, right, jaccard)``.
+    Candidate generation: LSH pairs at a lowered threshold -> connected
+    components -> all intra-cluster member pairs.  Verification co-groups the
+    pair list with the corpus on doc id — twice, once per side — and computes
+    exact shingle-set Jaccard inside the reduce tasks, so no driver ever
+    holds candidate texts (the round-2 version built a driver text dict via
+    ``take_all()``).  Returns verified pairs ``(left, right, jaccard)``.
     """
-    candidates = minhash_lsh_duplicates(ds, text_column=text_column, id_column=id_column,
-                                        shingle_size=shingle_size,
-                                        jaccard_threshold=max(0.5, threshold - 0.2), **lsh_kwargs)
-    if candidates.empty:
+    from auto_featurs_ray.engine.runtime import cogroup_map_partitions, shuffle_map_partitions
+
+    lsh_pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
+                                  shingle_size=shingle_size,
+                                  jaccard_threshold=max(0.5, threshold - 0.2),
+                                  num_partitions=num_partitions, **lsh_kwargs).materialize()
+    if lsh_pairs.count() == 0:
         return pd.DataFrame({'left': [], 'right': [], 'jaccard': []})
-    # fetch texts of candidate docs (small set) and verify exactly
-    wanted = pa.array(candidates['id'].to_numpy())
+    clusters = _cluster_frame(lsh_pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
+                              num_partitions=num_partitions, as_dataset=True)
+    cand = shuffle_map_partitions(clusters, ['cluster_id'], num_partitions,
+                                  _expand_cluster_pairs)
 
-    def project(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column)
-        value_set = wanted if wanted.type == ids.type else wanted.cast(ids.type)
-        sub = batch.filter(pc.is_in(ids, value_set=value_set))
-        return sub.select([id_column, text_column])
+    # id cast to int64 so both cogroup sides hash the key identically
+    corpus = ds.map_batches(
+        lambda t: pa.table({'id': t.column(id_column).cast(pa.int64()),
+                            '__text': t.column(text_column)}),
+        batch_format='pyarrow', zero_copy_batch=True)
 
-    texts = {r[id_column]: r[text_column] for r in ds.map_batches(project, batch_format='pyarrow').take_all()}
-    # _shingle_hashes returns sorted-unique arrays: intersections are one
-    # C-level merge each instead of Python set ops over substring objects
-    shingle_cache = {i: _shingle_hashes(t, shingle_size) for i, t in texts.items()}
-    out = {'left': [], 'right': [], 'jaccard': []}
-    by_cluster: Dict = {}
-    for _, row in candidates.iterrows():
-        by_cluster.setdefault(row['cluster_id'], []).append(row['id'])
-    for members in by_cluster.values():
-        members = sorted(members)
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a, b = shingle_cache[members[i]], shingle_cache[members[j]]
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                union = len(a) + len(b) - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    out['left'].append(members[i])
-                    out['right'].append(members[j])
-                    out['jaccard'].append(jac)
-    return pd.DataFrame(out)
+    def attach_left(pair_t: pa.Table, corpus_t: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'left': pa.array([], pa.int64()), 'id': pa.array([], pa.int64()),
+                          '__sh_left': pa.array([], pa.list_(pa.uint64()))})
+        if pair_t.num_rows == 0:
+            return empty
+        need = pc.unique(pair_t.column('id').combine_chunks())
+        sub = corpus_t.filter(pc.is_in(corpus_t.column('id'), value_set=need))
+        sh = _shingle_list_column(sub.column('__text').to_pylist(), shingle_size)
+        doc_ids = sub.column('id').combine_chunks()
+        pos = pc.index_in(pair_t.column('id'), value_set=doc_ids)
+        ok = pc.is_valid(pos)
+        pair_t, pos = pair_t.filter(ok), pos.filter(ok)
+        if pair_t.num_rows == 0:
+            return empty
+        return pa.table({'left': pair_t.column('id').combine_chunks().cast(pa.int64()),
+                         'id': pair_t.column('right').combine_chunks().cast(pa.int64()),
+                         '__sh_left': sh.take(pos)})
+
+    def verify_right(pair_t: pa.Table, corpus_t: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
+                          'jaccard': pa.array([], pa.float64())})
+        if pair_t.num_rows == 0:
+            return empty
+        need = pc.unique(pair_t.column('id').combine_chunks())
+        sub = corpus_t.filter(pc.is_in(corpus_t.column('id'), value_set=need))
+        sh_right = _shingle_list_column(sub.column('__text').to_pylist(), shingle_size)
+        doc_ids = sub.column('id').combine_chunks()
+        pos = pc.index_in(pair_t.column('id'), value_set=doc_ids)
+        ok = pc.is_valid(pos)
+        pair_t, pos = pair_t.filter(ok), pos.filter(ok)
+        if pair_t.num_rows == 0:
+            return empty
+        right_sh = sh_right.take(pos)
+        if isinstance(right_sh, pa.ChunkedArray):
+            right_sh = right_sh.combine_chunks()
+        left_sh = pair_t.column('__sh_left')
+        if isinstance(left_sh, pa.ChunkedArray):
+            left_sh = left_sh.combine_chunks()
+        lv, lo = np.asarray(left_sh.values), np.asarray(left_sh.offsets)
+        rv, ro = np.asarray(right_sh.values), np.asarray(right_sh.offsets)
+        lefts = pair_t.column('left').to_numpy(zero_copy_only=False)
+        rights = pair_t.column('id').to_numpy(zero_copy_only=False)
+        out_l, out_r, out_j = [], [], []
+        for i in range(pair_t.num_rows):
+            a = lv[lo[i]:lo[i + 1]]
+            b = rv[ro[i]:ro[i + 1]]
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                out_l.append(lefts[i])
+                out_r.append(rights[i])
+                out_j.append(jac)
+        return pa.table({'left': pa.array(out_l, pa.int64()), 'right': pa.array(out_r, pa.int64()),
+                         'jaccard': pa.array(out_j, pa.float64())})
+
+    mid = cogroup_map_partitions(cand, corpus, ['id'], num_partitions, attach_left)
+    verified = cogroup_map_partitions(mid, corpus, ['id'], num_partitions, verify_right)
+    frame = verified.to_pandas()
+    return frame.sort_values(['left', 'right']).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -537,33 +809,61 @@ def embedding_duplicates(ds, *, embedding_column: str, id_column: str,
         keys = (signs * (1 << np.arange(state['num_planes']))).sum(axis=1).astype(np.int64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         unit = emb / np.where(norms == 0, 1.0, norms)
+        # fixed-size list column straight from the flat buffer — no per-row
+        # Python list rebuild
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(unit, dtype=np.float64).reshape(-1)), unit.shape[1])
         return pa.table({
             'key': pa.array(keys, pa.int64()),
             'doc': batch.column(id_column),
-            'vec': pa.array(list(unit), pa.list_(pa.float64())),
+            'vec': vec,
         })
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2 or n > max_bucket:
-            return pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
-                             'cosine': pa.array([], pa.float64())})
+    def partition_pairs(table: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'left': pa.array([], pa.int64()), 'right': pa.array([], pa.int64()),
+                          'cosine': pa.array([], pa.float64())})
+        if table.num_rows == 0:
+            return empty
         from auto_featurs_ray.datapipe.similarity import _embedding_matrix
-        docs = group.column('doc').to_pylist()
-        vecs = _embedding_matrix(group.column('vec'))
-        sims = vecs @ vecs.T
+        keys = table.column('key').to_numpy(zero_copy_only=False)
+        docs = table.column('doc').to_numpy(zero_copy_only=False)
+        vecs = _embedding_matrix(table.column('vec'))
+        order = np.argsort(keys, kind='stable')
+        sk = keys[order]
+        boundaries = np.concatenate(([0], np.flatnonzero(np.diff(sk) != 0) + 1, [len(order)]))
         lefts, rights, cosines = [], [], []
-        ii, jj = np.where(np.triu(sims, 1) >= threshold)
-        for i, j in zip(ii, jj):
-            a, b = sorted((docs[i], docs[j]))
-            lefts.append(a)
-            rights.append(b)
-            cosines.append(float(sims[i, j]))
-        return pa.table({'left': pa.array(lefts, pa.int64()), 'right': pa.array(rights, pa.int64()),
-                         'cosine': pa.array(cosines, pa.float64())})
+        skipped = 0
+        for s, e in zip(boundaries[:-1], boundaries[1:]):
+            rows = order[s:e]
+            n = len(rows)
+            if n < 2:
+                continue
+            if n > max_bucket:
+                skipped += 1
+                continue
+            bd = docs[rows]
+            sims = vecs[rows] @ vecs[rows].T
+            ii, jj = np.where(np.triu(sims, 1) >= threshold)
+            keep = bd[ii] != bd[jj]
+            ii, jj = ii[keep], jj[keep]
+            di, dj = bd[ii], bd[jj]
+            lefts.append(np.minimum(di, dj))
+            rights.append(np.maximum(di, dj))
+            cosines.append(sims[ii, jj])
+        if skipped:
+            logger.warning('embedding-LSH partition %d: skipped %d buckets larger than '
+                           'max_bucket=%d; raise max_bucket or add hyperplanes', _pid,
+                           skipped, max_bucket)
+        if not lefts:
+            return empty
+        return pa.table({'left': pa.array(np.concatenate(lefts).astype(np.int64)),
+                         'right': pa.array(np.concatenate(rights).astype(np.int64)),
+                         'cosine': pa.array(np.concatenate(cosines).astype(np.float64))})
 
-    pairs = (ds.map_batches(explode, batch_format='pyarrow')
-             .groupby('key').map_groups(bucket_pairs, batch_format='pyarrow')
-             .to_pandas().drop_duplicates(['left', 'right']))
-    return _connected_components(pairs[['left', 'right']]) if not pairs.empty else \
-        pd.DataFrame({'id': [], 'cluster_id': []})
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+    exploded = ds.map_batches(explode, batch_format='pyarrow')
+    raw = shuffle_map_partitions(exploded, ['key'], 16, partition_pairs)
+    pairs = _distinct_pairs(raw, 16).materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({'id': [], 'cluster_id': []})
+    return _cluster_frame(pairs, cc='auto')

@@ -28,11 +28,14 @@ def _unit(matrix: np.ndarray) -> np.ndarray:
 def _embedding_matrix(column: pa.ChunkedArray) -> np.ndarray:
     """(n, dim) float64 view of a list<float> column via the Arrow list
     layout — no per-row Python."""
-    combined = column.combine_chunks()
+    combined = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
     if isinstance(combined, pa.ChunkedArray):
         combined = combined.chunk(0)
-    offsets = np.diff(combined.offsets.to_numpy(zero_copy_only=False))
     values = combined.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if isinstance(combined, pa.FixedSizeListArray):
+        dim = combined.type.list_size
+        return values.reshape(len(combined), dim)
+    offsets = np.diff(combined.offsets.to_numpy(zero_copy_only=False))
     if len(offsets) == 0:
         return values.reshape(0, 0)
     dim = int(offsets[0])
@@ -50,7 +53,7 @@ def knn_brute_force(ds, *, embedding_column: str, id_column: str,
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(query_ref)
         emb = _embedding_matrix(batch.column(embedding_column))
-        ids = np.asarray(batch.column(id_column).to_pylist())
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         sims = _unit(emb) @ q.T  # (batch, num_queries)
         take = min(k, len(ids))
         out_q, out_id, out_sim = [], [], []
@@ -113,7 +116,7 @@ def knn_ivf(ds, *, embedding_column: str, id_column: str, queries: np.ndarray,
     def partial_topk(batch: pa.Table) -> pa.Table:
         centroids, q, probe_list = ray.get(handle)
         emb = _embedding_matrix(batch.column(embedding_column))
-        ids = np.asarray(batch.column(id_column).to_pylist())
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         unit = _unit(emb)
         assign = np.argmax(unit @ centroids.T, axis=1)
         out_q, out_id, out_sim = [], [], []
@@ -195,7 +198,7 @@ def knn_ivf_from_index(index_dir: str, *, embedding_column: str, id_column: str,
     def partial_topk(batch: pa.Table) -> pa.Table:
         q, probe_list = ray.get(handle)
         emb = _embedding_matrix(batch.column(embedding_column))
-        ids = np.asarray(batch.column(id_column).to_pylist())
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         assign = batch.column('centroid_id').to_numpy(zero_copy_only=False)
         unit = _unit(emb)
         out_q, out_id, out_sim = [], [], []

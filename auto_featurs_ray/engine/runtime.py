@@ -169,6 +169,32 @@ TARGET_PARTITION_BYTES = 512 << 20
 REDUCE_MEMORY_WARN_BYTES = 4 << 30
 
 
+def _coalesce_split_input(blocks) -> pa.Table:
+    """Concat a split task's input blocks, dropping schema-less empties.
+
+    Ray Data's ``map_batches`` can emit a zero-row bundle with NO schema for
+    an empty input block; keying such a block would raise (the key column
+    "doesn't exist").  They carry no rows, so they are simply dropped; if
+    every block is schema-less the caller gets a zero-column table and must
+    short-circuit."""
+    real = [b for b in blocks if b.num_columns]
+    if not real:
+        return blocks[0]
+    return real[0] if len(real) == 1 else pa.concat_tables(real, promote_options='permissive')
+
+
+def _concat_slices(parts, partition_id: int) -> pa.Table:
+    """Concat one partition's slices, preferring a schema-carrying empty over
+    a schema-less one when the partition has no rows at all."""
+    non_empty = [s for s in parts if s.num_rows]
+    if not non_empty:
+        with_schema = [s for s in parts if s.num_columns]
+        non_empty = with_schema[:1] or list(parts[:1])
+    table = pa.concat_tables(non_empty, promote_options='permissive')
+    _warn_if_oversized(table, partition_id)
+    return table
+
+
 def suggest_num_partitions(input_bytes: int, target_partition_bytes: int = TARGET_PARTITION_BYTES,
                            minimum: int = 8, maximum: int = 65536) -> int:
     """Partition count sized to the data, not a constant: ~target bytes per
@@ -220,18 +246,15 @@ def shuffle_map_partitions(ds, key_columns: Sequence[str], num_partitions: int, 
 
     @ray.remote
     def split_task(*blocks: pa.Table):
-        block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks, promote_options='permissive')
+        block = _coalesce_split_input(blocks)
+        if block.num_columns == 0:
+            return tuple(block.slice(0, 0) for _ in range(num_partitions))
         codes = hash_partition_codes(block, key_columns, num_partitions)
         return tuple(split_block_by_code(block, codes, num_partitions))
 
     @ray.remote
     def reduce_task(partition_id: int, *slices: pa.Table) -> pa.Table:
-        non_empty = [s for s in slices if s.num_rows]
-        if not non_empty:
-            non_empty = list(slices[:1])
-        table = pa.concat_tables(non_empty, promote_options='permissive')
-        _warn_if_oversized(table, partition_id)
-        return partition_fn(table, partition_id)
+        return partition_fn(_concat_slices(slices, partition_id), partition_id)
 
     if num_partitions == 1 or not key_columns:
         block_refs = ds.to_arrow_refs()
@@ -264,7 +287,9 @@ def cogroup_launch_splits(left_ds, right_ds, key_columns: Sequence[str], num_par
 
     @ray.remote
     def split_task(*blocks: pa.Table):
-        block = blocks[0] if len(blocks) == 1 else pa.concat_tables(blocks, promote_options='permissive')
+        block = _coalesce_split_input(blocks)
+        if block.num_columns == 0:
+            return tuple(block.slice(0, 0) for _ in range(num_partitions))
         codes = hash_partition_codes(block, key_columns, num_partitions)
         return tuple(split_block_by_code(block, codes, num_partitions))
 
@@ -306,13 +331,8 @@ def cogroup_reduce_from_splits(handle: dict, partition_fn):
 
     @ray.remote
     def reduce_task(partition_id: int, n_left: int, *slices: pa.Table) -> pa.Table:
-        def concat(parts):
-            non_empty = [s for s in parts if s.num_rows]
-            table = pa.concat_tables(non_empty or list(parts[:1]), promote_options='permissive')
-            _warn_if_oversized(table, partition_id)
-            return table
-
-        return partition_fn(concat(slices[:n_left]), concat(slices[n_left:]), partition_id)
+        return partition_fn(_concat_slices(slices[:n_left], partition_id),
+                            _concat_slices(slices[n_left:], partition_id), partition_id)
 
     if handle['mode'] == 'single':
         left_refs, right_refs = handle['left'], handle['right']

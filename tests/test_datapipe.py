@@ -303,3 +303,76 @@ class TestMultimodal:
         assert len(frames) == 8 * 16
         assert np.abs(frames).max() <= 1.0
         assert np.abs(frames).max() > 0.5  # actually decoded the sine, not silence
+
+
+class TestDistributedDedupPaths:
+    """Round-3: the scale paths (distributed CC, exchange-bucketed simhash,
+    co-grouped ngram verify) must agree bit-for-bit with the driver paths."""
+
+    def _dup_corpus(self, n=150):
+        base = ['the quick brown fox jumps over the lazy dog number %d' % i for i in range(30)]
+        texts, ids = [], []
+        for i in range(n):
+            t = base[i % 30]
+            if i >= 30:
+                t += ' tail%d' % (i % 5)
+            texts.append(t)
+            ids.append(i)
+        return pa.table({'doc_id': pa.array(ids, pa.int64()), 'text': pa.array(texts)})
+
+    def test_minhash_clusters_driver_vs_distributed(self):
+        import pandas as pd
+        ds = rd.from_arrow(self._dup_corpus())
+        a = minhash_lsh_duplicates(ds, text_column='text', id_column='doc_id', cc='driver')
+        b = minhash_lsh_duplicates(ds, text_column='text', id_column='doc_id', cc='distributed')
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True),
+                                      check_dtype=False)
+
+    def test_minhash_dedup_survivors_byte_identical(self):
+        ds = rd.from_arrow(self._dup_corpus())
+        a = (minhash_dedup(ds, text_column='text', id_column='doc_id', cc='driver')
+             .to_pandas().sort_values('doc_id').reset_index(drop=True))
+        b = (minhash_dedup(ds, text_column='text', id_column='doc_id', cc='distributed')
+             .to_pandas().sort_values('doc_id').reset_index(drop=True))
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_hamming_matrix_matches_python_popcount(self):
+        from auto_featurs_ray.datapipe.dedup import _hamming_matrix
+        rng = np.random.default_rng(9)
+        hs = rng.integers(0, 2**63, size=40, dtype=np.int64).view(np.uint64)
+        got = _hamming_matrix(hs)
+        want = np.array([[bin(int(a ^ b)).count('1') for b in hs] for a in hs])
+        assert (got == want).all()
+
+    def test_ngram_distributed_matches_local_shingles(self):
+        from auto_featurs_ray.datapipe.dedup import _shingle_hashes
+        table = doc_table()
+        pairs = ngram_jaccard_duplicates(rd.from_arrow(table), text_column='text',
+                                         id_column='doc_id', threshold=0.7)
+        texts = dict(zip(table.column('doc_id').to_pylist(), table.column('text').to_pylist()))
+        for left, right, jac in zip(pairs['left'], pairs['right'], pairs['jaccard']):
+            a = _shingle_hashes(texts[left], 5)
+            b = _shingle_hashes(texts[right], 5)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            want = inter / (len(a) + len(b) - inter)
+            assert abs(jac - want) < 1e-12
+            assert want >= 0.7
+
+    def test_cc_warns_when_not_converged(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.dedup import connected_components_distributed
+        chain = pd.DataFrame({'left': np.arange(0, 40), 'right': np.arange(1, 41)})
+        with caplog.at_level(logging.WARNING, logger='auto_featurs_ray.datapipe.dedup'):
+            connected_components_distributed(chain, num_partitions=2, max_rounds=3)
+        assert any('did not certify convergence' in r.message for r in caplog.records)
+
+    def test_fnv1a_batch_matches_scalar(self):
+        from auto_featurs_ray.datapipe.textstats import fingerprint64, fnv1a64_batch
+        texts = ['Hello  World', '', None, 'the quick brown fox', 'a' * 300, 'Ünïcødé tæxt']
+        got = fnv1a64_batch(texts)
+        want = np.array([np.uint64(fingerprint64(t or '')).astype(np.int64) for t in texts])
+        assert (got == want).all()
