@@ -596,6 +596,62 @@ LEFT JOIN firstclick USING (user_id)
 
 
 # ---------------------------------------------------------------------------
+# 16b. CUMULATIVE mode / argmin / argmax — the reference's quirkiest running
+# tie-break semantics (ref aggregating_transformers.py:138-145, 453-458),
+# previously golden-/pytest-only, now under the driver's hard SQL gate.
+# ---------------------------------------------------------------------------
+
+def q_cumulative_mode_argminmax_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_mode('event_type', over_columns_combinations=[['user_id']],
+                    cumulative=CumulativeOptions.INCLUSIVE)
+         .with_mode('event_type', over_columns_combinations=[['user_id']],
+                    cumulative=CumulativeOptions.EXCLUSIVE)
+         .with_argmin('value', 'ts', over_columns_combinations=[['user_id']],
+                      cumulative=CumulativeOptions.INCLUSIVE)
+         .with_argmax('value', 'ts', over_columns_combinations=[['user_id']],
+                      cumulative=CumulativeOptions.INCLUSIVE))
+    keep = ['event_id', 'event_type_inclusive_cum_mode_over_user_id',
+            'event_type_exclusive_cum_mode_over_user_id',
+            'inclusive_cum_argmin_of_value_by_ts_over_user_id',
+            'inclusive_cum_argmax_of_value_by_ts_over_user_id']
+    return _finish(p.collect_plan().data, keep)
+
+
+# Running-mode tie-break "latest value to reach the max count" is equivalent
+# to the prefix argmax of (running per-value count, row number) — encoded as
+# one composite BIGINT key (rn < 1e6 at every driver scale).  Running
+# argmin/argmax "arg at the last row whose value equals the running extreme"
+# is the prefix arg_max by rn over rows hitting their own running extreme.
+SQL_CUMULATIVE_MODE_ARGMINMAX_EVENTS = """
+WITH t AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS c
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), m AS (
+  SELECT *,
+         MIN(value) OVER w2 AS runmin,
+         MAX(value) OVER w2 AS runmax
+  FROM t WINDOW w2 AS (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING)
+), w AS (
+  SELECT event_id, user_id, rn,
+         arg_max(event_type, c * 1000000 + rn) OVER w3 AS inc_mode,
+         arg_max(ts, CASE WHEN value = runmin THEN rn END) OVER w3 AS inc_amin,
+         arg_max(ts, CASE WHEN value = runmax THEN rn END) OVER w3 AS inc_amax
+  FROM m WINDOW w3 AS (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id,
+       inc_mode AS event_type_inclusive_cum_mode_over_user_id,
+       LAG(inc_mode) OVER w4 AS event_type_exclusive_cum_mode_over_user_id,
+       inc_amin AS inclusive_cum_argmin_of_value_by_ts_over_user_id,
+       inc_amax AS inclusive_cum_argmax_of_value_by_ts_over_user_id
+FROM w WINDOW w4 AS (PARTITION BY user_id ORDER BY rn)
+"""
+
+
+# ---------------------------------------------------------------------------
 # 17. quantile / median / zscore / minmax scaling (global + grouped)
 # ---------------------------------------------------------------------------
 
@@ -977,6 +1033,47 @@ def q_minhash_dedup_documents(sf_dir: str):
     return _finish(out, ['doc_id'])
 
 
+def q_minhash_dedup_distributed_documents(sf_dir: str):
+    """MinHash dedup with the pair set FORCED through the distributed scale
+    path (distributed connected components + exchange-derived drop ids + true
+    anti-join): every document is re-emitted 4x with tiny deterministic tail
+    edits, inflating the verified pair set with dense duplicate cliques, and
+    ``cc='distributed'`` routes components through min-label propagation.
+    tests/test_datapipe.py asserts byte-identical survivors between this path
+    and the driver union-find at the same inputs."""
+    from auto_featurs_ray.datapipe.dedup import minhash_dedup
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+
+    def inflate(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        texts = batch.column('text').to_pylist()
+        out_ids, out_texts = [ids], [texts]
+        for rep in range(1, 4):
+            out_ids.append(ids + 10_000_000 * rep)
+            out_texts.append([(t or '') + f' v{rep}' for t in texts])
+        return pa.table({'doc_id': pa.array(np.concatenate(out_ids), pa.int64()),
+                         'text': pa.array([t for chunk in out_texts for t in chunk])})
+
+    inflated = docs.map_batches(inflate, batch_format='pyarrow')
+    out = minhash_dedup(inflated, text_column='text', id_column='doc_id', cc='distributed')
+    return _finish(out, ['doc_id'])
+
+
+def q_ngram_jaccard_documents(sf_dir: str):
+    """Exact n-gram Jaccard verification of LSH candidates, co-grouped with
+    the corpus on doc id (no driver text dict)."""
+    from auto_featurs_ray.datapipe.dedup import ngram_jaccard_duplicates
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    pairs = ngram_jaccard_duplicates(docs, text_column='text', id_column='doc_id',
+                                     threshold=0.7)
+    return pa.table({'left': pa.array(pairs['left'].to_numpy(), pa.int64()),
+                     'right': pa.array(pairs['right'].to_numpy(), pa.int64()),
+                     'jaccard': pa.array(np.round(pairs['jaccard'].to_numpy(), 6),
+                                         pa.float64())})
+
+
 def q_fingerprint_documents(sf_dir: str):
     from auto_featurs_ray.datapipe.textstats import Fingerprinter
     docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
@@ -1263,6 +1360,9 @@ QUERIES = {
     'ttest_chi2_lineitem': q_ttest_chi2_lineitem,
     'rolling_extras_events': q_rolling_extras_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
+    'minhash_dedup_distributed_documents': q_minhash_dedup_distributed_documents,
+    'ngram_jaccard_documents': q_ngram_jaccard_documents,
+    'cumulative_mode_argminmax_events': q_cumulative_mode_argminmax_events,
     'fingerprint_documents': q_fingerprint_documents,
     'langid_quality_documents': q_langid_quality_documents,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
@@ -1296,6 +1396,7 @@ ORACLE_SQL = {
     'hash_join_orders_customer': SQL_HASH_JOIN_ORDERS_CUSTOMER,
     'lead_distinct_events': SQL_LEAD_DISTINCT_EVENTS,
     'mode_argminmax_events': SQL_MODE_ARGMINMAX_EVENTS,
+    'cumulative_mode_argminmax_events': SQL_CUMULATIVE_MODE_ARGMINMAX_EVENTS,
     'quantile_scaling_lineitem': SQL_QUANTILE_SCALING_LINEITEM,
     'row_locals_events': SQL_ROW_LOCALS_EVENTS,
     'textextra_documents': SQL_TEXTEXTRA_DOCUMENTS,
