@@ -38,17 +38,67 @@ from auto_featurs_ray.engine.runtime import cogroup_map_partitions
 
 
 def _dedupe_max(table: pa.Table, by: Sequence[str], on: str, value_column: str) -> pa.Table:
-    """One row per (by, on): the max-``value_column`` row (vectorized run filter)."""
+    """One row per (by, on): the max-``value_column`` row (vectorized run filter).
+
+    Null keys are normalized: two nulls compare EQUAL (one run, so null-keyed
+    duplicates collapse like any other key), a null never equals a non-null.
+    Raw numpy ``!=`` would treat NaN/NaT keys as always-distinct while object
+    ``None`` keys compare equal — two different null semantics in one pass.
+    """
     keys = [(k, 'ascending') for k in by] + [(on, 'ascending'), (value_column, 'descending')]
     table = table.take(pc.sort_indices(table, sort_keys=keys))
-    n = table.num_rows
-    if n <= 1:
+    if table.num_rows <= 1:
         return table
-    diff = np.zeros(n - 1, dtype=bool)
-    for name in [*by, on]:
-        arr = table.column(name).to_numpy(zero_copy_only=False)
-        diff |= arr[1:] != arr[:-1]
+    diff = _null_safe_run_diff(table, [*by, on])
     return table.filter(pa.array(np.concatenate(([True], diff))))
+
+
+def _null_safe_run_diff(table: pa.Table, columns: Sequence[str]) -> np.ndarray:
+    """Boolean array of length n-1: True where row i+1 starts a new key run
+    (nulls compare equal to nulls, unequal to everything else)."""
+    n = table.num_rows
+    diff = np.zeros(max(n - 1, 0), dtype=bool)
+    for name in columns:
+        arr = table.column(name).to_numpy(zero_copy_only=False)
+        isna = pd.isna(arr)
+        both_na = isna[1:] & isna[:-1]
+        one_na = isna[1:] ^ isna[:-1]
+        with np.errstate(invalid='ignore'):
+            neq = arr[1:] != arr[:-1]
+        diff |= one_na | (neq & ~both_na & ~one_na)
+    return diff
+
+
+def _cap_entity_history(table: pa.Table, by: Sequence[str], on: str, cap: int,
+                        partition_id: int) -> pa.Table:
+    """Keep only the most recent ``cap`` right-side rows per entity.
+
+    The escape hatch for entities whose history exceeds one reduce task's
+    memory (an as-of join cannot sub-split an entity — the match needs the
+    full right history).  Truncation is surfaced with a warning; matches that
+    would have landed beyond the kept window resolve to the oldest kept row
+    or null, so set the cap above the longest lookback the pipeline needs.
+    """
+    if table.num_rows <= cap:
+        return table
+    keys = [(k, 'ascending') for k in by] + [(on, 'ascending')]
+    table = table.take(pc.sort_indices(table, sort_keys=keys))
+    n = table.num_rows
+    diff = _null_safe_run_diff(table, by)
+    starts = np.concatenate(([0], np.flatnonzero(diff) + 1, [n]))
+    lengths = np.diff(starts)
+    oversized = int((lengths > cap).sum())
+    if not oversized:
+        return table
+    rank_in_run = np.arange(n) - np.repeat(starts[:-1], lengths)
+    keep = rank_in_run >= np.repeat(lengths - cap, lengths)
+    import logging
+    logging.getLogger(__name__).warning(
+        'asof partition %d: truncated %d entities to their most recent %d right-side '
+        'rows (largest had %d); matches beyond the kept history resolve to its oldest '
+        'row or null — raise max_right_rows_per_entity if the lookback needs more',
+        partition_id, oversized, cap, int(lengths.max()))
+    return table.filter(pa.array(keep))
 
 
 def _arrow_schema(ds) -> pa.Schema:
@@ -66,6 +116,7 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
               post_order_by: Sequence[str] = (),
               post_row_local: Optional[Sequence] = None,
               right_dedupe_max: Optional[str] = None,
+              max_right_rows_per_entity: Optional[int] = None,
               presplit: Optional[dict] = None):
     """As-of join two ``ray.data.Dataset``s; returns a new Dataset.
 
@@ -78,6 +129,11 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
     there, so this replaces a whole extra ``groupby().map_groups`` exchange
     (whose fixed overhead dominated the round-1 asof query) with a local
     sort-run filter.
+
+    ``max_right_rows_per_entity``: cap one entity's right-side history to its
+    most recent N rows inside the reduce (see :func:`_cap_entity_history`) —
+    the documented guard for a single pathological entity larger than a
+    reduce task's memory, which cannot be sub-split for an as-of join.
 
     ``presplit``: a handle from ``cogroup_launch_splits(left, right, by,
     num_partitions)`` — lets the caller overlap driver-side work (e.g.
@@ -110,6 +166,9 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
         else:
             if right_dedupe_max is not None:
                 right_t = _dedupe_max(right_t, by, right_on, right_dedupe_max)
+            if max_right_rows_per_entity is not None:
+                right_t = _cap_entity_history(right_t, by, right_on,
+                                              max_right_rows_per_entity, _pid)
             right_t = right_t.take(pc.sort_indices(right_t, sort_keys=[(right_on, 'ascending')]))
             lframe = pd.DataFrame({**{k: left_t.column(k).to_pandas() for k in by},
                                    '__ts': left_t.column(on).to_pandas(),

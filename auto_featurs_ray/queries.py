@@ -1022,6 +1022,69 @@ GROUP BY e.event_id
 
 
 # ---------------------------------------------------------------------------
+# 24b. rolling PMI + rolling argmin/argmax — the last two inners that used
+# the exact per-slice fallback, now on O(n) incremental fast paths
+# (hashmap counters / monotonic deques); this query pins them to a SQL oracle.
+# ---------------------------------------------------------------------------
+
+def q_rolling_pmi_argminmax_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_pointwise_mutual_information('event_type', 'user_id',
+                                            time_windows=['6h'], index_column_name='ts')
+         .with_argmin('value', 'event_id', time_windows=['6h'], index_column_name='ts',
+                      over_columns_combinations=[['user_id']])
+         .with_argmax('value', 'event_id', time_windows=['6h'], index_column_name='ts',
+                      over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'event_type_user_id_pmi_in_the_last_6h',
+            'argmin_of_value_by_event_id_in_the_last_6h_over_user_id',
+            'argmax_of_value_by_event_id_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['event_type_user_id_pmi_in_the_last_6h'])
+
+
+# Rolling windows share one window per timestamp run, anchored at the LAST
+# (ts, event_id) duplicate — PMI depends on the anchor row's pair, hence the
+# anchor join; argmin/argmax take the arg of the FIRST in-window row hitting
+# the window extreme (min urn among hits).
+SQL_ROLLING_PMI_ARGMINMAX_EVENTS = """
+WITH t AS (
+  SELECT event_id, user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS grn,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS urn
+  FROM events
+), anch AS (
+  SELECT e.event_id, a.event_type AS a0, a.user_id AS b0
+  FROM t e JOIN t a ON a.grn = (SELECT max(x.grn) FROM t x WHERE x.ts = e.ts)
+), pmi AS (
+  SELECT e.event_id,
+         round(log2(SUM(CASE WHEN w.event_type = an.a0 AND w.user_id = an.b0 THEN 1 ELSE 0 END)::DOUBLE
+                    * COUNT(*)
+                    / (SUM(CASE WHEN w.event_type = an.a0 THEN 1 ELSE 0 END)
+                       * SUM(CASE WHEN w.user_id = an.b0 THEN 1 ELSE 0 END))), 6) AS v
+  FROM t e JOIN anch an ON an.event_id = e.event_id
+  JOIN t w ON w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+  GROUP BY e.event_id
+), win AS (
+  SELECT e.event_id AS eid, w.value, w.event_id AS wid, w.urn
+  FROM t e JOIN t w ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+), ext AS (
+  SELECT eid, MIN(value) AS mn, MAX(value) AS mx FROM win GROUP BY eid
+), args AS (
+  SELECT w.eid,
+         arg_min(w.wid, CASE WHEN w.value = x.mn THEN w.urn END) AS amin,
+         arg_min(w.wid, CASE WHEN w.value = x.mx THEN w.urn END) AS amax
+  FROM win w JOIN ext x USING (eid) GROUP BY w.eid
+)
+SELECT e.event_id,
+       pmi.v AS event_type_user_id_pmi_in_the_last_6h,
+       args.amin AS argmin_of_value_by_event_id_in_the_last_6h_over_user_id,
+       args.amax AS argmax_of_value_by_event_id_in_the_last_6h_over_user_id
+FROM events e JOIN pmi ON pmi.event_id = e.event_id
+JOIN args ON args.eid = e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -1359,6 +1422,7 @@ QUERIES = {
     'text_similarity_documents': q_text_similarity_documents,
     'ttest_chi2_lineitem': q_ttest_chi2_lineitem,
     'rolling_extras_events': q_rolling_extras_events,
+    'rolling_pmi_argminmax_events': q_rolling_pmi_argminmax_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'minhash_dedup_distributed_documents': q_minhash_dedup_distributed_documents,
     'ngram_jaccard_documents': q_ngram_jaccard_documents,
@@ -1405,5 +1469,6 @@ ORACLE_SQL = {
     'text_similarity_documents': SQL_TEXT_SIMILARITY_DOCUMENTS,
     'ttest_chi2_lineitem': SQL_TTEST_CHI2_LINEITEM,
     'rolling_extras_events': SQL_ROLLING_EXTRAS_EVENTS,
+    'rolling_pmi_argminmax_events': SQL_ROLLING_PMI_ARGMINMAX_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
 }

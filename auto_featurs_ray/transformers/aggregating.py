@@ -24,9 +24,12 @@ sequential ones (cumulative mode, cumulative entropy) walk rows in Python.
 
 from __future__ import annotations
 
+import logging
 import math
 from abc import ABC, abstractmethod
 from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
 
 import numpy as np
 import pandas as pd
@@ -628,6 +631,71 @@ class PointwiseMutualInformationTransformer(AggregatingTransformer):
             p_ab = counts((self._column_a, self._column_b)) / total
             return np.log2(p_ab / (p_a * p_b))
 
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        """Sliding PMI: incremental (a), (b), (a,b) count hashmaps updated in
+        O(1) per add/remove; the emitted value is the PMI of the anchor row's
+        pair within the window — ``log2(c_ab * total / (c_a * c_b))``, with
+        the same 0-count edge values as the vectorized NONE path (0/0 -> NaN,
+        log2(0) -> -inf)."""
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        a_series = frame.series(self._column_a)
+        b_series = frame.series(self._column_b)
+        a_na = a_series.isna().to_numpy()
+        b_na = b_series.isna().to_numpy()
+        a_vals = a_series.to_numpy(dtype=object)
+        b_vals = b_series.to_numpy(dtype=object)
+        cond = frame.cond_mask(self.filtering_condition)
+        n = frame.num_rows
+        ratio = np.full(n, np.nan)
+        ca: dict = {}
+        cb: dict = {}
+        cab: dict = {}
+        total = 0
+        aa = bb = 0
+
+        def bump(row: int, delta: int) -> None:
+            nonlocal total
+            if cond is not None and not cond[row]:
+                return
+            ka = _NULL_KEY if a_na[row] else a_vals[row]
+            kb = _NULL_KEY if b_na[row] else b_vals[row]
+            for counter, key in ((ca, ka), (cb, kb), (cab, (ka, kb))):
+                c = counter.get(key, 0) + delta
+                if c:
+                    counter[key] = c
+                else:
+                    counter.pop(key, None)
+            total += delta
+
+        for i in range(n):
+            while bb < hi[i]:
+                bump(bb, 1)
+                bb += 1
+            while aa < lo[i]:
+                bump(aa, -1)
+                aa += 1
+            anchor = hi[i] - 1
+            if anchor < aa:
+                continue  # empty window -> NaN
+            ka = _NULL_KEY if a_na[anchor] else a_vals[anchor]
+            kb = _NULL_KEY if b_na[anchor] else b_vals[anchor]
+            c_a = ca.get(ka, 0)
+            c_b = cb.get(kb, 0)
+            c_ab = cab.get((ka, kb), 0)
+            if total == 0 or c_a == 0 or c_b == 0:
+                continue  # p_ab / (p_a * p_b) = 0/0 -> NaN
+            # same float op ORDER as the vectorized NONE path (probabilities
+            # first, then the ratio) so results are bit-identical, not 1 ulp off
+            p_a = c_a / total
+            p_b = c_b / total
+            p_ab = c_ab / total
+            ratio[i] = p_ab / (p_a * p_b)
+        # one vectorized np.log2 over the ratios: numpy's ufunc and libm's
+        # math.log2 can differ by 1 ulp, and the NONE path uses the ufunc
+        with np.errstate(divide='ignore', invalid='ignore'):
+            return np.log2(ratio)
+
 
 def _stable_codes(codes: np.ndarray) -> np.ndarray:
     return codes
@@ -852,25 +920,40 @@ class QuantileTransformer(ArithmeticAggregationTransformer):
     # max(EXACT_CAP, 2*SKETCH_POINTS) floats no matter how many rows stream
     # through — the round-1 implementation concatenated every value on the
     # driver (unbounded at 10^12 rows).
+    #
+    # Error characteristics of the compressed path: the first compression
+    # resamples the exact empirical CDF at SKETCH_POINTS evenly spaced ranks,
+    # bounding the RANK error of any quantile estimate by ~1/SKETCH_POINTS of
+    # the population (the VALUE error depends on the data's local density).
+    # Merging compressed states concatenates their weighted points WITHOUT
+    # re-interpolating (up to EXACT_CAP points accumulate before another
+    # resample), so compression depth grows ~log(states)/log(EXACT_CAP /
+    # SKETCH_POINTS) — each additional resample compounds the rank error by
+    # another ~1/SKETCH_POINTS.  A warning is logged when a state first
+    # leaves the exact regime and again on every deeper re-compression.
     EXACT_CAP = 131072
     SKETCH_POINTS = 4096
 
     def global_partial(self, table: pa.Table):
         x = self._masked(AggFrame(table))
         values = x[~np.isnan(x)]
-        state = {'v': values, 'w': None, 'exact': True}
+        state = {'v': values, 'w': None, 'exact': True, 'depth': 0}
         return self._maybe_compress(state)
 
     def global_combine(self, left, right):
         if left['exact'] and right['exact']:
-            merged = {'v': np.concatenate([left['v'], right['v']]), 'w': None, 'exact': True}
+            merged = {'v': np.concatenate([left['v'], right['v']]), 'w': None,
+                      'exact': True, 'depth': 0}
             return self._maybe_compress(merged)
         lv, lw = self._weighted(left)
         rv, rw = self._weighted(right)
         v = np.concatenate([lv, rv])
         w = np.concatenate([lw, rw])
         order = np.argsort(v, kind='stable')
-        return self._maybe_compress({'v': v[order], 'w': w[order], 'exact': False})
+        # weighted points merge WITHOUT re-interpolating; _maybe_compress only
+        # resamples again once the merged point count exceeds EXACT_CAP
+        return self._maybe_compress({'v': v[order], 'w': w[order], 'exact': False,
+                                     'depth': max(left.get('depth', 1), right.get('depth', 1))})
 
     @staticmethod
     def _weighted(state):
@@ -882,6 +965,20 @@ class QuantileTransformer(ArithmeticAggregationTransformer):
     def _maybe_compress(self, state):
         if len(state['v']) <= max(self.EXACT_CAP, 2 * self.SKETCH_POINTS):
             return state
+        depth = state.get('depth', 0) + 1
+        if state['exact']:
+            logger.warning(
+                'QuantileTransformer(%s, q=%s): global state exceeded EXACT_CAP=%d values; '
+                'switching from exact np.quantile to a %d-point weighted-CDF approximation '
+                '(rank error ~1/%d of the population per compression)',
+                self._column, self._quantile, self.EXACT_CAP, self.SKETCH_POINTS,
+                self.SKETCH_POINTS)
+        else:
+            logger.warning(
+                'QuantileTransformer(%s, q=%s): re-compressing an already-approximate state '
+                '(compression depth %d) — interpolation error compounds; raise EXACT_CAP or '
+                'reduce the partial-state fan-in if tighter quantiles are needed',
+                self._column, self._quantile, depth)
         v, w = self._weighted(state)
         total = w.sum()
         # virtual type-7 index of each point's last element in the sorted
@@ -890,7 +987,7 @@ class QuantileTransformer(ArithmeticAggregationTransformer):
         targets = np.linspace(0.0, total - 1.0, self.SKETCH_POINTS)
         points = np.interp(targets, xp, v)
         weights = np.full(self.SKETCH_POINTS, total / self.SKETCH_POINTS)
-        return {'v': points, 'w': weights, 'exact': False}
+        return {'v': points, 'w': weights, 'exact': False, 'depth': depth}
 
     def global_finalize(self, state, table: pa.Table):
         if len(state['v']) == 0:
@@ -1116,6 +1213,45 @@ class _ArgExtremeTransformer(AggregatingTransformer, ABC):
         hit = value_s.to_numpy() == extreme_arr
         out = arg.where(pd.Series(hit)).groupby(codes).ffill()
         return pa.Array.from_pandas(out, type=frame.table.column(self._arg_column.name).type)
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        """Monotonic-deque rolling arg-extreme: the deque keeps window row
+        indices with strictly improving (masked) values; its front is the
+        FIRST in-window row attaining the window extreme — the same
+        first-hit-of-the-extreme rule as the NONE path (ref :452,488).
+        O(n) amortized vs the exact per-slice fallback."""
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        from collections import deque
+
+        value = frame.numeric(self._value_column)
+        cond = frame.cond_mask(self.filtering_condition)
+        masked = np.where(cond, value, np.nan) if cond is not None else value
+        arg_series = frame.series(self._arg_column.name)
+        arg = arg_series.to_numpy(dtype=object)
+        arg_na = arg_series.isna().to_numpy()
+        n = frame.num_rows
+        out = np.empty(n, dtype=object)
+        dq: deque = deque()  # row indices, masked[dq] strictly improving front->back
+        better = np.less if self._is_min else np.greater
+        b = 0
+        for i in range(n):
+            while b < hi[i]:
+                v = masked[b]
+                if not np.isnan(v):
+                    # strict pop keeps the EARLIEST index among equal extremes
+                    while dq and better(v, masked[dq[-1]]):
+                        dq.pop()
+                    dq.append(b)
+                b += 1
+            while dq and dq[0] < lo[i]:
+                dq.popleft()
+            if dq:
+                j = dq[0]
+                out[i] = None if arg_na[j] else arg[j]
+            else:
+                out[i] = None  # no valid value in window -> no arg
+        return pa.Array.from_pandas(pd.Series(out), type=frame.table.column(self._arg_column.name).type)
 
 
 class ArgMinTransformer(_ArgExtremeTransformer):

@@ -76,7 +76,13 @@ class RollingWrapper(AggregatingTransformer):
         key = (self.index_column_name, self._period_us, id(codes) if codes is not None else None)
         hit = cache.get(key)
         if hit is not None:
-            return hit
+            # the cache entry holds a strong reference to the codes array it
+            # was built from, so its id() cannot be recycled by a later
+            # uncached group_codes(base=...) allocation — without the pin, a
+            # freed codes array's address could be reused by a transformer
+            # with the same index/period but DIFFERENT group keys, silently
+            # serving stale bounds
+            return hit[1]
         ts = frame.timestamps_us(self.index_column_name)
         n = len(ts)
         if codes is not None and len(codes) and len(np.unique(codes)) != np.count_nonzero(np.diff(codes)) + 1:
@@ -105,7 +111,7 @@ class RollingWrapper(AggregatingTransformer):
             hi = np.empty(0, dtype=np.int64)
         lo = self._window_lo(ts, codes, bounds, n)
         result = (lo, hi.astype(np.int64))
-        cache[key] = result
+        cache[key] = (codes, result)  # codes ref pins id(codes) — see hit path
         return result
 
     def _window_lo(self, ts: np.ndarray, codes: Optional[np.ndarray], bounds: np.ndarray,

@@ -89,3 +89,59 @@ def test_rolling_num_unique_is_linear():
     t1 = min(run(4000) for _ in range(3))
     t2 = min(run(16000) for _ in range(3))
     assert t2 / t1 < 12  # O(n*w) would be ~16x or worse with the wider data
+
+
+def _frame_with_value(n=400, seed=11):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, n * 40, size=n)) * 1_000_000
+    cats = rng.choice(['a', 'b', 'c', 'd', None], size=n, p=[0.3, 0.3, 0.2, 0.1, 0.1])
+    srcs = rng.choice(['s1', 's2', 's3'], size=n)
+    value = rng.integers(0, 7, size=n).astype(float)  # plenty of ties for arg tie-break
+    value[rng.random(n) < 0.1] = np.nan
+    table = pa.table({
+        'ts': pa.array(ts.astype('datetime64[us]')),
+        'cat': pa.array(pd.Series(cats)),
+        'src': pa.array(srcs),
+        'value': pa.array(value),
+        'arg': pa.array(np.arange(n, dtype=np.int64)),
+    })
+    return AggFrame(table)
+
+
+def test_rolling_pmi_matches_slice_eval():
+    from auto_featurs_ray.transformers.aggregating import PointwiseMutualInformationTransformer
+    frame = _frame_with_value()
+    lo, hi = _bounds(frame)
+    pmi = PointwiseMutualInformationTransformer('cat', 'src')
+    fast = np.asarray(pmi.compute_windowed(frame, lo, hi), dtype=float)
+    brute = np.asarray([np.asarray(pmi.compute(frame.slice(lo[i], hi[i]), None))[-1]
+                        for i in range(frame.num_rows)], dtype=float)
+    # NaN and +-inf edge values must agree exactly too
+    assert ((fast == brute) | (np.isnan(fast) & np.isnan(brute))).all()
+
+
+def test_rolling_argminmax_matches_slice_eval():
+    from auto_featurs_ray.base.column_specification import ColumnSpecification as CS2
+    from auto_featurs_ray.transformers.aggregating import ArgMaxTransformer, ArgMinTransformer
+    frame = _frame_with_value()
+    lo, hi = _bounds(frame)
+    for cls in (ArgMinTransformer, ArgMaxTransformer):
+        tr = cls('value', CS2.numeric(name='arg'))
+        fast = tr.compute_windowed(frame, lo, hi).to_pylist()
+        brute = [tr.compute(frame.slice(lo[i], hi[i]), None)[-1].as_py()
+                 for i in range(frame.num_rows)]
+        assert fast == brute, cls.__name__
+
+
+def test_rolling_bounds_cache_pins_codes_identity():
+    """The bounds cache must never serve stale (lo, hi) after a codes array
+    is freed and its id() recycled — the cache entry pins the codes array."""
+    frame = _frame_with_value()
+    wrapper = RollingWrapper(NumUniqueTransformer('cat'), CS.datetime(name='ts'), '120s')
+    codes = np.zeros(frame.num_rows, dtype=np.int64)
+    wrapper.window_bounds(frame, codes)
+    cache = frame.__dict__['_rolling_bounds_cache']
+    key = ('ts', wrapper._period_us, id(codes))
+    assert key in cache
+    pinned, _ = cache[key]
+    assert pinned is codes  # strong reference held -> id cannot be recycled

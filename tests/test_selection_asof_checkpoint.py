@@ -209,3 +209,35 @@ class TestHashJoin:
                          num_partitions=4).to_pandas().sort_values(['k', 'a']))
         assert out['k'].tolist() == [-5, -5, 7]
         assert out['b'].tolist() == [1.0, 1.0, 2.0]
+
+
+class TestDedupeMaxNullKeys:
+    def test_null_keys_collapse_like_values(self):
+        """NaN/None/NaT join keys must behave as ONE key value in
+        right_dedupe_max: duplicates under a null key collapse to the
+        max-value row, exactly like a non-null key."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from auto_featurs_ray.engine.asof import _dedupe_max
+
+        # float key with NaN, object key with None, plus normal keys
+        t = pa.table({
+            'k': pa.array([1.0, 1.0, None, None, 2.0], pa.float64()),
+            'ts': pa.array([10, 10, 10, 10, 10], pa.int64()),
+            'v': pa.array([1.0, 5.0, 2.0, 7.0, 3.0], pa.float64()),
+        })
+        out = _dedupe_max(t, ['k'], 'ts', 'v').to_pandas()
+        # one row per key incl. the null key, each keeping the max v
+        got = {(None if pd.isna(k) else k): v for k, v in zip(out['k'], out['v'])}
+        assert got == {1.0: 5.0, None: 7.0, 2.0: 3.0}
+
+        t2 = pa.table({
+            'k': pa.array(['a', 'a', None, None], pa.string()),
+            'ts': pa.array([1, 1, 1, 1], pa.int64()),
+            'v': pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        })
+        out2 = _dedupe_max(t2, ['k'], 'ts', 'v').to_pandas()
+        got2 = {(None if pd.isna(k) else k): v for k, v in zip(out2['k'], out2['v'])}
+        assert got2 == {'a': 2.0, None: 4.0}

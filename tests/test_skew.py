@@ -104,3 +104,93 @@ def test_hot_entity_results_exact():
     np.testing.assert_array_equal(df['exclusive_cum_count_over_user'].to_numpy(), expect_count)
     np.testing.assert_allclose(df['value_inclusive_cum_sum_over_user'].to_numpy(), expect_sum,
                                rtol=1e-9)
+
+
+class TestPathologicalEntity:
+    """Verdict r2 item 7: one entity larger than a partition must complete
+    (warn, not OOM), and the documented cap knob must bound it."""
+
+    def test_oversize_warning_fires(self, caplog):
+        import logging
+
+        import numpy as np
+        import pyarrow as pa
+
+        from auto_featurs_ray.engine import runtime
+
+        big = pa.table({'k': np.zeros(1000, np.int64), 'v': np.arange(1000)})
+        old = runtime.REDUCE_MEMORY_WARN_BYTES
+        runtime.REDUCE_MEMORY_WARN_BYTES = 1  # force the threshold
+        try:
+            with caplog.at_level(logging.WARNING, logger='auto_featurs_ray.engine.runtime'):
+                runtime._warn_if_oversized(big, partition_id=3)
+        finally:
+            runtime.REDUCE_MEMORY_WARN_BYTES = old
+        assert any('holds' in r.message and 'reduce task' in r.message for r in caplog.records)
+
+    def test_one_hot_entity_completes_through_asof_windows(self):
+        """90% of rows on one entity, pushed through as-of + a window suite:
+        the hot entity streams through one reduce task and the job completes
+        with correct per-entity outputs."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from auto_featurs_ray.engine.asof import asof_join
+
+        n = 20_000
+        rng = np.random.default_rng(7)
+        keys = np.where(np.arange(n) % 10 == 0, rng.integers(1, 50, n), 0)  # entity 0 is hot
+        ts = np.sort(rng.integers(0, 10_000_000, n)).astype('datetime64[us]')
+        left = pa.table({'k': pa.array(keys, pa.int64()), 'ts': pa.array(ts),
+                         'x': pa.array(rng.standard_normal(n))})
+        rts = np.sort(rng.integers(0, 10_000_000, 500)).astype('datetime64[us]')
+        right = pa.table({'k': pa.array(rng.integers(0, 50, 500), pa.int64()),
+                          'ts': pa.array(rts),
+                          'y': pa.array(rng.standard_normal(500))})
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right), by=['k'], on='ts',
+                        num_partitions=4).to_pandas()
+        assert len(out) == n
+        # spot-check: hot entity's matches equal a pandas merge_asof oracle
+        lf = left.to_pandas().sort_values('ts')
+        rf = right.to_pandas().sort_values('ts')
+        oracle = pd.merge_asof(lf, rf, on='ts', by='k', suffixes=('', '_right'))
+        got = out.sort_values(['ts', 'x']).reset_index(drop=True)
+        want = oracle.sort_values(['ts', 'x']).reset_index(drop=True)
+        pd.testing.assert_series_equal(got['y'], want['y'], check_names=False)
+
+    def test_max_right_rows_per_entity_caps_history(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from auto_featurs_ray.engine.asof import _cap_entity_history
+
+        t = pa.table({'k': pa.array([0] * 100 + [1] * 3, pa.int64()),
+                      'ts': pa.array(list(range(100)) + [0, 1, 2], pa.int64()),
+                      'v': pa.array(np.arange(103, dtype=np.float64))})
+        capped = _cap_entity_history(t, ['k'], 'ts', 10, partition_id=0).to_pandas()
+        assert len(capped) == 13
+        # entity 0 keeps its most RECENT 10 rows; entity 1 untouched
+        assert capped.loc[capped['k'] == 0, 'ts'].tolist() == list(range(90, 100))
+        assert capped.loc[capped['k'] == 1, 'ts'].tolist() == [0, 1, 2]
+
+    def test_asof_with_cap_resolves_old_matches_to_null_or_oldest(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from auto_featurs_ray.engine.asof import asof_join
+
+        left = pa.table({'k': pa.array([0, 0], pa.int64()),
+                         'ts': pa.array([5, 500], pa.int64())})
+        right = pa.table({'k': pa.array([0] * 100, pa.int64()),
+                          'ts': pa.array(np.arange(100), pa.int64()),
+                          'y': pa.array(np.arange(100, dtype=np.float64))})
+        out = (asof_join(rd.from_arrow(left), rd.from_arrow(right), by=['k'], on='ts',
+                         num_partitions=2, max_right_rows_per_entity=10)
+               .to_pandas().sort_values('ts'))
+        # ts=500 matches the newest kept row (99); ts=5 predates the kept
+        # window entirely -> null
+        assert np.isnan(out.iloc[0]['y'])
+        assert out.iloc[1]['y'] == 99.0
