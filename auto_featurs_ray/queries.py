@@ -70,8 +70,10 @@ def _events_dataset(sf_dir: str) -> Dataset:
         CS.nominal(name='event_type'),
         CS.numeric(name='value'),
     ])
+    # prune at the read: the queries never touch the heavy 'props' map column
     return Dataset.from_parquet(os.path.join(sf_dir, 'events.parquet'), schema,
-                                order_by=ORDER_EVENTS, num_partitions=NUM_PARTITIONS)
+                                order_by=ORDER_EVENTS, num_partitions=NUM_PARTITIONS,
+                                columns=['event_id', 'ts', 'user_id', 'event_type', 'value'])
 
 
 def _lineitem_dataset(sf_dir: str, columns: Optional[List[str]] = None) -> Dataset:

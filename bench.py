@@ -41,13 +41,17 @@ BENCH_QUERIES = [
     'mode_argminmax_events', 'quantile_scaling_lineitem', 'row_locals_events',
     'textextra_documents', 'cumulative_extras_events', 'cumulative_entropy_pmi_events',
     'text_similarity_documents', 'ttest_chi2_lineitem', 'rolling_extras_events',
+    # round-3 coverage queries
+    'rolling_pmi_argminmax_events', 'cumulative_mode_argminmax_events',
+    'simhash_dedup_documents', 'ngram_jaccard_documents',
 ]
 
 
 def _consume(result) -> int:
     """Drive a query result to completion; return its row count."""
     import pandas as pd
-    if isinstance(result, pd.DataFrame):
+    import pyarrow as pa
+    if isinstance(result, (pd.DataFrame, pa.Table)):
         return len(result)
     return result.count()
 
