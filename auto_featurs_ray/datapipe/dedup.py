@@ -163,13 +163,16 @@ class MinHasher:
 def minhash_lsh_pairs(ds, *, text_column: str, id_column: str, num_perm: int = 64,
                       num_bands: int = 16, shingle_size: int = 5,
                       jaccard_threshold: float = 0.8,
-                      max_bucket: int = 200, num_partitions: int = 16):
+                      max_bucket: int = 200, num_partitions: int = 16,
+                      distinct: bool = True):
     """Verified near-duplicate pairs via MinHash-LSH, as a ``ray.data.Dataset``.
 
-    Columns ``(left, right, sim)`` with ``left < right``, distinct pairs
-    (a pair colliding in several bands is emitted once).  Everything stays on
-    the exchange: explode -> bucket shuffle -> in-partition verify ->
-    distinct-pair shuffle.  Nothing is materialized on the driver.
+    Columns ``(left, right, sim)`` with ``left < right``.  With ``distinct``
+    (default), a pair colliding in several bands is emitted once — one extra
+    hash exchange.  The connected-components consumers pass
+    ``distinct=False``: duplicate edges change neither union-find nor
+    min-label propagation, so they skip that exchange.  Everything stays on
+    the exchange either way; nothing is materialized on the driver.
     """
     rows_per_band = num_perm // num_bands
     hasher = MinHasher(text_column, num_perm, shingle_size)
@@ -240,7 +243,7 @@ def minhash_lsh_pairs(ds, *, text_column: str, id_column: str, num_perm: int = 6
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
     exploded = ds.map_batches(explode, batch_format='pyarrow')
     raw = shuffle_map_partitions(exploded, ['band_hash'], num_partitions, partition_pairs)
-    return _distinct_pairs(raw, num_partitions)
+    return _distinct_pairs(raw, num_partitions) if distinct else raw
 
 
 def _distinct_pairs(pairs_ds, num_partitions: int):
@@ -310,7 +313,8 @@ def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: in
     pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
                               num_perm=num_perm, num_bands=num_bands,
                               shingle_size=shingle_size, jaccard_threshold=jaccard_threshold,
-                              max_bucket=max_bucket, num_partitions=num_partitions).materialize()
+                              max_bucket=max_bucket, num_partitions=num_partitions,
+                              distinct=False).materialize()
     return _cluster_frame(pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
                           num_partitions=num_partitions)
 
@@ -489,7 +493,8 @@ def minhash_dedup(ds, *, text_column: str, id_column: str,
     ``to_pandas()`` anywhere on the path.
     """
     pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
-                              num_partitions=num_partitions, **kwargs).materialize()
+                              num_partitions=num_partitions, distinct=False,
+                              **kwargs).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ds
@@ -575,7 +580,8 @@ def _hamming_matrix(hs: np.ndarray) -> np.ndarray:
 
 
 def simhash_pairs(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
-                  max_bucket: int = 500, num_partitions: int = 16):
+                  max_bucket: int = 500, num_partitions: int = 16,
+                  distinct: bool = True):
     """Verified SimHash near-dup pairs as a Dataset ``(left, right)``.
 
     4x16-bit band bucketing on the engine's hash exchange (not Ray's
@@ -636,7 +642,7 @@ def simhash_pairs(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
     exploded = ds.map_batches(explode, batch_format='pyarrow')
     raw = shuffle_map_partitions(exploded, ['band', 'key'], num_partitions, partition_pairs)
-    return _distinct_pairs(raw, num_partitions)
+    return _distinct_pairs(raw, num_partitions) if distinct else raw
 
 
 def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
@@ -645,7 +651,7 @@ def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int
     """Near-dup clusters via 64-bit SimHash, bucketed by 4x16-bit bands."""
     pairs = simhash_pairs(ds, text_column=text_column, id_column=id_column,
                           max_hamming=max_hamming, max_bucket=max_bucket,
-                          num_partitions=num_partitions).materialize()
+                          num_partitions=num_partitions, distinct=False).materialize()
     return _cluster_frame(pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
                           num_partitions=num_partitions)
 
@@ -713,7 +719,8 @@ def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_si
     lsh_pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
                                   shingle_size=shingle_size,
                                   jaccard_threshold=max(0.5, threshold - 0.2),
-                                  num_partitions=num_partitions, **lsh_kwargs).materialize()
+                                  num_partitions=num_partitions, distinct=False,
+                                  **lsh_kwargs).materialize()
     if lsh_pairs.count() == 0:
         return pd.DataFrame({'left': [], 'right': [], 'jaccard': []})
     clusters = _cluster_frame(lsh_pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
@@ -862,8 +869,9 @@ def embedding_duplicates(ds, *, embedding_column: str, id_column: str,
 
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
     exploded = ds.map_batches(explode, batch_format='pyarrow')
-    raw = shuffle_map_partitions(exploded, ['key'], 16, partition_pairs)
-    pairs = _distinct_pairs(raw, 16).materialize()
+    # duplicate pairs across buckets are harmless to connected components, so
+    # no distinct-pair exchange here
+    pairs = shuffle_map_partitions(exploded, ['key'], 16, partition_pairs).materialize()
     if pairs.count() == 0:
         return pd.DataFrame({'id': [], 'cluster_id': []})
     return _cluster_frame(pairs, cc='auto')
