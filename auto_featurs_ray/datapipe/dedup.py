@@ -276,8 +276,11 @@ def _cluster_frame(pairs_ds, *, cc: str = 'auto', cc_pair_threshold: int = CC_PA
     """Connected components of a materialized pair Dataset.
 
     ``cc``: ``'auto'`` routes on pair count, ``'driver'`` / ``'distributed'``
-    force a path.  Returns ``(id, cluster_id)`` as pandas (default) or as a
-    Dataset (``as_dataset=True`` — nothing touches the driver then)."""
+    force a path.  The count may include band-duplicate pairs (callers pass
+    ``distinct=False`` since duplicate edges don't change components) — an
+    inflated count only switches to the distributed path EARLIER, which is
+    the safe direction.  Returns ``(id, cluster_id)`` as pandas (default) or
+    as a Dataset (``as_dataset=True`` — nothing touches the driver then)."""
     n_pairs = pairs_ds.count()
     use_dist = cc == 'distributed' or (cc == 'auto' and n_pairs > cc_pair_threshold)
     if use_dist:
