@@ -1164,6 +1164,61 @@ def q_langid_quality_documents(sf_dir: str):
                    round_cols=['quality_score'])
 
 
+def _langid_quality_sql() -> str:
+    """DuckDB oracle for lang-ID + quality scoring (round 3: previously a
+    rows-only check).  Mirrors datapipe/textstats.py exactly: regex token and
+    character counts, EN stopword ratio with the same trim set, the LanguageId
+    200-valid-token cap (list_slice), the profile hit-rate argmax with
+    FIRST-profile tie-break (np.argmax order en,de,fr,es,it,nl) and the 0.05
+    confidence floor, and the clipped quality formula."""
+    from auto_featurs_ray.datapipe.textstats import _LANG_PROFILES
+    profiles = {lang: ','.join(f"'{w}'" for w in sorted(words))
+                for lang, words in _LANG_PROFILES.items()}
+    en = profiles['en']
+    lang_ratio = ',\n         '.join(
+        f"CASE WHEN lwords > 0 THEN len(list_filter(ltoks, t -> t IN ({words})))::DOUBLE"
+        f" / lwords ELSE 0 END AS r_{lang}"
+        for lang, words in profiles.items())
+    order = list(profiles)
+    pick = 'CASE ' + ' '.join(
+        f"WHEN r_{l} >= 0.05 AND r_{l} > 0 AND r_{l} >= greatest({', '.join('r_' + m for m in order)}) "
+        + ('' if i == 0 else 'AND ' + ' AND '.join(f'r_{l} > r_{m}' for m in order[:i]) + ' ')
+        + f"THEN '{l}'" for i, l in enumerate(order)) + " ELSE 'und' END"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, coalesce(text,'') AS t FROM documents
+), feats AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         len(regexp_extract_all(t, '\S+')) AS n_words,
+         len(regexp_extract_all(t, '\s')) AS n_ws,
+         len(regexp_extract_all(t, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(t, '[A-Za-z0-9]')) AS n_alnum,
+         len(list_filter(regexp_extract_all(lower(t), '\S+'),
+             tok -> trim(tok, '.,;:!?"''()') IN ({en}))) AS stop_hits,
+         list_slice(regexp_extract_all(lower(t), '[a-zà-ÿäöüß'']+'), 1, 200) AS ltoks
+  FROM base
+), lang AS (
+  SELECT doc_id, least(len(ltoks), 200) AS lwords, * EXCLUDE (doc_id, ltoks), ltoks FROM feats
+), ratios AS (
+  SELECT *, {lang_ratio} FROM lang
+)
+SELECT doc_id,
+       {pick} AS lang_pred,
+       n_words,
+       round(least(greatest(
+         0.3 * least(n_words / 100.0, 1.0)
+         + 0.3 * (CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0 END) * 2.0
+         + 0.2 * (CASE WHEN n_chars > 0 THEN n_alnum::DOUBLE / n_chars ELSE 0 END)
+         + 0.2 * least((CASE WHEN n_words > 0 THEN (n_chars - n_ws)::DOUBLE / n_words ELSE 0 END) / 8.0, 1.0),
+       0.0), 1.0), 6) AS quality_score
+FROM ratios
+"""
+
+
+SQL_LANGID_QUALITY_DOCUMENTS = _langid_quality_sql()
+
+
 def q_knn_ivf_embeddings(sf_dir: str):
     from auto_featurs_ray.datapipe.similarity import knn_ivf
     path = os.path.join(sf_dir, 'embeddings.parquet')
@@ -1322,6 +1377,45 @@ def q_shuffle_split_documents(sf_dir: str):
     return _finish(ds, ['doc_id', 'lang', 'split'])
 
 
+def _shuffle_split_sql() -> str:
+    """DuckDB oracle for the deterministic hash split (round 3: previously a
+    rows-only check).  Split membership is a pure function of (doc_id, seed):
+    pandas' numeric hash is the splitmix64 finalizer, then the seed folds in
+    via golden-ratio multiply + a second finalizer (datapipe/shuffle.py:29-43).
+    Replicated here in exact mod-2^64 integer arithmetic — HUGEINT multiplies
+    are split 32/32 so no intermediate overflows int128.  The shuffle's ORDER
+    is invisible to the driver's order-insensitive hash, so membership is the
+    whole contract."""
+    def mulmod(a: str, c: int) -> str:
+        lo = c & 0xFFFFFFFF
+        return (f"((({a}) % 4294967296) * {c}::HUGEINT + "
+                f"(((({a}) >> 32) * {lo}::HUGEINT) % 4294967296) * 4294967296) "
+                f"% 18446744073709551616")
+
+    def fin(x: str) -> str:
+        x = f"xor({x}, ({x}) >> 30)"
+        x = mulmod(x, 0xbf58476d1ce4e5b9)
+        x = f"xor({x}, ({x}) >> 27)"
+        x = mulmod(x, 0x94d049bb133111eb)
+        return f"xor({x}, ({x}) >> 31)"
+
+    seed = 11
+    seedc = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return f"""
+WITH s0 AS (SELECT doc_id, lang, doc_id::HUGEINT AS x FROM documents),
+s1 AS (SELECT doc_id, lang, {fin('x')} AS h FROM s0),
+s2 AS (SELECT doc_id, lang, xor(h, {seedc}::HUGEINT) AS z FROM s1),
+s3 AS (SELECT doc_id, lang, {fin('z')} AS zf FROM s2),
+s4 AS (SELECT doc_id, lang, zf::DOUBLE / 18446744073709551616.0 AS u FROM s3)
+SELECT doc_id, lang,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM s4
+"""
+
+
+SQL_SHUFFLE_SPLIT_DOCUMENTS = _shuffle_split_sql()
+
+
 def q_resumable_sink(sf_dir: str):
     """Kill/resume resumability, driver-visible (rows-only): write events to a
     checkpointed partitioned sink, kill after 3 partitions, resume, and emit
@@ -1473,4 +1567,6 @@ ORACLE_SQL = {
     'rolling_extras_events': SQL_ROLLING_EXTRAS_EVENTS,
     'rolling_pmi_argminmax_events': SQL_ROLLING_PMI_ARGMINMAX_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
+    'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
+    'shuffle_split_documents': SQL_SHUFFLE_SPLIT_DOCUMENTS,
 }
