@@ -57,7 +57,9 @@ def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> List[int]:
     normalized = ' '.join(text.split()).lower()
     data = np.frombuffer(normalized.encode('utf-8'), dtype=np.uint8).astype(np.uint64)
     if len(data) < k:
-        return [fingerprint64(normalized)] if normalized else []
+        # int64 view (not the raw unsigned value): the sketch column is
+        # list<int64>, and an unsigned fingerprint > 2^63 cannot be stored
+        return [int(np.uint64(fingerprint64(normalized)).astype(np.int64))] if normalized else []
     # vectorized polynomial k-gram hash mod 2^64 (deterministic across processes)
     powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
     grams = (np.lib.stride_tricks.sliding_window_view(data, k) * powers).sum(axis=1)
@@ -172,6 +174,71 @@ class LanguageId:
         return batch.append_column('lang_score', pa.array(best, pa.float64()))
 
 
+def winnowing_fingerprints_batch(texts, k: int = 8, window: int = 4) -> pa.ListArray:
+    """Winnowing sketches for a whole batch, bit-identical per row to
+    :func:`winnowing_fingerprints`, vectorized across documents: one flat
+    byte buffer, k-gram polynomial hashes in k shifted passes, window minima
+    as a 4-way ``np.minimum.reduce`` over global shifts (cross-document
+    windows excluded by per-doc index gathering), per-doc sorted-unique via
+    one lexsort."""
+    normalized = [' '.join((t or '').split()).lower() for t in texts]
+    bufs = [s.encode('utf-8') for s in normalized]
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    per_doc: list = [None] * n
+
+    short = lens < k
+    for i in np.flatnonzero(short):
+        per_doc[i] = (np.array([np.uint64(fingerprint64(normalized[i])).astype(np.int64)])
+                      if normalized[i] else np.empty(0, dtype=np.int64))
+
+    main = np.flatnonzero(~short)
+    if len(main):
+        mlens = lens[main]
+        flat = np.frombuffer(b''.join(bufs[i] for i in main), dtype=np.uint8).astype(np.uint64)
+        starts = np.concatenate(([0], np.cumsum(mlens)[:-1]))
+        powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        grams_all = np.zeros(len(flat) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            grams_all += flat[j:len(flat) - k + 1 + j] * powers[j]
+        gcounts = mlens - k + 1
+        valid = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, gcounts)])
+        grams = (grams_all[valid] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        gstarts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+
+        small = gcounts <= window
+        for pos in np.flatnonzero(small):
+            seg = grams[gstarts[pos]:gstarts[pos] + gcounts[pos]]
+            per_doc[main[pos]] = np.array([seg.min()], dtype=np.int64)
+
+        big = np.flatnonzero(~small)
+        if len(big):
+            # pairwise np.minimum chain: reduce() over a list would first
+            # stack a (window, N) copy
+            shifted = [grams[j:len(grams) - window + 1 + j] for j in range(window)]
+            mins_all = np.minimum(np.minimum(shifted[0], shifted[1]),
+                                  np.minimum(shifted[2], shifted[3])) if window == 4 else \
+                __import__('functools').reduce(np.minimum, shifted)
+            wcounts = gcounts[big] - window + 1
+            widx = np.concatenate([np.arange(gstarts[pos], gstarts[pos] + wc)
+                                   for pos, wc in zip(big, wcounts)])
+            mins = mins_all[widx]
+            doc_of = np.repeat(np.arange(len(big)), wcounts)
+            order = np.lexsort((mins, doc_of))
+            sm, sd = mins[order], doc_of[order]
+            first = np.concatenate(([True], (sd[1:] != sd[:-1]) | (sm[1:] != sm[:-1])))
+            sm, sd = sm[first], sd[first]
+            bounds = np.concatenate(([0], np.flatnonzero(sd[1:] != sd[:-1]) + 1, [len(sd)]))
+            for bi, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+                per_doc[main[big[sd[s]]]] = sm[s:e]
+
+    lengths = np.fromiter((len(a) for a in per_doc), dtype=np.int64, count=n)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    values = np.concatenate(per_doc) if n else np.empty(0, dtype=np.int64)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(values, pa.int64()))
+
+
 def fnv1a64_batch(texts) -> np.ndarray:
     """Vectorized 64-bit FNV-1a of whitespace-normalized lowercased texts.
 
@@ -216,6 +283,6 @@ class Fingerprinter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
         exact = pa.array(fnv1a64_batch(texts))
-        sketches = pa.array([winnowing_fingerprints(t or '') for t in texts], pa.list_(pa.int64()))
+        sketches = winnowing_fingerprints_batch(texts)
         batch = batch.append_column('fingerprint', exact)
         return batch.append_column('winnow_sketch', sketches)

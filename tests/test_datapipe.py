@@ -376,3 +376,13 @@ class TestDistributedDedupPaths:
         got = fnv1a64_batch(texts)
         want = np.array([np.uint64(fingerprint64(t or '')).astype(np.int64) for t in texts])
         assert (got == want).all()
+
+    def test_winnowing_batch_matches_scalar(self):
+        from auto_featurs_ray.datapipe.textstats import (winnowing_fingerprints,
+                                                         winnowing_fingerprints_batch)
+        texts = [BASE, '', None, 'abc', 'abcdefg', 'abcdefgh', 'abcdefghi',
+                 'aaaaaaaaaaaaaaa', 'Ünïcødé tæxt høre mæny wörds', '  x  ', 'ab' * 3,
+                 BASE * 3, 'short words here', 'the ' * 50]
+        batch = winnowing_fingerprints_batch(texts).to_pylist()
+        for t, got in zip(texts, batch):
+            assert got == winnowing_fingerprints(t or ''), repr(t)[:40]
