@@ -1098,6 +1098,121 @@ def q_minhash_dedup_documents(sf_dir: str):
     return _finish(out, ['doc_id'])
 
 
+# ---------------------------------------------------------------------------
+# 30. training-data hygiene: benchmark decontamination, repetition signals,
+# PII masking — all SQL-oracled (round 3)
+# ---------------------------------------------------------------------------
+
+def q_contamination_documents(sf_dir: str):
+    """Flag documents sharing character 8-grams with a benchmark set (every
+    20th document) — the eval-set decontamination pass.  Benchmark gram set
+    broadcasts once; the corpus streams through one vectorized membership
+    test."""
+    from auto_featurs_ray.datapipe.decontam import ngram_contamination
+    path = os.path.join(sf_dir, 'documents.parquet')
+    bench_tbl = pq.read_table(path, columns=['doc_id', 'text'])
+    ids = bench_tbl.column('doc_id').to_numpy(zero_copy_only=False)
+    bench_texts = bench_tbl.filter(pa.array(ids % 20 == 0)).column('text').to_pylist()
+    docs = ray.data.read_parquet(path, columns=['doc_id', 'text'])
+    out = ngram_contamination(docs, bench_texts, text_column='text', n=8)
+    return _finish(out, ['doc_id', 'contaminated_ngrams', 'contaminated'])
+
+
+# Grams are BYTE windows of the whitespace-normalized lowercased utf-8 text,
+# so the oracle extracts them with BLOB substring (character-based substr
+# would diverge on any non-ASCII byte).
+SQL_CONTAMINATION_DOCUMENTS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g')) AS b
+  FROM documents
+), pos AS (
+  SELECT doc_id, b, unnest(range(1, greatest(length(b) - 6, 1))) AS i FROM norm
+), grams AS (
+  SELECT doc_id, substring(b, i::INT, 8) AS gram FROM pos
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+), overlap AS (
+  SELECT g.doc_id, count(*) AS hits
+  FROM grams g JOIN bench USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(o.hits, 0) AS contaminated_ngrams,
+       coalesce(o.hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN overlap o USING (doc_id)
+"""
+
+
+def q_repetition_documents(sf_dir: str):
+    """Within-document duplicate-8-gram signals (Gopher/RefinedWeb-style
+    repetition quality filters)."""
+    from auto_featurs_ray.datapipe.decontam import RepetitionStats
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = docs.map_batches(RepetitionStats('text', n=8), batch_format='pyarrow')
+    return _finish(out, ['doc_id', 'total_ngrams', 'distinct_ngrams',
+                         'dup_ngram_fraction', 'max_ngram_repeat'],
+                   round_cols=['dup_ngram_fraction'])
+
+
+SQL_REPETITION_DOCUMENTS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g')) AS b
+  FROM documents
+), pos AS (
+  SELECT doc_id, b, unnest(range(1, greatest(length(b) - 6, 1))) AS i FROM norm
+), grams AS (
+  SELECT doc_id, substring(b, i::INT, 8) AS gram FROM pos
+), per_gram AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, count(*) AS distinct_g,
+         CAST(max(c) AS BIGINT) AS maxrep
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.total, 0) AS total_ngrams,
+       coalesce(p.distinct_g, 0) AS distinct_ngrams,
+       round_even(CASE WHEN coalesce(p.total, 0) > 0
+                  THEN 1.0 - p.distinct_g::DOUBLE / p.total ELSE 0.0 END, 6)
+           AS dup_ngram_fraction,
+       coalesce(p.maxrep, 0) AS max_ngram_repeat
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_pii_documents(sf_dir: str):
+    """PII counts + masked text (emails / IPv4 / phones), Arrow RE2 kernels."""
+    from auto_featurs_ray.datapipe.decontam import PIIMasker
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = docs.map_batches(PIIMasker('text'), batch_format='pyarrow')
+    return _finish(out, ['doc_id', 'email_count', 'ipv4_count', 'phone_count',
+                         'masked_text'])
+
+
+def _pii_sql() -> str:
+    from auto_featurs_ray.datapipe.decontam import PII_PATTERNS
+    counts = ',\n       '.join(
+        f"len(regexp_extract_all(t, '{pat}')) AS {name}_count"
+        for name, pat, _ in PII_PATTERNS)
+    masked = 't'
+    for _, pat, rep in PII_PATTERNS:
+        masked = f"regexp_replace({masked}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text,'') AS t FROM documents)
+SELECT doc_id,
+       {counts},
+       {masked} AS masked_text
+FROM base
+"""
+
+
+SQL_PII_DOCUMENTS = _pii_sql()
+
+
 def q_minhash_dedup_distributed_documents(sf_dir: str):
     """MinHash dedup with the pair set FORCED through the distributed scale
     path (distributed connected components + exchange-derived drop ids + true
@@ -1520,6 +1635,9 @@ QUERIES = {
     'rolling_extras_events': q_rolling_extras_events,
     'rolling_pmi_argminmax_events': q_rolling_pmi_argminmax_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
+    'contamination_documents': q_contamination_documents,
+    'repetition_documents': q_repetition_documents,
+    'pii_documents': q_pii_documents,
     'minhash_dedup_distributed_documents': q_minhash_dedup_distributed_documents,
     'ngram_jaccard_documents': q_ngram_jaccard_documents,
     'cumulative_mode_argminmax_events': q_cumulative_mode_argminmax_events,
@@ -1569,4 +1687,7 @@ ORACLE_SQL = {
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'shuffle_split_documents': SQL_SHUFFLE_SPLIT_DOCUMENTS,
+    'contamination_documents': SQL_CONTAMINATION_DOCUMENTS,
+    'repetition_documents': SQL_REPETITION_DOCUMENTS,
+    'pii_documents': SQL_PII_DOCUMENTS,
 }

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     # round-3 coverage queries
     'rolling_pmi_argminmax_events', 'cumulative_mode_argminmax_events',
     'simhash_dedup_documents', 'ngram_jaccard_documents',
+    'contamination_documents', 'repetition_documents', 'pii_documents',
+    'shuffle_split_documents',
 ]
 
 

@@ -386,3 +386,42 @@ class TestDistributedDedupPaths:
         batch = winnowing_fingerprints_batch(texts).to_pylist()
         for t, got in zip(texts, batch):
             assert got == winnowing_fingerprints(t or ''), repr(t)[:40]
+
+
+class TestDecontamination:
+    def test_contamination_flags_benchmark_overlap(self):
+        from auto_featurs_ray.datapipe.decontam import ngram_contamination
+        bench = ['the quick brown fox jumps over the lazy dog']
+        texts = ['a document containing the quick brown fox inside it',
+                 'totally different content with no overlap at all', '']
+        ds = rd.from_arrow(pa.table({'doc_id': pa.array([0, 1, 2], pa.int64()),
+                                     'text': pa.array(texts)}))
+        out = ngram_contamination(ds, bench, text_column='text', n=8).to_pandas()
+        got = dict(zip(out['doc_id'], out['contaminated']))
+        assert got[0] and not got[1] and not got[2]
+
+    def test_repetition_stats_brute(self):
+        from collections import Counter
+
+        from auto_featurs_ray.datapipe.decontam import RepetitionStats
+        texts = ['spam spam spam spam spam', 'all unique words here now', 'ab', '', None,
+                 'Ünïcø Ünïcø Ünïcø repeated unicode']
+        out = RepetitionStats('text', n=8)(pa.table({'text': pa.array(texts, pa.string())}))
+        for i, t in enumerate(texts):
+            s = ' '.join((t or '').split()).lower()
+            grams = [s[j:j + 8] for j in range(max(len(s) - 7, 0))]
+            c = Counter(grams)
+            assert out.column('total_ngrams')[i].as_py() == len(grams)
+            assert out.column('distinct_ngrams')[i].as_py() == len(c)
+            assert out.column('max_ngram_repeat')[i].as_py() == (max(c.values()) if c else 0)
+
+    def test_pii_masker(self):
+        from auto_featurs_ray.datapipe.decontam import PIIMasker
+        t = pa.table({'text': pa.array(
+            ['mail bob@example.com or call +1 (555) 123-4567 from 10.0.0.1', None])})
+        out = PIIMasker('text')(t)
+        assert out.column('email_count')[0].as_py() == 1
+        assert out.column('phone_count')[0].as_py() == 1
+        assert out.column('ipv4_count')[0].as_py() == 1
+        assert out.column('masked_text')[0].as_py() == 'mail <EMAIL> or call <PHONE> from <IP>'
+        assert out.column('masked_text')[1].as_py() == ''
