@@ -304,14 +304,16 @@ def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: in
                            num_bands: int = 16, shingle_size: int = 5,
                            jaccard_threshold: float = 0.8, max_bucket: int = 200,
                            num_partitions: int = 16, cc: str = 'auto',
-                           cc_pair_threshold: int = CC_PAIR_THRESHOLD) -> pd.DataFrame:
+                           cc_pair_threshold: int = CC_PAIR_THRESHOLD,
+                           as_dataset: bool = False):
     """Near-duplicate clusters via MinHash-LSH.
 
-    Returns a pandas frame ``(id, cluster_id)`` for every document that
-    belongs to a verified duplicate cluster (cluster_id = min member id).
-    The pair set never lands on the driver; only the (much smaller) cluster
-    membership does.  Above ``cc_pair_threshold`` pairs the components are
-    computed by distributed min-label propagation
+    Returns ``(id, cluster_id)`` for every document that belongs to a
+    verified duplicate cluster (cluster_id = min member id) — a pandas frame
+    by default, or a ``ray.data.Dataset`` with ``as_dataset=True`` (the
+    choice when even the cluster membership is too large for one heap).  The
+    pair set never lands on the driver; above ``cc_pair_threshold`` pairs
+    the components are computed by distributed min-label propagation
     (:func:`connected_components_distributed`)."""
     pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
                               num_perm=num_perm, num_bands=num_bands,
@@ -319,7 +321,7 @@ def minhash_lsh_duplicates(ds, *, text_column: str, id_column: str, num_perm: in
                               max_bucket=max_bucket, num_partitions=num_partitions,
                               distinct=False).materialize()
     return _cluster_frame(pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions, as_dataset=as_dataset)
 
 
 def connected_components_distributed(pairs, *, num_partitions: int = 16,
@@ -650,13 +652,17 @@ def simhash_pairs(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
 
 def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int = 3,
                        max_bucket: int = 500, num_partitions: int = 16, cc: str = 'auto',
-                       cc_pair_threshold: int = CC_PAIR_THRESHOLD) -> pd.DataFrame:
-    """Near-dup clusters via 64-bit SimHash, bucketed by 4x16-bit bands."""
+                       cc_pair_threshold: int = CC_PAIR_THRESHOLD,
+                       as_dataset: bool = False):
+    """Near-dup clusters via 64-bit SimHash, bucketed by 4x16-bit bands.
+
+    Returns pandas by default; ``as_dataset=True`` keeps the cluster labels
+    a Dataset (nothing lands on the driver)."""
     pairs = simhash_pairs(ds, text_column=text_column, id_column=id_column,
                           max_hamming=max_hamming, max_bucket=max_bucket,
                           num_partitions=num_partitions, distinct=False).materialize()
     return _cluster_frame(pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions, as_dataset=as_dataset)
 
 
 # ---------------------------------------------------------------------------

@@ -56,3 +56,28 @@ def test_merge_order_independent_enough():
     for acc in (fwd, rev):
         est = t.global_finalize(acc, pa.table({'x': [0.0]}))[0]
         assert abs(est - true) / abs(true) < 0.005
+
+
+def test_compression_warns_once_and_on_recompression(caplog):
+    import logging
+
+    import numpy as np
+    import pyarrow as pa
+
+    from auto_featurs_ray.transformers.aggregating import QuantileTransformer
+
+    qt = QuantileTransformer('x', 0.5)
+    big = pa.table({'x': np.random.default_rng(0).standard_normal(QuantileTransformer.EXACT_CAP + 10)})
+    with caplog.at_level(logging.WARNING, logger='auto_featurs_ray.transformers.aggregating'):
+        state = qt.global_partial(big)
+    assert state['exact'] is False and state['depth'] == 1
+    assert any('switching from exact' in r.message for r in caplog.records)
+
+    caplog.clear()
+    # force a re-compression: merge enough sketches to exceed EXACT_CAP points
+    merged = state
+    with caplog.at_level(logging.WARNING, logger='auto_featurs_ray.transformers.aggregating'):
+        for _ in range(QuantileTransformer.EXACT_CAP // QuantileTransformer.SKETCH_POINTS + 1):
+            merged = qt.global_combine(merged, state)
+    assert any('re-compressing an already-approximate state' in r.message for r in caplog.records)
+    assert merged['depth'] >= 2
