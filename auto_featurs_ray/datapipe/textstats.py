@@ -174,6 +174,149 @@ class LanguageId:
         return batch.append_column('lang_score', pa.array(best, pa.float64()))
 
 
+def _word_hashes(texts) -> Tuple[np.ndarray, np.ndarray]:
+    """(flat 64-bit word hashes, per-doc word counts) for lowercased
+    ``[a-z0-9]+`` word runs — RE2-compatible tokenization so a SQL oracle can
+    reproduce it with ``regexp_extract_all``.  Hashing is pandas' siphash
+    (C-vectorized, deterministic across processes)."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    col = _pc.fill_null(pa.array(list(texts), pa.string()), '')
+    lists = _pc.split_pattern_regex(_pc.utf8_lower(col), pattern='[^a-z0-9]+')
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.values
+    nonempty = _pc.greater(_pc.utf8_length(flat), 0)
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(len(texts)), np.diff(offsets))
+    keep = np.asarray(nonempty)
+    words = flat.filter(nonempty)
+    row_of = row_of[keep]
+    hashes = pd.util.hash_pandas_object(words.to_pandas(), index=False).to_numpy()
+    counts = np.bincount(row_of, minlength=len(texts)).astype(np.int64)
+    return hashes.astype(np.uint64), counts
+
+
+def corpus_unigram_logprob(ds, *, text_column: str, id_column: str,
+                           broadcast_threshold: int = 5_000_000,
+                           num_partitions: int = 16):
+    """Per-document mean unigram log2-probability under the CORPUS unigram
+    distribution (the CCNet-style statistical quality signal: boilerplate and
+    gibberish both score far from the corpus mean).
+
+    Two passes:
+
+    1. unigram counts — per-batch partial ``bincount`` over word hashes,
+       hash-exchanged and reduced per word (the vocabulary, not the corpus,
+       is what's left after this).
+    2. scoring — vocabularies up to ``broadcast_threshold`` words broadcast
+       once as two sorted arrays (``ray.put``) and each batch scores with one
+       ``searchsorted``; larger vocabularies co-group the word-exploded docs
+       with the count table on word hash and re-aggregate per doc — nothing
+       ever lands on the driver.
+
+    Returns a Dataset ``(id_column, n_words, unigram_logprob)``; documents
+    with no words score null.
+    """
+    import ray
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.runtime import cogroup_map_partitions, shuffle_map_partitions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hashes, counts = _word_hashes(batch.column(text_column).to_pylist())
+        doc_of = np.repeat(np.arange(batch.num_rows), counts)
+        return pa.table({'w': pa.array(hashes.view(np.int64)),
+                         'doc': batch.column(id_column).take(pa.array(doc_of))})
+
+    exploded = ds.map_batches(explode, batch_format='pyarrow')
+
+    def count_partition(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({'w': pa.array([], pa.int64()), 'c': pa.array([], pa.int64())})
+        grouped = table.group_by('w').aggregate([('w', 'count')])
+        return pa.table({'w': grouped.column('w'), 'c': grouped.column('w_count').cast(pa.int64())})
+
+    counts_ds = shuffle_map_partitions(exploded, ['w'], num_partitions, count_partition).materialize()
+    vocab = counts_ds.count()
+    total = float(counts_ds.sum('c') or 0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # runs AFTER per-doc (sum_log, n) are known; shared by both paths
+        n = batch.column('n').to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column('s').to_numpy(zero_copy_only=False)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            lp = np.where(n > 0, s / n, np.nan)
+        return pa.table({id_column: batch.column('doc'),
+                         'n_words': pa.array(n.astype(np.int64)),
+                         'unigram_logprob': pa.array(lp, mask=~(n > 0))})
+
+    if vocab <= broadcast_threshold:
+        tbl = pa.concat_tables(ray.get(counts_ds.to_arrow_refs()), promote_options='permissive')
+        w = tbl.column('w').to_numpy(zero_copy_only=False)
+        c = tbl.column('c').to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(w)
+        handle = ray.put((w[order], np.log2(c[order] / total)))
+
+        def score(batch: pa.Table) -> pa.Table:
+            wv, logp = ray.get(handle)
+            hashes, counts = _word_hashes(batch.column(text_column).to_pylist())
+            pos = np.searchsorted(wv, hashes.view(np.int64))
+            # every word is in the vocabulary by construction (same corpus)
+            doc_of = np.repeat(np.arange(batch.num_rows), counts)
+            s = np.bincount(doc_of, weights=logp[np.minimum(pos, len(wv) - 1)],
+                            minlength=batch.num_rows)
+            return finish(pa.table({'doc': batch.column(id_column),
+                                    'n': pa.array(counts), 's': pa.array(s)}))
+
+        return ds.map_batches(score, batch_format='pyarrow')
+
+    # scale path: co-group exploded words with the count table on word hash
+    def attach(word_t: pa.Table, count_t: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'doc': pa.array([], pa.int64()), 's': pa.array([], pa.float64()),
+                          'n': pa.array([], pa.int64())})
+        if word_t.num_rows == 0 or word_t.num_columns == 0:
+            return empty
+        wv = count_t.column('w').to_numpy(zero_copy_only=False)
+        cv = count_t.column('c').to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(wv)
+        wv, cv = wv[order], cv[order]
+        hw = word_t.column('w').to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wv, hw)
+        logp = np.log2(cv[np.minimum(pos, len(wv) - 1)] / total)
+        docs = word_t.column('doc').to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        s = np.bincount(inv, weights=logp)
+        n = np.bincount(inv)
+        return pa.table({'doc': pa.array(uniq), 's': pa.array(s, pa.float64()),
+                         'n': pa.array(n.astype(np.int64))})
+
+    partials = cogroup_map_partitions(exploded, counts_ds, ['w'], num_partitions, attach)
+
+    def combine(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             'n_words': pa.array([], pa.int64()),
+                             'unigram_logprob': pa.array([], pa.float64())})
+        grouped = table.group_by('doc').aggregate([('s', 'sum'), ('n', 'sum')])
+        return finish(pa.table({'doc': grouped.column('doc'),
+                                's': grouped.column('s_sum'),
+                                'n': grouped.column('n_sum')}))
+
+    scored = shuffle_map_partitions(partials, ['doc'], num_partitions, combine)
+    # docs with zero words never exploded: union them back with null scores
+    def zeros(batch: pa.Table) -> pa.Table:
+        _, counts = _word_hashes(batch.column(text_column).to_pylist())
+        empty_mask = counts == 0
+        sub = batch.filter(pa.array(empty_mask))
+        return pa.table({id_column: sub.column(id_column),
+                         'n_words': pa.array(np.zeros(sub.num_rows, np.int64)),
+                         'unigram_logprob': pa.nulls(sub.num_rows, pa.float64())})
+
+    return scored.union(ds.map_batches(zeros, batch_format='pyarrow'))
+
+
 def winnowing_fingerprints_batch(texts, k: int = 8, window: int = 4) -> pa.ListArray:
     """Winnowing sketches for a whole batch, bit-identical per row to
     :func:`winnowing_fingerprints`, vectorized across documents: one flat

@@ -1213,6 +1213,38 @@ FROM base
 SQL_PII_DOCUMENTS = _pii_sql()
 
 
+def q_unigram_logprob_documents(sf_dir: str):
+    """Per-document mean unigram log2-probability under the corpus unigram
+    distribution (CCNet-style statistical quality signal) — two-pass
+    distributed op: hash-exchanged vocabulary counts, then broadcast-scored
+    (or co-grouped above the vocab threshold)."""
+    from auto_featurs_ray.datapipe.textstats import corpus_unigram_logprob
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = corpus_unigram_logprob(docs, text_column='text', id_column='doc_id')
+    return _finish(out, ['doc_id', 'n_words', 'unigram_logprob'],
+                   round_cols=['unigram_logprob'])
+
+
+SQL_UNIGRAM_LOGPROB_DOCUMENTS = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT sum(c)::DOUBLE AS t FROM counts
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_words, avg(log2(c / t)) AS lp
+  FROM words JOIN counts USING (w) CROSS JOIN tot GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0) AS n_words,
+       round(p.lp, 6) AS unigram_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_minhash_dedup_distributed_documents(sf_dir: str):
     """MinHash dedup with the pair set FORCED through the distributed scale
     path (distributed connected components + exchange-derived drop ids + true
@@ -1638,6 +1670,7 @@ QUERIES = {
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
     'pii_documents': q_pii_documents,
+    'unigram_logprob_documents': q_unigram_logprob_documents,
     'minhash_dedup_distributed_documents': q_minhash_dedup_distributed_documents,
     'ngram_jaccard_documents': q_ngram_jaccard_documents,
     'cumulative_mode_argminmax_events': q_cumulative_mode_argminmax_events,
@@ -1690,4 +1723,5 @@ ORACLE_SQL = {
     'contamination_documents': SQL_CONTAMINATION_DOCUMENTS,
     'repetition_documents': SQL_REPETITION_DOCUMENTS,
     'pii_documents': SQL_PII_DOCUMENTS,
+    'unigram_logprob_documents': SQL_UNIGRAM_LOGPROB_DOCUMENTS,
 }

@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     'rolling_pmi_argminmax_events', 'cumulative_mode_argminmax_events',
     'simhash_dedup_documents', 'ngram_jaccard_documents',
     'contamination_documents', 'repetition_documents', 'pii_documents',
-    'shuffle_split_documents',
+    'shuffle_split_documents', 'unigram_logprob_documents',
 ]
 
 

@@ -425,3 +425,45 @@ class TestDecontamination:
         assert out.column('ipv4_count')[0].as_py() == 1
         assert out.column('masked_text')[0].as_py() == 'mail <EMAIL> or call <PHONE> from <IP>'
         assert out.column('masked_text')[1].as_py() == ''
+
+
+class TestUnigramLogprob:
+    def test_broadcast_and_cogroup_paths_agree(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.textstats import corpus_unigram_logprob
+        ds = rd.from_arrow(doc_table())
+        a = (corpus_unigram_logprob(ds, text_column='text', id_column='doc_id')
+             .to_pandas().sort_values('doc_id').reset_index(drop=True))
+        b = (corpus_unigram_logprob(ds, text_column='text', id_column='doc_id',
+                                    broadcast_threshold=0)
+             .to_pandas().sort_values('doc_id').reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, rtol=1e-12)
+
+    def test_matches_brute_force(self):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.textstats import corpus_unigram_logprob
+        table = doc_table()
+        out = (corpus_unigram_logprob(rd.from_arrow(table), text_column='text',
+                                      id_column='doc_id')
+               .to_pandas().set_index('doc_id'))
+        texts = dict(zip(table.column('doc_id').to_pylist(), table.column('text').to_pylist()))
+        allw = Counter()
+        docw = {}
+        for d, t in texts.items():
+            ws = re.findall(r'[a-z0-9]+', (t or '').lower())
+            docw[d] = ws
+            allw.update(ws)
+        total = sum(allw.values())
+        for d, ws in docw.items():
+            row = out.loc[d]
+            assert row['n_words'] == len(ws)
+            if not ws:
+                assert pd.isna(row['unigram_logprob'])
+            else:
+                want = np.mean([np.log2(allw[w] / total) for w in ws])
+                assert abs(row['unigram_logprob'] - want) < 1e-9
