@@ -154,7 +154,10 @@ class PIIMasker:
     Counts come from ``pc.count_substring_regex`` and the masked text from a
     chain of ``pc.replace_substring_regex`` — all RE2 C kernels over the
     whole batch; the pattern order in :data:`PII_PATTERNS` is fixed and part
-    of the contract.
+    of the contract.  Each pattern is counted on the PROGRESSIVELY masked
+    text (after the earlier patterns replaced their spans), so counts always
+    agree with what ``masked_text`` actually contains — a phone-looking
+    digit run inside an email is counted as email only.
     """
 
     def __init__(self, text_column: str = 'text') -> None:
@@ -162,10 +165,9 @@ class PIIMasker:
         self.patterns = PII_PATTERNS
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = pc.fill_null(batch.column(self.text_column), '')
-        masked = col
+        masked = pc.fill_null(batch.column(self.text_column), '')
         for name, pattern, replacement in self.patterns:
-            count = pc.count_substring_regex(col, pattern=pattern)
+            count = pc.count_substring_regex(masked, pattern=pattern)
             batch = batch.append_column(f'{name}_count', pc.cast(count, pa.int64()))
             masked = pc.replace_substring_regex(masked, pattern=pattern,
                                                 replacement=replacement)

@@ -281,6 +281,8 @@ def _cluster_frame(pairs_ds, *, cc: str = 'auto', cc_pair_threshold: int = CC_PA
     inflated count only switches to the distributed path EARLIER, which is
     the safe direction.  Returns ``(id, cluster_id)`` as pandas (default) or
     as a Dataset (``as_dataset=True`` — nothing touches the driver then)."""
+    if cc not in ('auto', 'driver', 'distributed'):
+        raise ValueError(f"cc must be 'auto', 'driver' or 'distributed', got {cc!r}")
     n_pairs = pairs_ds.count()
     use_dist = cc == 'distributed' or (cc == 'auto' and n_pairs > cc_pair_threshold)
     if use_dist:
@@ -497,6 +499,8 @@ def minhash_dedup(ds, *, text_column: str, id_column: str,
     set is derived and anti-joined entirely on the exchange — no
     ``to_pandas()`` anywhere on the path.
     """
+    if cc not in ('auto', 'driver', 'distributed'):
+        raise ValueError(f"cc must be 'auto', 'driver' or 'distributed', got {cc!r}")
     pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
                               num_partitions=num_partitions, distinct=False,
                               **kwargs).materialize()
@@ -669,11 +673,14 @@ def simhash_duplicates(ds, *, text_column: str, id_column: str, max_hamming: int
 # n-gram Jaccard (exact verify on LSH candidates)
 # ---------------------------------------------------------------------------
 
-def _expand_cluster_pairs(table: pa.Table, _pid: int) -> pa.Table:
+def _expand_cluster_pairs(table: pa.Table, _pid: int, max_cluster: int = 3000) -> pa.Table:
     """(id, cluster_id) partition -> all intra-cluster member pairs, sorted so
     the pair's smaller id lands in ``id`` (named for the downstream cogroup
     key).  Clusters are complete within a partition because the exchange
-    keyed on cluster_id."""
+    keyed on cluster_id.  Clusters larger than ``max_cluster`` members are
+    SKIPPED with a warning — expanding one is O(m^2) pairs in a single
+    reduce task (a 100k-member boilerplate cluster would allocate ~10^10
+    pairs), the same guard as the LSH buckets' max_bucket."""
     empty = pa.table({'id': pa.array([], pa.int64()), 'right': pa.array([], pa.int64())})
     if table.num_rows == 0 or table.num_columns == 0:
         return empty
@@ -683,13 +690,22 @@ def _expand_cluster_pairs(table: pa.Table, _pid: int) -> pa.Table:
     cid, ids = cid[order], ids[order]
     starts = np.concatenate(([0], np.flatnonzero(cid[1:] != cid[:-1]) + 1, [len(cid)]))
     lefts, rights = [], []
+    skipped = 0
     for s, e in zip(starts[:-1], starts[1:]):
         members = ids[s:e]
         if len(members) < 2:
             continue
+        if len(members) > max_cluster:
+            skipped += 1
+            continue
         ii, jj = np.triu_indices(len(members), 1)
         lefts.append(members[ii])
         rights.append(members[jj])
+    if skipped:
+        logger.warning('cluster-pair expansion partition %d: skipped %d clusters larger '
+                       'than max_cluster=%d members (O(m^2) pairs would not fit one '
+                       'reduce task); raise max_cluster or pre-filter boilerplate',
+                       _pid, skipped, max_cluster)
     if not lefts:
         return empty
     return pa.table({'id': pa.array(np.concatenate(lefts).astype(np.int64)),
@@ -713,16 +729,26 @@ def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_si
                              threshold: float = 0.7, num_partitions: int = 16,
                              cc: str = 'auto',
                              cc_pair_threshold: int = CC_PAIR_THRESHOLD,
+                             max_cluster: int = 3000,
+                             candidate_broadcast_threshold: int = 5_000_000,
                              **lsh_kwargs) -> pd.DataFrame:
     """MinHash-LSH candidates verified with EXACT character-n-gram Jaccard.
 
     Candidate generation: LSH pairs at a lowered threshold -> connected
-    components -> all intra-cluster member pairs.  Verification co-groups the
-    pair list with the corpus on doc id — twice, once per side — and computes
-    exact shingle-set Jaccard inside the reduce tasks, so no driver ever
-    holds candidate texts (the round-2 version built a driver text dict via
-    ``take_all()``).  Returns verified pairs ``(left, right, jaccard)``.
+    components -> all intra-cluster member pairs (clusters over
+    ``max_cluster`` members are skipped with a warning).  Verification
+    co-groups the pair list with the corpus on doc id — twice, once per
+    side — and computes exact shingle-set Jaccard inside the reduce tasks,
+    so no driver ever holds candidate texts (the round-2 version built a
+    driver text dict via ``take_all()``).  When the candidate membership is
+    below ``candidate_broadcast_threshold`` ids (the overwhelmingly common
+    case — candidates are a tiny fraction of the corpus), the corpus
+    projection is broadcast-filtered to candidate docs FIRST, so the two
+    verify exchanges ship only candidate texts instead of the whole corpus.
+    Returns verified pairs ``(left, right, jaccard)``.
     """
+    import ray
+
     from auto_featurs_ray.engine.runtime import cogroup_map_partitions, shuffle_map_partitions
 
     lsh_pairs = minhash_lsh_pairs(ds, text_column=text_column, id_column=id_column,
@@ -733,15 +759,29 @@ def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_si
     if lsh_pairs.count() == 0:
         return pd.DataFrame({'left': [], 'right': [], 'jaccard': []})
     clusters = _cluster_frame(lsh_pairs, cc=cc, cc_pair_threshold=cc_pair_threshold,
-                              num_partitions=num_partitions, as_dataset=True)
+                              num_partitions=num_partitions, as_dataset=True).materialize()
     cand = shuffle_map_partitions(clusters, ['cluster_id'], num_partitions,
-                                  _expand_cluster_pairs)
+                                  lambda t, pid: _expand_cluster_pairs(t, pid, max_cluster))
 
     # id cast to int64 so both cogroup sides hash the key identically
-    corpus = ds.map_batches(
-        lambda t: pa.table({'id': t.column(id_column).cast(pa.int64()),
-                            '__text': t.column(text_column)}),
-        batch_format='pyarrow', zero_copy_batch=True)
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({'id': t.column(id_column).cast(pa.int64()),
+                         '__text': t.column(text_column)})
+
+    n_candidates = clusters.count()
+    if n_candidates <= candidate_broadcast_threshold:
+        cand_ids = pa.concat_tables(ray.get(clusters.to_arrow_refs()),
+                                    promote_options='permissive').column('id').combine_chunks()
+        ids_ref = ray.put(cand_ids.cast(pa.int64()))
+
+        def project_filtered(t: pa.Table) -> pa.Table:
+            out = project(t)
+            wanted = ray.get(ids_ref)
+            return out.filter(pc.is_in(out.column('id'), value_set=wanted))
+
+        corpus = ds.map_batches(project_filtered, batch_format='pyarrow', zero_copy_batch=True)
+    else:
+        corpus = ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True)
 
     def attach_left(pair_t: pa.Table, corpus_t: pa.Table, _pid: int) -> pa.Table:
         empty = pa.table({'left': pa.array([], pa.int64()), 'id': pa.array([], pa.int64()),
@@ -817,6 +857,12 @@ def embedding_duplicates(ds, *, embedding_column: str, id_column: str,
 
     def explode(batch: pa.Table) -> pa.Table:
         from auto_featurs_ray.datapipe.similarity import _embedding_matrix
+        if batch.num_rows == 0:
+            # zero-column empty: the exchange drops it (a list-typed batch
+            # yields a (0, 0) matrix here, and a FixedSizeListArray cannot be
+            # built with list_size=0; initializing the hyperplanes from a
+            # zero-dim batch would also poison the actor for later batches)
+            return pa.table({})
         emb = _embedding_matrix(batch.column(embedding_column))
         if state['planes'] is None:
             rng = np.random.default_rng(state['seed'])

@@ -11,7 +11,7 @@ batch.
 from __future__ import annotations
 
 import re
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -230,7 +230,10 @@ def corpus_unigram_logprob(ds, *, text_column: str, id_column: str,
         return pa.table({'w': pa.array(hashes.view(np.int64)),
                          'doc': batch.column(id_column).take(pa.array(doc_of))})
 
-    exploded = ds.map_batches(explode, batch_format='pyarrow')
+    # materialized once: the word set feeds the count exchange AND (scale
+    # path) the scoring cogroup — without this the corpus would be
+    # re-tokenized per consumer; the object store spills it under pressure
+    exploded = ds.map_batches(explode, batch_format='pyarrow').materialize()
 
     def count_partition(table: pa.Table, _pid: int) -> pa.Table:
         if table.num_rows == 0 or table.num_columns == 0:

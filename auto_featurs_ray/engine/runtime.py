@@ -254,7 +254,12 @@ def shuffle_map_partitions(ds, key_columns: Sequence[str], num_partitions: int, 
 
     @ray.remote
     def reduce_task(partition_id: int, *slices: pa.Table) -> pa.Table:
-        return partition_fn(_concat_slices(slices, partition_id), partition_id)
+        table = _concat_slices(slices, partition_id)
+        if table.num_columns == 0:
+            # every input block was a schema-less empty bundle — there is no
+            # schema to key or reduce on; propagate the empty
+            return table
+        return partition_fn(table, partition_id)
 
     if num_partitions == 1 or not key_columns:
         block_refs = ds.to_arrow_refs()
@@ -331,8 +336,11 @@ def cogroup_reduce_from_splits(handle: dict, partition_fn):
 
     @ray.remote
     def reduce_task(partition_id: int, n_left: int, *slices: pa.Table) -> pa.Table:
-        return partition_fn(_concat_slices(slices[:n_left], partition_id),
-                            _concat_slices(slices[n_left:], partition_id), partition_id)
+        left = _concat_slices(slices[:n_left], partition_id)
+        if left.num_columns == 0:
+            # schema-less empty left side: nothing to join/filter against
+            return left
+        return partition_fn(left, _concat_slices(slices[n_left:], partition_id), partition_id)
 
     if handle['mode'] == 'single':
         left_refs, right_refs = handle['left'], handle['right']

@@ -1118,9 +1118,13 @@ def q_contamination_documents(sf_dir: str):
     return _finish(out, ['doc_id', 'contaminated_ngrams', 'contaminated'])
 
 
-# Grams are BYTE windows of the whitespace-normalized lowercased utf-8 text,
-# so the oracle extracts them with BLOB substring (character-based substr
-# would diverge on any non-ASCII byte).
+# Grams are windows of Unicode CODEPOINTS of the whitespace-normalized
+# lowercased text (decontam._char_ngram_hashes hashes utf-32 units), so the
+# oracle's character-semantics substring corresponds 1:1 — including on
+# non-ASCII text.  Known normalization caveat, both queries: the engine
+# collapses whitespace with Python str.split() (Unicode whitespace) while
+# the oracle uses RE2 '\s' (ASCII whitespace); texts containing U+00A0-style
+# exotic whitespace would diverge.  The driver corpus contains none.
 SQL_CONTAMINATION_DOCUMENTS = r"""
 WITH norm AS (
   SELECT doc_id,
@@ -1194,13 +1198,16 @@ def q_pii_documents(sf_dir: str):
 
 
 def _pii_sql() -> str:
+    # each pattern is counted on the PROGRESSIVELY masked text, mirroring
+    # PIIMasker exactly (a span consumed by an earlier pattern is not
+    # double-counted by a later one)
     from auto_featurs_ray.datapipe.decontam import PII_PATTERNS
-    counts = ',\n       '.join(
-        f"len(regexp_extract_all(t, '{pat}')) AS {name}_count"
-        for name, pat, _ in PII_PATTERNS)
+    count_exprs = []
     masked = 't'
-    for _, pat, rep in PII_PATTERNS:
+    for name, pat, rep in PII_PATTERNS:
+        count_exprs.append(f"len(regexp_extract_all({masked}, '{pat}')) AS {name}_count")
         masked = f"regexp_replace({masked}, '{pat}', '{rep}', 'g')"
+    counts = ',\n       '.join(count_exprs)
     return f"""
 WITH base AS (SELECT doc_id, coalesce(text,'') AS t FROM documents)
 SELECT doc_id,
