@@ -48,22 +48,12 @@ def _char_ngram_hashes(texts: Sequence, n: int) -> Tuple[np.ndarray, np.ndarray]
     shingler, a padded gram would fabricate cross-document matches here).
     One flat buffer, n shifted passes; grams are per-POSITION (not
     deduplicated)."""
+    from auto_featurs_ray.datapipe.dedup import flat_polynomial_grams
     chunks = []
     for t in texts:
         normalized = ' '.join((t or '').split()).lower()
         chunks.append(np.frombuffer(normalized.encode('utf-32-le'), dtype=np.uint32))
-    lens = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=len(chunks))
-    counts = np.maximum(lens - n + 1, 0)
-    if not len(chunks) or lens.sum() == 0 or counts.sum() == 0:
-        return np.empty(0, dtype=np.uint64), counts
-    flat = np.concatenate(chunks).astype(np.uint64)
-    starts = np.cumsum(lens) - lens
-    powers = np.full(n, 0x100000001b3, dtype=np.uint64) ** np.arange(n - 1, -1, -1, dtype=np.uint64)
-    grams_all = np.zeros(len(flat) - n + 1, dtype=np.uint64)
-    for j in range(n):
-        grams_all += flat[j:len(flat) - n + 1 + j] * powers[j]
-    valid = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, counts) if c])
-    return grams_all[valid], counts
+    return flat_polynomial_grams(chunks, n)
 
 
 def benchmark_gram_set(texts: Sequence, n: int = 8) -> np.ndarray:

@@ -95,6 +95,31 @@ def exact_dedup(ds, *, text_column: str, id_column: str, normalize: bool = True,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def flat_polynomial_grams(chunks, k: int):
+    """Positional k-gram polynomial hashes (mod 2^64) for a batch of
+    pre-normalized unit arrays (utf-8 bytes or utf-32 codepoints).
+
+    THE shared gram kernel: one flat buffer, k shifted multiply-add passes,
+    per-doc index gather so windows never cross document boundaries.  Serves
+    the MinHash shingler, SimHash, winnowing and the decontamination grams —
+    a boundary/hash fix lands in exactly one place.  Returns ``(flat uint64
+    grams in document order, per-doc gram counts)``; documents shorter than
+    ``k`` units contribute zero grams (pad upstream if padding is wanted).
+    """
+    lens = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=len(chunks))
+    counts = np.maximum(lens - k + 1, 0)
+    if not len(chunks) or counts.sum() == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    flat = np.concatenate(chunks).astype(np.uint64)
+    starts = np.cumsum(lens) - lens
+    powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    grams_all = np.zeros(len(flat) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        grams_all += flat[j:len(flat) - k + 1 + j] * powers[j]
+    valid = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, counts)])
+    return grams_all[valid], counts
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Vectorized k-gram (character shingle) polynomial hashes of a document."""
     normalized = ' '.join((text or '').split()).lower()
@@ -125,28 +150,18 @@ class MinHasher:
     def signatures(self, texts: Sequence[str]) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix, vectorized across docs."""
         k = self.shingle_size
-        chunks, gram_counts = [], np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
+        chunks = []
+        for t in texts:
             normalized = ' '.join((t or '').split()).lower()
             data = np.frombuffer(normalized.encode('utf-8'), dtype=np.uint8)
             if len(data) < k:
                 data = np.pad(data, (0, k - len(data)), constant_values=0)
             chunks.append(data)
-            gram_counts[i] = len(data) - k + 1
         if not chunks:
             return np.zeros((0, self.num_perm), dtype=np.uint64)
-        flat = np.concatenate(chunks).astype(np.uint64)
-        doc_ends = np.cumsum([len(c) for c in chunks])
-        doc_starts = doc_ends - np.asarray([len(c) for c in chunks])
-        # polynomial k-gram hash over the concatenated buffer (wraps mod 2^64),
-        # identical to _shingle_hashes; windows crossing doc boundaries are
-        # excluded by gathering only each doc's in-range gram positions
-        powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-        grams_all = np.zeros(len(flat) - k + 1, dtype=np.uint64)
-        for j in range(k):
-            grams_all += flat[j:len(flat) - k + 1 + j] * powers[j]
-        valid = np.concatenate([np.arange(s, s + c) for s, c in zip(doc_starts, gram_counts)])
-        grams = grams_all[valid]
+        # identical hash to _shingle_hashes; padding above guarantees >=1 gram
+        # per document, so reduceat segments are never empty
+        grams, gram_counts = flat_polynomial_grams(chunks, k)
         starts = np.concatenate(([0], np.cumsum(gram_counts)[:-1]))
         sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
         for p in range(self.num_perm):
@@ -546,16 +561,7 @@ def _simhash64_batch(texts: Sequence[str]) -> np.ndarray:
         chunks.append(data)
     if not chunks:
         return np.zeros(0, dtype=np.int64)
-    flat = np.concatenate(chunks).astype(np.uint64)
-    lens = np.asarray([len(c) for c in chunks])
-    gram_counts = lens - k + 1
-    doc_starts = np.cumsum(lens) - lens
-    powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    grams_all = np.zeros(len(flat) - k + 1, dtype=np.uint64)
-    for j in range(k):
-        grams_all += flat[j:len(flat) - k + 1 + j] * powers[j]
-    valid = np.concatenate([np.arange(s, s + c) for s, c in zip(doc_starts, gram_counts)])
-    grams = grams_all[valid]
+    grams, gram_counts = flat_polynomial_grams(chunks, k)
     doc_of = np.repeat(np.arange(len(texts)), gram_counts)
     # per-document unique grams (matches _shingle_hashes -> np.unique)
     order = np.lexsort((grams, doc_of))

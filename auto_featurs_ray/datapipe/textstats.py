@@ -340,16 +340,10 @@ def winnowing_fingerprints_batch(texts, k: int = 8, window: int = 4) -> pa.ListA
 
     main = np.flatnonzero(~short)
     if len(main):
-        mlens = lens[main]
-        flat = np.frombuffer(b''.join(bufs[i] for i in main), dtype=np.uint8).astype(np.uint64)
-        starts = np.concatenate(([0], np.cumsum(mlens)[:-1]))
-        powers = np.full(k, 0x100000001b3, dtype=np.uint64) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-        grams_all = np.zeros(len(flat) - k + 1, dtype=np.uint64)
-        for j in range(k):
-            grams_all += flat[j:len(flat) - k + 1 + j] * powers[j]
-        gcounts = mlens - k + 1
-        valid = np.concatenate([np.arange(s, s + c) for s, c in zip(starts, gcounts)])
-        grams = (grams_all[valid] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        from auto_featurs_ray.datapipe.dedup import flat_polynomial_grams
+        raw, gcounts = flat_polynomial_grams(
+            [np.frombuffer(bufs[i], dtype=np.uint8) for i in main], k)
+        grams = (raw & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         gstarts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
 
         small = gcounts <= window
