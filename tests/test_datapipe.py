@@ -467,3 +467,45 @@ class TestUnigramLogprob:
             else:
                 want = np.mean([np.log2(allw[w] / total) for w in ws])
                 assert abs(row['unigram_logprob'] - want) < 1e-9
+
+
+class TestEmptyCorpus:
+    """A dataset filtered to zero rows produces Ray's schema-less empty
+    bundles; every dedup entry point must complete and return empty."""
+
+    def _empty_ds(self):
+        t = doc_table()
+        ds = rd.from_arrow(t)
+        return ds.map_batches(lambda b: b.filter(pa.array([False] * b.num_rows)),
+                              batch_format='pyarrow')
+
+    def test_exact_dedup_empty(self):
+        out = exact_dedup(self._empty_ds(), text_column='text', id_column='doc_id')
+        assert out.count() == 0
+
+    def test_minhash_paths_empty(self):
+        ds = self._empty_ds()
+        clusters = minhash_lsh_duplicates(ds, text_column='text', id_column='doc_id')
+        assert len(clusters) == 0
+        survivors = minhash_dedup(ds, text_column='text', id_column='doc_id')
+        assert survivors.count() == 0
+
+    def test_simhash_and_embedding_empty(self):
+        assert len(simhash_duplicates(self._empty_ds(), text_column='text',
+                                      id_column='doc_id')) == 0
+        et = embedding_table(n=10)
+        eds = rd.from_arrow(et).map_batches(
+            lambda b: b.filter(pa.array([False] * b.num_rows)), batch_format='pyarrow')
+        assert len(embedding_duplicates(eds, embedding_column='embedding',
+                                        id_column='vec_id')) == 0
+
+    def test_ngram_jaccard_empty(self):
+        pairs = ngram_jaccard_duplicates(self._empty_ds(), text_column='text',
+                                         id_column='doc_id')
+        assert len(pairs) == 0
+
+    def test_cc_invalid_mode_raises(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="cc must be"):
+            minhash_dedup(rd.from_arrow(doc_table()), text_column='text',
+                          id_column='doc_id', cc='Distributed')
