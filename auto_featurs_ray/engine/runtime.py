@@ -380,6 +380,100 @@ def apply_window_stage(ds, transformers: Sequence[AggregatingTransformer], key_c
     return shuffle_map_partitions(ds, key_columns, effective, lambda table, _pid: fn(table))
 
 
+def _sample_time_cuts(ds, index_column: str, num_partitions: int) -> np.ndarray:
+    """Sampled quantile cut points (int64 µs) of the index column: a strided
+    per-batch sample (≤64 values per batch) collected on the driver — tiny at
+    any corpus size — then P-1 quantiles.  Quantile cuts keep partitions
+    row-balanced under time skew, where even time splits would not."""
+    from auto_featurs_ray.engine.aggframe import AggFrame
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ts = AggFrame(batch).timestamps_us(index_column)
+        if len(ts) == 0:
+            return pa.table({'s': pa.array([], pa.int64())})
+        stride = max(1, len(ts) // 64)
+        return pa.table({'s': pa.array(ts[::stride])})
+
+    rows = ds.map_batches(sample, batch_format='pyarrow').take_all()
+    vals = np.sort(np.array([r['s'] for r in rows], dtype=np.int64))
+    if len(vals) < 2 or num_partitions <= 1:
+        return np.array([], dtype=np.int64)
+    qs = np.quantile(vals, np.linspace(0, 1, num_partitions + 1)[1:-1],
+                     method='lower').astype(np.int64)
+    return np.unique(qs)
+
+
+def apply_global_rolling_stage(ds, transformers: Sequence[AggregatingTransformer],
+                               order_by: Sequence[str],
+                               num_partitions: int = DEFAULT_NUM_PARTITIONS):
+    """Range-partitioned GLOBAL rolling windows with halo context rows.
+
+    An ungrouped rolling feature previously funneled the whole dataset
+    through ONE reduce task (global trailing windows need their time
+    neighborhood) — a single-core wall at scale.  Trailing windows are
+    window-local: the anchor at time t only reads rows in ``(t - period,
+    t]``, so the index range is cut into ``num_partitions`` sampled-quantile
+    spans and every row whose timestamp falls within ``max(period)`` BEFORE a
+    cut is ALSO shipped to the next span as a context row (computed over,
+    never emitted).  Each reduce then evaluates the full transformer group
+    over its span + halo and emits only its own rows — bit-identical to the
+    single-task result, P-way parallel.  Rows sharing a timestamp land in
+    one span by construction (cuts compare on the timestamp), preserving the
+    anchor-at-last-duplicate window semantics.
+    """
+    from auto_featurs_ray.engine.aggframe import AggFrame
+
+    index_column = transformers[0].index_column_name
+    window_us = np.int64(max(t._period_us for t in transformers))
+    cuts = _sample_time_cuts(ds, index_column, num_partitions)
+    if len(cuts) == 0:
+        fn = make_partition_fn(transformers, [], order_by)
+        return shuffle_map_partitions(ds, [], 1, lambda table, _pid: fn(table))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({})
+        ts = AggFrame(batch).timestamps_us(index_column)
+        part = np.searchsorted(cuts, ts, side='right').astype(np.int64)
+        pieces = [batch.append_column('__rw_part', pa.array(part))
+                       .append_column('__rw_ctx', pa.array(np.zeros(len(ts), dtype=bool)))]
+        for j, cut in enumerate(cuts):
+            # context for span j+1: rows inside (cut - window, cut); the
+            # window is open on the left so ts == cut - window is never read
+            mask = (ts > cut - window_us) & (ts < cut)
+            if mask.any():
+                halo = batch.filter(pa.array(mask))
+                n = halo.num_rows
+                pieces.append(halo.append_column('__rw_part', pa.array(np.full(n, j + 1)))
+                                  .append_column('__rw_ctx', pa.array(np.ones(n, dtype=bool))))
+        return pa.concat_tables(pieces, promote_options='permissive')
+
+    sort_keys = [('__rw_part', 'ascending')] + [(c, 'ascending') for c in order_by]
+
+    def run(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({})
+        keys = [(c, d) for c, d in sort_keys if c in table.column_names]
+        table = table.take(pc.sort_indices(table, sort_keys=keys))
+        parts = table.column('__rw_part').to_numpy(zero_copy_only=False)
+        ctx = table.column('__rw_ctx').to_numpy(zero_copy_only=False)
+        body = table.drop_columns(['__rw_part', '__rw_ctx'])
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(parts) != 0) + 1, [len(parts)]))
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = body.slice(s, e - s)
+            frame = AggFrame(seg)
+            out = seg
+            for t in transformers:
+                out = out.append_column(t.output_name, _to_arrow_column(t.compute(frame, None)))
+            keep = ~ctx[s:e]
+            outs.append(out.filter(pa.array(keep)))
+        return pa.concat_tables(outs, promote_options='permissive')
+
+    assigned = ds.map_batches(assign, batch_format='pyarrow')
+    return shuffle_map_partitions(assigned, ['__rw_part'], num_partitions, run)
+
+
 def apply_row_local_stage(ds, transformers: Sequence[RowLocalTransformer]):
     names = [t.output_name for t in transformers]
 
@@ -588,6 +682,13 @@ def apply_layer(ds, transformers: Sequence[Transformer], order_by: Sequence[str]
     for key, group in stages.items():
         if key and set(key) <= set(broadcast_agg_keys) and all(_is_broadcast_over(t) for t in group):
             ds = apply_grouped_broadcast_stage(ds, group, list(key))
+            continue
+        if (not key and num_partitions > 1
+                and all(type(t).__name__ == 'RollingWrapper' for t in group)
+                and len({t.index_column_name for t in group}) == 1):
+            # ungrouped rolling is window-local: range-partition with halo
+            # context rows instead of one global reduce task
+            ds = apply_global_rolling_stage(ds, group, order_by, num_partitions)
             continue
         ds = apply_window_stage(ds, group, list(key), order_by, num_partitions)
     if two_pass:

@@ -145,3 +145,44 @@ def test_rolling_bounds_cache_pins_codes_identity():
     assert key in cache
     pinned, _ = cache[key]
     assert pinned is codes  # strong reference held -> id cannot be recycled
+
+
+def test_global_rolling_halo_partitioning_matches_single_task():
+    """The range-partitioned global rolling stage (halo context rows) must be
+    bit-identical to the single-reduce-task evaluation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.runtime import (apply_global_rolling_stage,
+                                                 apply_window_stage)
+    from auto_featurs_ray.transformers.aggregating import (CountTransformer,
+                                                           MeanTransformer,
+                                                           NumUniqueTransformer)
+    from auto_featurs_ray.transformers.rolling_wrapper import RollingWrapper
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    ts = np.sort(rng.integers(0, 10_000_000, n))
+    ts[100:110] = ts[100]  # duplicate-timestamp run (anchor-at-last-dup rule)
+    table = pa.table({
+        'ts': pa.array(np.sort(ts).astype('datetime64[us]')),
+        'rid': pa.array(np.arange(n, dtype=np.int64)),
+        'cat': pa.array(rng.choice(['a', 'b', 'c'], n)),
+        'x': pa.array(rng.standard_normal(n)),
+    })
+    idx = CS.datetime(name='ts')
+    group = [RollingWrapper(CountTransformer(), idx, '600s'),
+             RollingWrapper(MeanTransformer('x'), idx, '120s'),
+             RollingWrapper(NumUniqueTransformer('cat'), idx, '600s')]
+
+    def make_ds():
+        return rd.from_arrow([table.slice(i, 700) for i in range(0, n, 700)])
+
+    def canon(out):
+        return out.to_pandas().sort_values('rid').reset_index(drop=True)
+
+    partitioned = canon(apply_global_rolling_stage(make_ds(), group, ['ts', 'rid'],
+                                                   num_partitions=8))
+    single = canon(apply_window_stage(make_ds(), group, [], ['ts', 'rid'],
+                                      num_partitions=1))
+    pd.testing.assert_frame_equal(partitioned, single)
