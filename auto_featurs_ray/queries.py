@@ -1531,28 +1531,43 @@ def q_shuffle_split_documents(sf_dir: str):
     return _finish(ds, ['doc_id', 'lang', 'split'])
 
 
+def _mulmod_sql(a: str, c: int) -> str:
+    """(a * c) mod 2^64 in HUGEINT SQL, multiplies split 32/32 so no
+    intermediate overflows int128."""
+    lo = c & 0xFFFFFFFF
+    return (f"((({a}) % 4294967296) * {c}::HUGEINT + "
+            f"(((({a}) >> 32) * {lo}::HUGEINT) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616")
+
+
+def _splitmix_fin_sql(x: str) -> str:
+    """splitmix64 finalizer in SQL — also exactly pandas' numeric hash."""
+    x = f"xor({x}, ({x}) >> 30)"
+    x = _mulmod_sql(x, 0xbf58476d1ce4e5b9)
+    x = f"xor({x}, ({x}) >> 27)"
+    x = _mulmod_sql(x, 0x94d049bb133111eb)
+    return f"xor({x}, ({x}) >> 31)"
+
+
+def _keyed_hash_u_sql(seed: int) -> str:
+    """SQL CTE chain computing u = keyed_hash(doc_id, seed) / 2^64 — exact
+    replica of datapipe/shuffle._keyed_hash for int64 keys."""
+    seedc = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return f"""s0 AS (SELECT *, doc_id::HUGEINT AS x FROM documents),
+s1 AS (SELECT * EXCLUDE (x), {_splitmix_fin_sql('x')} AS h FROM s0),
+s2 AS (SELECT * EXCLUDE (h), xor(h, {seedc}::HUGEINT) AS z FROM s1),
+s3 AS (SELECT * EXCLUDE (z), {_splitmix_fin_sql('z')} AS zf FROM s2),
+s4 AS (SELECT * EXCLUDE (zf), zf::DOUBLE / 18446744073709551616.0 AS u FROM s3)"""
+
+
 def _shuffle_split_sql() -> str:
     """DuckDB oracle for the deterministic hash split (round 3: previously a
     rows-only check).  Split membership is a pure function of (doc_id, seed):
     pandas' numeric hash is the splitmix64 finalizer, then the seed folds in
     via golden-ratio multiply + a second finalizer (datapipe/shuffle.py:29-43).
-    Replicated here in exact mod-2^64 integer arithmetic — HUGEINT multiplies
-    are split 32/32 so no intermediate overflows int128.  The shuffle's ORDER
-    is invisible to the driver's order-insensitive hash, so membership is the
-    whole contract."""
-    def mulmod(a: str, c: int) -> str:
-        lo = c & 0xFFFFFFFF
-        return (f"((({a}) % 4294967296) * {c}::HUGEINT + "
-                f"(((({a}) >> 32) * {lo}::HUGEINT) % 4294967296) * 4294967296) "
-                f"% 18446744073709551616")
-
-    def fin(x: str) -> str:
-        x = f"xor({x}, ({x}) >> 30)"
-        x = mulmod(x, 0xbf58476d1ce4e5b9)
-        x = f"xor({x}, ({x}) >> 27)"
-        x = mulmod(x, 0x94d049bb133111eb)
-        return f"xor({x}, ({x}) >> 31)"
-
+    The shuffle's ORDER is invisible to the driver's order-insensitive hash,
+    so membership is the whole contract."""
+    mulmod, fin = _mulmod_sql, _splitmix_fin_sql
     seed = 11
     seedc = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
     return f"""
@@ -1568,6 +1583,42 @@ FROM s4
 
 
 SQL_SHUFFLE_SPLIT_DOCUMENTS = _shuffle_split_sql()
+
+
+def q_top_k_documents(sf_dir: str):
+    """Global top-20 documents by n_chars: per-batch partial top-k
+    (argpartition) + tiny driver merge — zero shuffle, the same partial-merge
+    shape as the knn baseline.  Ties break on doc_id ascending."""
+    from auto_featurs_ray.datapipe.sampling import top_k
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'n_chars', 'lang'])
+    return top_k(docs, column='n_chars', k=20, id_column='doc_id',
+                 keep_columns=['lang'])
+
+
+SQL_TOP_K_DOCUMENTS = """
+SELECT doc_id, n_chars, lang
+FROM documents
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic keyed Bernoulli sample (rate 0.3, seed 7): membership is
+    a pure function of (doc_id, seed) — identical rows kept on any block
+    layout, partition count or cluster size."""
+    from auto_featurs_ray.datapipe.sampling import deterministic_sample
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'lang', 'n_chars'])
+    out = deterministic_sample(docs, key_column='doc_id', rate=0.3, seed=7)
+    return _finish(out, ['doc_id', 'lang', 'n_chars'])
+
+
+SQL_SAMPLE_DOCUMENTS = f"""
+WITH {_keyed_hash_u_sql(seed=7)}
+SELECT doc_id, lang, n_chars FROM s4 WHERE u < 0.3
+"""
 
 
 def q_resumable_sink(sf_dir: str):
@@ -1678,6 +1729,8 @@ QUERIES = {
     'repetition_documents': q_repetition_documents,
     'pii_documents': q_pii_documents,
     'unigram_logprob_documents': q_unigram_logprob_documents,
+    'top_k_documents': q_top_k_documents,
+    'sample_documents': q_sample_documents,
     'minhash_dedup_distributed_documents': q_minhash_dedup_distributed_documents,
     'ngram_jaccard_documents': q_ngram_jaccard_documents,
     'cumulative_mode_argminmax_events': q_cumulative_mode_argminmax_events,
@@ -1731,4 +1784,6 @@ ORACLE_SQL = {
     'repetition_documents': SQL_REPETITION_DOCUMENTS,
     'pii_documents': SQL_PII_DOCUMENTS,
     'unigram_logprob_documents': SQL_UNIGRAM_LOGPROB_DOCUMENTS,
+    'top_k_documents': SQL_TOP_K_DOCUMENTS,
+    'sample_documents': SQL_SAMPLE_DOCUMENTS,
 }

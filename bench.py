@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     'simhash_dedup_documents', 'ngram_jaccard_documents',
     'contamination_documents', 'repetition_documents', 'pii_documents',
     'shuffle_split_documents', 'unigram_logprob_documents',
+    'top_k_documents', 'sample_documents',
 ]
 
 

@@ -53,3 +53,60 @@ def test_hash_split_validates_fractions():
     with pytest.raises(ValueError):
         hash_split(rd.from_arrow(_table(10)), key_column='doc_id',
                    fractions={'train': 0.5, 'val': 0.1})
+
+
+class TestTopKAndSampling:
+    def test_top_k_exact(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import top_k
+        rng = np.random.default_rng(4)
+        vals = rng.integers(0, 100, 500)  # plenty of ties
+        vals[10] = 1000
+        t = pa.table({'id': pa.array(np.arange(500), pa.int64()),
+                      'v': pa.array(vals, pa.int64())})
+        ds = rd.from_arrow([t.slice(i, 50) for i in range(0, 500, 50)])
+        out = top_k(ds, column='v', k=25, id_column='id')
+        want = sorted(zip(vals, np.arange(500)), key=lambda p: (-p[0], p[1]))[:25]
+        got = list(zip(out.column('v').to_pylist(), out.column('id').to_pylist()))
+        assert got == [(int(v), int(i)) for v, i in want]
+
+    def test_top_k_skips_nulls(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import top_k
+        t = pa.table({'id': pa.array([1, 2, 3], pa.int64()),
+                      'v': pa.array([None, 5.0, 1.0], pa.float64())})
+        out = top_k(rd.from_arrow(t), column='v', k=2, id_column='id')
+        assert out.column('id').to_pylist() == [2, 3]
+
+    def test_deterministic_sample_block_layout_invariant(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import deterministic_sample
+        t = pa.table({'id': pa.array(np.arange(1000), pa.int64())})
+
+        def run(num_slices):
+            ds = rd.from_arrow([t.slice(i, 1000 // num_slices)
+                                for i in range(0, 1000, 1000 // num_slices)])
+            out = deterministic_sample(ds, key_column='id', rate=0.25, seed=3)
+            return sorted(out.to_pandas()['id'])
+
+        a, b = run(4), run(20)
+        assert a == b
+        assert 150 < len(a) < 350  # ~rate * n
+
+    def test_sample_rate_validation(self):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import deterministic_sample
+        ds = rd.from_arrow(pa.table({'id': pa.array([1], pa.int64())}))
+        with _pytest.raises(ValueError):
+            deterministic_sample(ds, key_column='id', rate=1.5)
