@@ -395,8 +395,10 @@ def _sample_time_cuts(ds, index_column: str, num_partitions: int):
         ts = AggFrame(batch).timestamps_us(index_column)
         if len(ts) == 0:
             return pa.table({'s': pa.array([], pa.int64()), 'n': pa.array([], pa.int64())})
-        stride = max(1, len(ts) // 64)
-        picked = ts[::stride]
+        # <=16 values per batch bounds the driver-side sample at ~16 x
+        # num_blocks rows (a 10^6-block corpus ships ~128 MB, not the data)
+        stride = max(1, len(ts) // 16)
+        picked = ts[::stride][:16]
         n = np.zeros(len(picked), dtype=np.int64)
         n[0] = len(ts)
         return pa.table({'s': pa.array(picked), 'n': pa.array(n)})
