@@ -38,8 +38,14 @@ def top_k(ds, *, column: str, k: int, id_column: str, descending: bool = True,
         if n == 0:
             return sub
         if n > k:
-            vals = sub.column(column).to_numpy(zero_copy_only=False)
-            order = np.argpartition(-vals if descending else vals, k - 1)[:k]
+            # The local top-k must apply the SAME tie-break as the driver
+            # merge (value desc/asc, then id asc): an argpartition cut would
+            # drop an id-winning row that ties at the k boundary, and unary
+            # negation wraps on unsigned dtypes.  pc.sort_indices sidesteps
+            # both; the final np.sort restores input order within the batch.
+            order = pc.sort_indices(sub, sort_keys=[
+                (column, 'descending' if descending else 'ascending'),
+                (id_column, 'ascending')]).to_numpy(zero_copy_only=False)[:k]
             sub = sub.take(pa.array(np.sort(order)))
         return sub
 

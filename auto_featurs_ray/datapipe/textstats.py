@@ -281,6 +281,11 @@ def corpus_unigram_logprob(ds, *, text_column: str, id_column: str,
                           'n': pa.array([], pa.int64())})
         if word_t.num_rows == 0 or word_t.num_columns == 0:
             return empty
+        if count_t.num_rows == 0 or count_t.num_columns == 0:
+            # both sides derive from the same exploded words under one key
+            # hash, so a non-empty word side implies a non-empty count side —
+            # but that invariant is non-local; guard rather than index cv[-1]
+            return empty
         wv = count_t.column('w').to_numpy(zero_copy_only=False)
         cv = count_t.column('c').to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.argsort(wv)

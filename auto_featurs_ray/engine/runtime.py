@@ -3,15 +3,21 @@
 Physical plan per pipeline layer (SURVEY.md §7 milestone 5):
 
 1. **Partitioned window stages** — aggregating transformers grouped by their
-   outermost ``over`` key set.  For each distinct key set the engine adds a
-   ``__afr_part = hash(keys) % P`` column inside ``map_batches`` (vectorized),
-   then runs ``groupby('__afr_part').map_groups(fn, batch_format='pyarrow')``:
-   one all-to-all exchange serves *all* features keyed on that entity set.
-   Inside each partition, rows are sorted by ``(keys, order_by)`` with
+   outermost ``over`` key set.  For each distinct key set the engine hashes
+   the keys to ``P`` partitions inside the split tasks (vectorized siphash)
+   and runs its own task shuffle (:func:`shuffle_map_partitions`: split tasks
+   emit per-partition Arrow slices via zero-copy ``take``, one reduce task per
+   partition concatenates and runs the stage fn) — one all-to-all exchange
+   serves *all* features keyed on that entity set, with none of the fixed
+   overhead of Ray Data's sort-based ``groupby``.  Inside each partition,
+   rows are sorted by ``(keys, order_by)`` with
    ``pyarrow.compute.sort_indices`` + zero-copy ``take``; every aggregate for
    the stage is computed in one pass over the sorted partition.  Ungrouped
-   order-dependent features (global cumulative / rolling) degenerate to a
-   single partition — inherently sequential; key them on an entity at scale.
+   order-dependent features parallelize by range-cutting the time index:
+   rolling via halo context rows (:func:`apply_global_rolling_stage`),
+   expanding/cumulative via carry-in prefix states
+   (:func:`apply_global_cumulative_stage`); non-combinable cumulatives
+   (mode/median/quantile) fall back to a single partition.
 2. **Global two-pass stages** — ungrouped NONE-mode aggregates (scalers,
    whole-frame min/max/sum/mean/std/quantile/...) are computed as map_batches
    partials -> driver combine -> broadcast into a second map_batches.  No
@@ -170,6 +176,9 @@ REDUCE_MEMORY_WARN_BYTES = 4 << 30
 #: below this many rows a GLOBAL rolling feature runs as one reduce task —
 #: the halo exchange's fixed cost dominates tiny inputs
 GLOBAL_ROLLING_MIN_ROWS = 2_000_000
+#: distinct-key count above which compute_grouped_broadcast_states warns —
+#: the combined map is driver-held and broadcast whole, meant for low card
+BROADCAST_KEYS_WARN = 100_000
 
 
 def _coalesce_split_input(blocks) -> pa.Table:
@@ -385,10 +394,12 @@ def apply_window_stage(ds, transformers: Sequence[AggregatingTransformer], key_c
 
 def _sample_time_cuts(ds, index_column: str, num_partitions: int):
     """(cut points, total row count) for the index column.  Cuts are sampled
-    quantiles: a strided per-batch sample (≤64 values per batch) collected on
-    the driver — tiny at any corpus size — then P-1 quantiles, which keep
-    partitions row-balanced under time skew where even time splits would
-    not.  The exact row total rides along for the size-based plan choice."""
+    quantiles: a strided per-batch sample (≤16 values per block) collected on
+    the driver — tiny at any corpus size — then P-1 quantiles weighted by each
+    block's row count (a block's sampled values stand in for all its rows, so
+    uneven block sizes would otherwise skew the cuts).  Weighting affects
+    partition BALANCE only; results are bit-identical for any cut choice.
+    The exact row total rides along for the size-based plan choice."""
     from auto_featurs_ray.engine.aggframe import AggFrame
 
     def sample(batch: pa.Table) -> pa.Table:
@@ -399,17 +410,22 @@ def _sample_time_cuts(ds, index_column: str, num_partitions: int):
         # num_blocks rows (a 10^6-block corpus ships ~128 MB, not the data)
         stride = max(1, len(ts) // 16)
         picked = ts[::stride][:16]
-        n = np.zeros(len(picked), dtype=np.int64)
-        n[0] = len(ts)
+        # each picked value represents len(ts)/len(picked) rows of its block
+        n = np.full(len(picked), len(ts) // len(picked), dtype=np.int64)
+        n[0] += len(ts) - int(n.sum())
         return pa.table({'s': pa.array(picked), 'n': pa.array(n)})
 
     rows = ds.map_batches(sample, batch_format='pyarrow').take_all()
     total = int(sum(r['n'] for r in rows))
-    vals = np.sort(np.array([r['s'] for r in rows], dtype=np.int64))
+    vals = np.array([r['s'] for r in rows], dtype=np.int64)
+    wts = np.array([r['n'] for r in rows], dtype=np.int64)
     if len(vals) < 2 or num_partitions <= 1:
         return np.array([], dtype=np.int64), total
-    qs = np.quantile(vals, np.linspace(0, 1, num_partitions + 1)[1:-1],
-                     method='lower').astype(np.int64)
+    order = np.argsort(vals, kind='stable')
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    targets = np.linspace(0, 1, num_partitions + 1)[1:-1] * cum[-1]
+    qs = vals[np.minimum(np.searchsorted(cum, targets, side='left'), len(vals) - 1)]
     return np.unique(qs), total
 
 
@@ -487,6 +503,158 @@ def apply_global_rolling_stage(ds, transformers: Sequence[AggregatingTransformer
     return shuffle_map_partitions(assigned, ['__rw_part'], num_partitions, run)
 
 
+#: below this many rows an UNGROUPED cumulative/order-aware group runs as one
+#: reduce task — the range exchange's fixed cost dominates tiny inputs
+GLOBAL_CUM_MIN_ROWS = 2_000_000
+
+
+def apply_global_cumulative_stage(ds, transformers: Sequence[AggregatingTransformer],
+                                  order_by: Sequence[str],
+                                  num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                                  min_rows: Optional[int] = None):
+    """Range-partitioned UNGROUPED expanding/cumulative aggregates with
+    carry-in prefix states (see :mod:`auto_featurs_ray.engine.cumcarry`).
+
+    The order column is cut into ``P`` sampled-quantile spans (rows sharing an
+    order value land in one span); pass 1 sorts each span once and emits a
+    tiny combinable state per transformer; the driver folds the states into
+    per-span carries (prefix for cumulative, suffix for leads, global for
+    NONE-mode whole-frame values — plus a second tiny state round for the std
+    quirk and cumulative arg-extremes, whose carry-out depends on their
+    carry-in); pass 2 re-reads each span's SORTED table from the object store
+    (pass 1 returns it as a second object, so the sort happens once) and
+    computes the output columns seeded with the carries.  Every transformer
+    in ``transformers`` must have a carry handler
+    (:func:`auto_featurs_ray.engine.cumcarry.handler_for`).
+    """
+    import ray
+    import ray.data
+
+    from auto_featurs_ray.engine import cumcarry
+
+    order_by = list(order_by)
+    handlers = [cumcarry.handler_for(t) for t in transformers]
+    assert all(handlers), 'apply_global_cumulative_stage requires carry handlers'
+    threshold = GLOBAL_CUM_MIN_ROWS if min_rows is None else min_rows
+
+    try:
+        cuts, total_rows = _sample_time_cuts(ds, order_by[0], num_partitions)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
+        cuts, total_rows = np.array([], dtype=np.int64), 0
+    if len(cuts) == 0 or total_rows < threshold:
+        fn = make_partition_fn(transformers, [], order_by)
+        return shuffle_map_partitions(ds, [], 1, lambda table, _pid: fn(table))
+
+    order_col = order_by[0]
+    num_spans = len(cuts) + 1
+
+    @ray.remote
+    def split_task(*blocks: pa.Table):
+        block = _coalesce_split_input(blocks)
+        if block.num_columns == 0:
+            return tuple(block.slice(0, 0) for _ in range(num_spans))
+        ts = AggFrame(block).timestamps_us(order_col)
+        codes = np.searchsorted(cuts, ts, side='right').astype(np.int64)
+        return tuple(split_block_by_code(block, codes, num_spans))
+
+    split_refs = _launch_split_tasks(ds, split_task, num_spans)
+    if not split_refs:
+        return ds
+
+    sort_columns = list(order_by)
+    # transformers hold expression lambdas (filtering conditions) — plain
+    # pickle rejects them; cloudpickle is what Ray ships closures with anyway
+    from ray import cloudpickle
+    pickled = cloudpickle.dumps((transformers, handlers))
+
+    @ray.remote(num_returns=2)
+    def sort_and_state(partition_id: int, *slices: pa.Table):
+        table = _concat_slices(slices, partition_id)
+        if table.num_columns == 0 or table.num_rows == 0:
+            return table, None
+        table = sort_partition(table, [c for c in sort_columns if c in table.column_names])
+        ts_list, hs = pickle.loads(pickled)
+        frame = AggFrame(table)
+        states = [h.span_state(t, frame) for t, h in zip(ts_list, hs)]
+        return table, pickle.dumps(states)
+
+    pairs = [sort_and_state.remote(p, *[splits[p] for splits in split_refs])
+             for p in range(num_spans)]
+    sorted_refs = [p[0] for p in pairs]
+    raw_states = ray.get([p[1] for p in pairs])
+    span_states = [pickle.loads(s) if s is not None else None for s in raw_states]
+
+    def fold(idx: int, handler) -> list:
+        """Per-span carry for transformer ``idx`` under the handler's scope."""
+        t = transformers[idx]
+        states = [ss[idx] if ss is not None else None for ss in span_states]
+        scope = handler.scope(t)
+        carries = [None] * num_spans
+        if scope == 'prefix':
+            acc = handler.identity(t)
+            for p in range(num_spans):
+                carries[p] = acc
+                if states[p] is not None:
+                    acc = handler.combine(t, acc, states[p])
+        elif scope == 'suffix':
+            acc = handler.identity(t)
+            for p in range(num_spans - 1, -1, -1):
+                carries[p] = acc
+                if states[p] is not None:
+                    acc = handler.combine(t, states[p], acc)
+        else:  # global
+            acc = handler.identity(t)
+            for p in range(num_spans):
+                if states[p] is not None:
+                    acc = handler.combine(t, acc, states[p])
+            carries = [acc] * num_spans
+        return carries
+
+    carries0 = [fold(i, h) for i, h in enumerate(handlers)]
+
+    second = [i for i, h in enumerate(handlers) if h.rounds == 2]
+    if second:
+        sub = cloudpickle.dumps(([transformers[i] for i in second], [handlers[i] for i in second]))
+
+        @ray.remote
+        def state2_task(partition_id: int, table: pa.Table, carry_blob: bytes):
+            if table.num_columns == 0 or table.num_rows == 0:
+                return None
+            ts_list, hs = pickle.loads(sub)
+            frame = AggFrame(table)
+            return pickle.dumps([h.span_state2(t, frame, c)
+                                 for t, h, c in zip(ts_list, hs, pickle.loads(carry_blob))])
+
+        blobs = [pickle.dumps([carries0[i][p] for i in second]) for p in range(num_spans)]
+        raw2 = ray.get([state2_task.remote(p, sorted_refs[p], blobs[p]) for p in range(num_spans)])
+        states2 = [pickle.loads(s) if s is not None else None for s in raw2]
+        for j, i in enumerate(second):
+            t, h = transformers[i], handlers[i]
+            acc = h.identity2(t)
+            carry2 = [None] * num_spans
+            for p in range(num_spans):
+                carry2[p] = acc
+                if states2[p] is not None:
+                    acc = h.combine2(t, acc, states2[p][j])
+            carries0[i] = [(carries0[i][p], carry2[p]) for p in range(num_spans)]
+
+    @ray.remote
+    def finalize(partition_id: int, table: pa.Table, carry_blob: bytes) -> pa.Table:
+        if table.num_columns == 0:
+            return table
+        ts_list, hs = pickle.loads(pickled)
+        frame = AggFrame(table)
+        out = table
+        for t, h, carry in zip(ts_list, hs, pickle.loads(carry_blob)):
+            out = out.append_column(t.output_name, _to_arrow_column(h.with_carry(t, frame, carry)))
+        return out
+
+    carry_blobs = [pickle.dumps([carries0[i][p] for i in range(len(transformers))])
+                   for p in range(num_spans)]
+    out_refs = [finalize.remote(p, sorted_refs[p], carry_blobs[p]) for p in range(num_spans)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def apply_row_local_stage(ds, transformers: Sequence[RowLocalTransformer]):
     names = [t.output_name for t in transformers]
 
@@ -503,6 +671,14 @@ def compute_grouped_broadcast_states(ds, key_columns: Sequence[str], inners: Seq
 
     Feed a column-pruned dataset (just the key + value columns) — the partial
     pass is then a cheap scan regardless of how wide the full table is.
+
+    CARDINALITY CONTRACT: the combined map lives on the driver and is
+    broadcast whole to every consumer task, so this path is only correct to
+    use for LOW-CARDINALITY keys (callers opt keys in explicitly, e.g. the
+    flagship's ``broadcast_agg_keys`` for the zipf-hot ``source`` column).
+    For high-cardinality keys use the shuffle path
+    (:func:`apply_window_stage`) instead; a warning fires above
+    ``BROADCAST_KEYS_WARN`` distinct keys.
     """
     key_columns = list(key_columns)
 
@@ -522,6 +698,12 @@ def compute_grouped_broadcast_states(ds, key_columns: Sequence[str], inners: Seq
             else:
                 combined[key_value] = [inner.global_combine(acc, s)
                                        for inner, acc, s in zip(inners, combined[key_value], states)]
+    if len(combined) > BROADCAST_KEYS_WARN:
+        logger.warning(
+            'compute_grouped_broadcast_states combined %d distinct keys on the '
+            'driver; the broadcast path is meant for low-cardinality keys — '
+            'route this key set through the shuffle path (apply_window_stage) '
+            'instead', len(combined))
     return combined
 
 
@@ -702,6 +884,20 @@ def apply_layer(ds, transformers: Sequence[Transformer], order_by: Sequence[str]
             # ungrouped rolling is window-local: range-partition with halo
             # context rows instead of one global reduce task
             ds = apply_global_rolling_stage(ds, group, order_by, num_partitions)
+            continue
+        if not key and num_partitions > 1 and order_by:
+            # ungrouped expanding/cumulative and whole-frame order-aware
+            # aggregates: range-partition with carry-in prefix states; only
+            # order statistics with no combinable state (cum mode/median/
+            # quantile) still require the single-task fallback
+            from auto_featurs_ray.engine import cumcarry
+            supported = [t for t in group if cumcarry.handler_for(t) is not None
+                         and type(t).__name__ != 'RollingWrapper']
+            rest = [t for t in group if t not in supported]
+            if supported:
+                ds = apply_global_cumulative_stage(ds, supported, order_by, num_partitions)
+            if rest:
+                ds = apply_window_stage(ds, rest, [], order_by, num_partitions)
             continue
         ds = apply_window_stage(ds, group, list(key), order_by, num_partitions)
     if two_pass:

@@ -1696,6 +1696,114 @@ def q_token_ops(sf_dir: str):
     return _finish(ds, ['doc_id', 'ts', 'n_tok', 'length_bucket'])
 
 
+def q_global_cumulative_events(sf_dir: str):
+    """UNGROUPED expanding/cumulative aggregates on the FORCED range-partition
+    + carry-state path (engine/cumcarry.py) — the round-3 verdict's last
+    single-task wall.  ``min_rows=0`` forces the parallel plan at oracle
+    scale (32 spans over 10k rows at sf0.01); the parity pytest
+    (tests/test_cumcarry.py) separately proves bit-identity with the
+    single-task evaluation.  Reference cum semantics:
+    /root/reference/src/auto_featurs/transformers/aggregating_transformers.py:34-69."""
+    from auto_featurs_ray.engine.runtime import apply_global_cumulative_stage
+    from auto_featurs_ray.transformers.aggregating import (
+        CountTransformer,
+        LaggedTransformer,
+        MaxTransformer,
+        MeanTransformer,
+        MinTransformer,
+        NumUniqueTransformer,
+        PointwiseMutualInformationTransformer,
+        StdTransformer,
+        SumTransformer,
+    )
+    C = CumulativeOptions
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'ts', 'user_id', 'event_type', 'value'])
+    group = [
+        CountTransformer(C.INCLUSIVE),
+        CountTransformer(C.EXCLUSIVE),
+        SumTransformer('value', C.INCLUSIVE),
+        SumTransformer('value', C.EXCLUSIVE),
+        MinTransformer('value', C.INCLUSIVE),
+        MaxTransformer('value', C.EXCLUSIVE),
+        StdTransformer('value', C.INCLUSIVE),
+        NumUniqueTransformer('event_type', C.INCLUSIVE),
+        NumUniqueTransformer('event_type', C.EXCLUSIVE),
+        LaggedTransformer(CS.numeric(name='value'), 3),
+        LaggedTransformer(CS.numeric(name='value'), -2),
+        PointwiseMutualInformationTransformer('user_id', 'event_type', C.INCLUSIVE),
+    ]
+    out = apply_global_cumulative_stage(events, group, ORDER_EVENTS,
+                                        num_partitions=NUM_PARTITIONS, min_rows=0)
+
+    def derive_mean(batch: pa.Table) -> pa.Table:
+        # running mean, tie-stable for the hash gate: the engine's carried
+        # mean and DuckDB's AVG produce doubles that STRADDLE exact decimal
+        # ties (2-decimal sums / power-of-2 counts -> true mean terminates at
+        # digit 7 in '5').  round6(sum)/count gives bit-identical doubles on
+        # both sides, so both engines round the same number; MeanHandler
+        # itself is the composition of the gated Sum and Count carries and is
+        # bit-exactly covered by tests/test_cumcarry.py.
+        s = np.round(batch.column('value_inclusive_cum_sum').to_numpy(zero_copy_only=False), 6)
+        c = batch.column('inclusive_cum_count').to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column('value_inclusive_cum_mean', pa.array(np.round(s / c, 6)))
+
+    out = out.map_batches(derive_mean, batch_format='pyarrow', zero_copy_batch=True)
+    keep = ['event_id', 'inclusive_cum_count', 'exclusive_cum_count',
+            'value_inclusive_cum_sum', 'value_exclusive_cum_sum',
+            'value_inclusive_cum_min', 'value_exclusive_cum_max',
+            'value_inclusive_cum_mean', 'value_inclusive_cum_std',
+            'event_type_inclusive_cum_num_unique', 'event_type_exclusive_cum_num_unique',
+            'value_lagged_3', 'value_lagged_-2',
+            'user_id_event_type_inclusive_cum_pmi']
+    return _finish(out, keep,
+                   round_cols=['value_inclusive_cum_sum', 'value_exclusive_cum_sum',
+                               'value_inclusive_cum_min', 'value_exclusive_cum_max',
+                               'value_inclusive_cum_std',
+                               'value_lagged_3', 'value_lagged_-2',
+                               'user_id_event_type_inclusive_cum_pmi'])
+
+
+SQL_GLOBAL_CUMULATIVE_EVENTS = """
+WITH base AS (
+  SELECT event_id, ts, value,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS c_ab,
+         AVG(value) OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS m_incl
+  FROM events
+), nu AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN rn_type = 1 THEN 1 ELSE 0 END)
+              OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS incl_nu
+  FROM base
+)
+SELECT event_id,
+       rn AS inclusive_cum_count,
+       rn - 1 AS exclusive_cum_count,
+       round(SUM(value) OVER wup, 6) AS value_inclusive_cum_sum,
+       round(COALESCE(SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6)
+           AS value_exclusive_cum_sum,
+       round(MIN(value) OVER wup, 6) AS value_inclusive_cum_min,
+       round(MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6)
+           AS value_exclusive_cum_max,
+       round_even(round_even(SUM(value) OVER wup * 1000000.0, 0) / 1000000.0
+                  / rn * 1000000.0, 0) / 1000000.0 AS value_inclusive_cum_mean,
+       round_even(sqrt(SUM((value - m_incl) * (value - m_incl)) OVER wup), 6)
+           AS value_inclusive_cum_std,
+       incl_nu AS event_type_inclusive_cum_num_unique,
+       COALESCE(LAG(incl_nu) OVER w, 0) AS event_type_exclusive_cum_num_unique,
+       round(LAG(value, 3) OVER w, 6) AS value_lagged_3,
+       round(LEAD(value, 2) OVER w, 6) AS "value_lagged_-2",
+       round(log2((c_ab::DOUBLE * rn) / (c_a::DOUBLE * rn_type)), 6)
+           AS user_id_event_type_inclusive_cum_pmi
+FROM nu
+WINDOW w AS (ORDER BY ts, event_id),
+       wup AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
 QUERIES = {
     'arithmetic_lineitem': q_arithmetic_lineitem,
     'seasonal_orders': q_seasonal_orders,
@@ -1703,6 +1811,7 @@ QUERIES = {
     'global_stats_lineitem': q_global_stats_lineitem,
     'grouped_lineitem': q_grouped_lineitem,
     'cumulative_events': q_cumulative_events,
+    'global_cumulative_events': q_global_cumulative_events,
     'rolling_events': q_rolling_events,
     'asof_events_orders': q_asof_events_orders,
     'session_events': q_session_events,
@@ -1755,6 +1864,7 @@ ORACLE_SQL = {
     'global_stats_lineitem': SQL_GLOBAL_STATS_LINEITEM,
     'grouped_lineitem': SQL_GROUPED_LINEITEM,
     'cumulative_events': SQL_CUMULATIVE_EVENTS,
+    'global_cumulative_events': SQL_GLOBAL_CUMULATIVE_EVENTS,
     'rolling_events': SQL_ROLLING_EVENTS,
     'asof_events_orders': SQL_ASOF_EVENTS_ORDERS,
     'session_events': SQL_SESSION_EVENTS,

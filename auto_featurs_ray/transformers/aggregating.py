@@ -51,7 +51,26 @@ from auto_featurs_ray.expressions import (
 )
 from auto_featurs_ray.transformers.base import AggregatingTransformer, CumulativeOptions
 
-_NULL_KEY = object()
+class _NullKeyType:
+    """Null sentinel for value-as-dict-key kernels.  Must survive pickling
+    with identity intact: carried aggregate states (engine/cumcarry.py) ship
+    dicts keyed on this sentinel between tasks, and a plain ``object()``
+    unpickles to a fresh instance that breaks ``in``/``is`` checks."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:
+        return '<afr-null>'
+
+    def __reduce__(self):
+        return (_get_null_key, ())
+
+
+def _get_null_key():
+    return _NULL_KEY
+
+
+_NULL_KEY = _NullKeyType()
 
 
 def _codes_or_zeros(codes: Optional[np.ndarray], n: int) -> np.ndarray:
