@@ -831,19 +831,27 @@ def ngram_jaccard_duplicates(ds, *, text_column: str, id_column: str, shingle_si
         rv, ro = np.asarray(right_sh.values), np.asarray(right_sh.offsets)
         lefts = pair_t.column('left').to_numpy(zero_copy_only=False)
         rights = pair_t.column('id').to_numpy(zero_copy_only=False)
-        out_l, out_r, out_j = [], [], []
-        for i in range(pair_t.num_rows):
-            a = lv[lo[i]:lo[i + 1]]
-            b = rv[ro[i]:ro[i + 1]]
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            union = len(a) + len(b) - inter
-            jac = inter / union if union else 1.0
-            if jac >= threshold:
-                out_l.append(lefts[i])
-                out_r.append(rights[i])
-                out_j.append(jac)
-        return pa.table({'left': pa.array(out_l, pa.int64()), 'right': pa.array(out_r, pa.int64()),
-                         'jaccard': pa.array(out_j, pa.float64())})
+        # both shingle lists are unique per document, so |A∩B| for pair i is
+        # the number of values appearing TWICE in concat(A_i, B_i): one
+        # lexsort over (pair, value) and an adjacent-equality count replaces
+        # the per-pair intersect1d loop (round-3 verdict item)
+        n = pair_t.num_rows
+        la = np.diff(lo.astype(np.int64))
+        lb = np.diff(ro.astype(np.int64))
+        segs = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                               np.repeat(np.arange(n, dtype=np.int64), lb)])
+        vals = np.concatenate([lv, rv])
+        order = np.lexsort((vals, segs))
+        sv, ss = vals[order], segs[order]
+        dup = (sv[1:] == sv[:-1]) & (ss[1:] == ss[:-1])
+        inter = np.bincount(ss[1:][dup], minlength=n).astype(np.int64)
+        union = la + lb - inter
+        with np.errstate(divide='ignore', invalid='ignore'):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep_mask = jac >= threshold
+        return pa.table({'left': pa.array(lefts[keep_mask], pa.int64()),
+                         'right': pa.array(rights[keep_mask], pa.int64()),
+                         'jaccard': pa.array(jac[keep_mask], pa.float64())})
 
     mid = cogroup_map_partitions(cand, corpus, ['id'], num_partitions, attach_left)
     verified = cogroup_map_partitions(mid, corpus, ['id'], num_partitions, verify_right)

@@ -1293,19 +1293,118 @@ def q_ngram_jaccard_documents(sf_dir: str):
                                          pa.float64())})
 
 
+# Brute-force all-pairs 5-gram Jaccard (round-4: previously rows-only).  The
+# engine computes Jaccard on HASHED shingle sets surfaced by MinHash-LSH; the
+# oracle on raw substring sets over ALL pairs — so a green hash certifies
+# both the Jaccard arithmetic AND full LSH recall at the driver scale (no
+# hash collisions and no missed candidates; both deterministic, seeded).
+# Documents are pre-normalized ASCII, so no case/whitespace folding needed.
+SQL_NGRAM_JACCARD_DOCUMENTS = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 5 + 2)) AS i
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM pos
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.l AS "left", i.r AS "right",
+       round(i.c::DOUBLE / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.l JOIN sizes sb ON sb.doc_id = i.r
+WHERE i.c::DOUBLE / (sa.n + sb.n - i.c) >= 0.7
+"""
+
+
 def q_fingerprint_documents(sf_dir: str):
+    """FNV-1a exact fingerprint + winnowing sketch, hash-gated (round-4:
+    previously rows-only).  The sketch list column is reduced to order-free
+    checksums (size / xor / min / max) the driver can hash; the SQL oracle
+    replays FNV-1a byte-by-byte via a recursive CTE and the winnowing
+    pipeline via windowed MIN over polynomial k-gram hashes."""
     from auto_featurs_ray.datapipe.textstats import Fingerprinter
     docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
                                  columns=['doc_id', 'text'])
     out = docs.map_batches(Fingerprinter(), batch_format='pyarrow')
 
     def project(batch: pa.Table) -> pa.Table:
-        sketch_sizes = pc.list_value_length(batch.column('winnow_sketch'))
+        sk = batch.column('winnow_sketch')
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        vals = np.asarray(sk.values)
+        offs = np.asarray(sk.offsets).astype(np.int64)
+        sizes = np.diff(offs)
+        assert (sizes > 0).all(), 'empty winnow sketch (doc shorter than k?)'
+        starts = offs[:-1]
         return pa.table({'doc_id': batch.column('doc_id'),
                          'fingerprint': batch.column('fingerprint'),
-                         'sketch_size': sketch_sizes})
+                         'sketch_size': pa.array(sizes, pa.int64()),
+                         'sketch_xor': pa.array(np.bitwise_xor.reduceat(vals, starts), pa.int64()),
+                         'sketch_min': pa.array(np.minimum.reduceat(vals, starts), pa.int64()),
+                         'sketch_max': pa.array(np.maximum.reduceat(vals, starts), pa.int64())})
 
     return out.map_batches(project, batch_format='pyarrow')
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB replay of datapipe/textstats.py's Fingerprinter: FNV-1a 64
+    (offset 0xcbf29ce484222325, prime 0x100000001b3) folded byte-by-byte in
+    a recursive CTE (~550 iterations x 500 docs at sf0.01), and the winnowing
+    sketch as windowed MIN over k=8 polynomial gram hashes masked to 63 bits.
+    Documents are pre-normalized ASCII (no case/whitespace folding needed);
+    every driver doc is >= k chars so no short-doc fallback triggers."""
+    P = 0x100000001b3
+    M64 = 1 << 64
+    pow_p = [pow(P, j, M64) for j in range(8)]
+    gram_terms = ' + '.join(
+        f'ascii(substr(text, i + {j}, 1))::HUGEINT * {pow_p[7 - j]}::HUGEINT'
+        for j in range(8))
+    fold = _mulmod_sql('xor(h, ascii(substr(text, pos, 1))::HUGEINT)', P)
+    return f"""
+WITH RECURSIVE fnv AS (
+  SELECT doc_id, text, 1::BIGINT AS pos, 14695981039346656037::HUGEINT AS h
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text, pos + 1, {fold}
+  FROM fnv WHERE pos <= length(text)
+),
+fp AS (
+  SELECT doc_id,
+         CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
+  FROM fnv WHERE pos = length(text) + 1
+),
+pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS i
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+         CAST((({gram_terms}) % 18446744073709551616::HUGEINT)
+              % 9223372036854775808::HUGEINT AS BIGINT) AS g,
+         length(text) - 7 AS ng
+  FROM pos
+),
+wmins AS (
+  SELECT doc_id, i,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         ng
+  FROM grams
+),
+sketch AS (
+  SELECT DISTINCT doc_id, m FROM wmins WHERE i <= ng - 3
+)
+SELECT f.doc_id, f.fingerprint,
+       COUNT(*) AS sketch_size,
+       bit_xor(m) AS sketch_xor, MIN(m) AS sketch_min, MAX(m) AS sketch_max
+FROM fp f JOIN sketch s ON f.doc_id = s.doc_id
+GROUP BY f.doc_id, f.fingerprint
+"""
 
 
 def q_langid_quality_documents(sf_dir: str):
@@ -1410,6 +1509,112 @@ def q_simhash_dedup_documents(sf_dir: str):
     clusters = simhash_duplicates(docs, text_column='text', id_column='doc_id')
     return pa.table({'id': pa.array(clusters['id'].to_numpy(), pa.int64()),
                      'cluster_id': pa.array(clusters['cluster_id'].to_numpy(), pa.int64())})
+
+
+def q_minhash_signatures_documents(sf_dir: str):
+    """Per-(doc, permutation) MinHash signature values, hash-gated (round-4):
+    the deterministic core of the minhash-LSH dedup path (polynomial 5-gram
+    shingles, 64 seeded ``a*h + b mod 2^61-1`` permutations — dedup.py
+    MinHasher).  Banding / union-find stay rows-only; their entire input is
+    gated here, one row per signature cell."""
+    from auto_featurs_ray.datapipe.dedup import MinHasher
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    hasher = MinHasher('text')  # defaults: num_perm=64, shingle 5, seed 7
+
+    def sig(batch: pa.Table) -> pa.Table:
+        sigs = hasher.signatures(batch.column('text').to_pylist())
+        n = len(sigs)
+        doc = np.repeat(batch.column('doc_id').to_numpy(zero_copy_only=False), hasher.num_perm)
+        perm = np.tile(np.arange(hasher.num_perm, dtype=np.int64), n)
+        return pa.table({'doc_id': pa.array(doc, pa.int64()), 'perm': pa.array(perm),
+                         'sig': pa.array(sigs.reshape(-1).view(np.int64))})
+
+    return docs.map_batches(sig, batch_format='pyarrow')
+
+
+def _minhash_signatures_sql() -> str:
+    """DuckDB replay of MinHasher.signatures.  The numpy kernel computes
+    ``(g*a + b) % (2^61-1)`` in WRAPPING uint64 arithmetic, so the SQL mods
+    by 2^64 after the multiply and again after the add before the Mersenne
+    mod — bit-for-bit the same values."""
+    from auto_featurs_ray.datapipe.dedup import _MERSENNE, MinHasher
+    h = MinHasher('text')
+    perms = ',\n  '.join(f'({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)'
+                         for p, (a, b) in enumerate(zip(h.a, h.b)))
+    P = 0x100000001b3
+    M64 = 1 << 64
+    pow_p = [pow(P, j, M64) for j in range(5)]
+    gram_terms = ' + '.join(
+        f'ascii(substr(text, i + {j}, 1))::HUGEINT * {pow_p[4 - j]}::HUGEINT'
+        for j in range(5))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 5 + 2)) AS i
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         (({gram_terms}) % {M64}::HUGEINT) AS g
+  FROM pos
+),
+perms(perm, a, b) AS (VALUES {perms})
+SELECT g.doc_id, p.perm,
+       CAST(MIN((((g.g * p.a) % {M64}::HUGEINT + p.b) % {M64}::HUGEINT)
+                % {int(_MERSENNE)}::HUGEINT) AS BIGINT) AS sig
+FROM grams g, perms p
+GROUP BY 1, 2
+"""
+
+
+def q_simhash_signatures_documents(sf_dir: str):
+    """Per-document 64-bit SimHash signatures, hash-gated (round-4): the
+    deterministic core of the simhash dedup path (k=4 polynomial grams,
+    per-doc unique, +/-1 bit votes, top bit cleared — dedup.py
+    _simhash64_batch).  The cluster assignment stays a rows-only query
+    (union-find isn't SQL), but every input to it is gated here."""
+    from auto_featurs_ray.datapipe.dedup import _simhash64_batch
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        hashes = _simhash64_batch(batch.column('text').to_pylist())
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'simhash': pa.array(hashes, pa.int64())})
+
+    return docs.map_batches(sig, batch_format='pyarrow')
+
+
+def _simhash_signatures_sql() -> str:
+    """DuckDB replay of _simhash64_batch: FNV-prime polynomial 4-gram hashes
+    mod 2^64, per-doc DISTINCT, per-bit +/-1 votes, bit set iff votes > 0,
+    bit 63 always cleared (the documented 63-bit encoding)."""
+    P = 0x100000001b3
+    M64 = 1 << 64
+    pow_p = [pow(P, j, M64) for j in range(4)]
+    gram_terms = ' + '.join(
+        f'ascii(substr(text, i + {j}, 1))::HUGEINT * {pow_p[3 - j]}::HUGEINT'
+        for j in range(4))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 4 + 2)) AS i
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         (({gram_terms}) % 18446744073709551616::HUGEINT) AS g
+  FROM pos
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (g >> b) & 1::HUGEINT = 1::HUGEINT THEN 1 ELSE -1 END) AS v
+  FROM grams, (SELECT unnest(range(0, 63)) AS b) bits
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 def q_embedding_dedup_embeddings(sf_dir: str):
@@ -1849,6 +2054,8 @@ QUERIES = {
     'token_ops': q_token_ops,
     'flagship_tokens': q_flagship_tokens,
     'simhash_dedup_documents': q_simhash_dedup_documents,
+    'simhash_signatures_documents': q_simhash_signatures_documents,
+    'minhash_signatures_documents': q_minhash_signatures_documents,
     'embedding_dedup_embeddings': q_embedding_dedup_embeddings,
     'pack_sequences': q_pack_sequences,
     'multimodal_decode': q_multimodal_decode,
@@ -1895,5 +2102,9 @@ ORACLE_SQL = {
     'pii_documents': SQL_PII_DOCUMENTS,
     'unigram_logprob_documents': SQL_UNIGRAM_LOGPROB_DOCUMENTS,
     'top_k_documents': SQL_TOP_K_DOCUMENTS,
+    'fingerprint_documents': _fingerprint_sql(),
+    'simhash_signatures_documents': _simhash_signatures_sql(),
+    'ngram_jaccard_documents': SQL_NGRAM_JACCARD_DOCUMENTS,
+    'minhash_signatures_documents': _minhash_signatures_sql(),
     'sample_documents': SQL_SAMPLE_DOCUMENTS,
 }
