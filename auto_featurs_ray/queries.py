@@ -1617,6 +1617,130 @@ FROM votes GROUP BY doc_id
 """
 
 
+def _simhash_dedup_sql() -> str:
+    """Full SQL replay of ``simhash_duplicates`` (round-4: previously
+    rows-only).  Signatures come from the gated :func:`_simhash_signatures_sql`
+    CTEs; pairs are brute-force all-pairs with ``bit_count(xor) <= 3``;
+    components are a recursive min-label closure.  The engine's 4x16-bit band
+    LSH has EXACT recall at ``max_hamming=3`` (pigeonhole: 3 differing bits
+    leave >=1 of 4 bands identical) and ``max_bucket=500`` cannot trigger on a
+    <=500-doc corpus, so brute-force pairs here equal the engine's banded
+    candidate set exactly — a green hash certifies signature math, Hamming
+    verify AND the union-find cluster labels (cluster_id = min member id)."""
+    sig = _simhash_signatures_sql()
+    return f"""
+WITH RECURSIVE sigs AS MATERIALIZED (
+  SELECT * FROM ({sig})
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS l, b.doc_id AS r
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+e(s, d) AS (SELECT l, r FROM pairs UNION ALL SELECT r, l FROM pairs),
+comp(id, lbl) AS (
+  SELECT DISTINCT s, s FROM e
+  UNION
+  SELECT e.d, c.lbl FROM comp c JOIN e ON e.s = c.id
+)
+SELECT id, MIN(lbl) AS cluster_id FROM comp GROUP BY id
+"""
+
+
+def _minhash_dedup_sql(inflated: bool) -> str:
+    """Full SQL replay of ``minhash_dedup`` (round-4: previously rows-only).
+
+    Signatures re-derive from raw text (the gated
+    :func:`_minhash_signatures_sql` math); LSH candidacy is replayed exactly
+    as band-chunk equality (4 consecutive permutations all agreeing — the
+    engine's ``band_hash`` is a collision-free-in-practice encoding of that
+    chunk); the verify is the engine's signature-agreement fraction
+    ``matches/64 >= 0.8`` i.e. ``matches >= 52``; components are a recursive
+    min-label closure and survivors drop every non-min cluster member.
+    ``max_bucket=200`` IS replayed (one oversized boilerplate bucket exists
+    in the inflated corpus): a bucket is all docs sharing a band chunk, and
+    pairs whose every agreeing band is oversized are skipped exactly as the
+    engine skips them.  With ``inflated`` the corpus is the
+    4x-tail-edited copy set of :func:`q_minhash_dedup_distributed_documents`,
+    built in SQL with the same ``|| ' v{{rep}}'`` edits — one oracle text
+    certifies both the driver union-find and the forced distributed-CC path
+    (byte-identical survivors by construction)."""
+    from auto_featurs_ray.datapipe.dedup import _MERSENNE, MinHasher
+    h = MinHasher('text')
+    perms = ',\n  '.join(f'({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)'
+                         for p, (a, b) in enumerate(zip(h.a, h.b)))
+    P = 0x100000001b3
+    M64 = 1 << 64
+    pow_p = [pow(P, j, M64) for j in range(5)]
+    gram_terms = ' + '.join(
+        f'ascii(substr(text, i + {j}, 1))::HUGEINT * {pow_p[4 - j]}::HUGEINT'
+        for j in range(5))
+    if inflated:
+        corpus = ' UNION ALL '.join(
+            ['SELECT doc_id, text FROM documents']
+            + [f"SELECT doc_id + {10_000_000 * rep}, text || ' v{rep}' FROM documents"
+               for rep in range(1, 4)])
+    else:
+        corpus = 'SELECT doc_id, text FROM documents'
+    return f"""
+WITH RECURSIVE corpus AS MATERIALIZED ({corpus}),
+pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 5 + 2)) AS i
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         (({gram_terms}) % {M64}::HUGEINT) AS g
+  FROM pos
+),
+perms(perm, a, b) AS (VALUES {perms}),
+sigs AS MATERIALIZED (
+  SELECT g.doc_id, p.perm,
+         MIN((((g.g * p.a) % {M64}::HUGEINT + p.b) % {M64}::HUGEINT)
+             % {int(_MERSENNE)}::HUGEINT) AS sig
+  FROM grams g, perms p
+  GROUP BY 1, 2
+),
+band_groups AS MATERIALIZED (
+  SELECT doc_id, perm // 4 AS band, list(sig ORDER BY perm) AS chunk
+  FROM sigs GROUP BY 1, 2
+),
+sizes AS (
+  SELECT band, chunk, COUNT(*) AS n FROM band_groups GROUP BY 1, 2
+),
+cand AS (
+  -- engine LSH candidacy: two docs sharing a full 4-perm band chunk, and the
+  -- bucket holding that chunk has <= max_bucket=200 members (oversized
+  -- buckets are SKIPPED by the engine with a warning; the oracle must skip
+  -- the same pairs)
+  SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+  FROM band_groups a
+  JOIN band_groups b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  JOIN sizes s ON s.band = a.band AND s.chunk = a.chunk
+  WHERE s.n <= 200
+),
+verified AS MATERIALIZED (
+  SELECT c.l, c.r
+  FROM cand c
+  JOIN sigs a ON a.doc_id = c.l
+  JOIN sigs b ON b.doc_id = c.r AND b.perm = a.perm
+  GROUP BY c.l, c.r
+  HAVING SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) >= 52
+),
+e(s, d) AS (SELECT l, r FROM verified UNION ALL SELECT r, l FROM verified),
+comp(id, lbl) AS (
+  SELECT DISTINCT s, s FROM e
+  UNION
+  SELECT e.d, c.lbl FROM comp c JOIN e ON e.s = c.id
+)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (
+  SELECT id FROM (SELECT id, MIN(lbl) AS cluster_id FROM comp GROUP BY id)
+  WHERE id <> cluster_id
+)
+"""
+
+
 def q_embedding_dedup_embeddings(sf_dir: str):
     """Embedding-cosine near-dup clusters via hyperplane-LSH buckets.
 
@@ -2104,6 +2228,9 @@ ORACLE_SQL = {
     'top_k_documents': SQL_TOP_K_DOCUMENTS,
     'fingerprint_documents': _fingerprint_sql(),
     'simhash_signatures_documents': _simhash_signatures_sql(),
+    'simhash_dedup_documents': _simhash_dedup_sql(),
+    'minhash_dedup_documents': _minhash_dedup_sql(False),
+    'minhash_dedup_distributed_documents': _minhash_dedup_sql(True),
     'ngram_jaccard_documents': SQL_NGRAM_JACCARD_DOCUMENTS,
     'minhash_signatures_documents': _minhash_signatures_sql(),
     'sample_documents': SQL_SAMPLE_DOCUMENTS,
