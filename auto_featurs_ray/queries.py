@@ -1786,13 +1786,26 @@ def q_pack_sequences(sf_dir: str):
     ds = exact_token_dedup(ds, num_partitions=8)
     ds = add_length_buckets(ds, boundaries=[16, 32, 64, 128])
     ds = truncate_tokens(ds, max_tokens=128)
+    # batch_size=None: one batch per block, so packing batches are exactly the
+    # deterministic dedup shuffle partitions — first-fit output is then a pure
+    # function of the fixture (Ray's default row-count bundling re-bundles
+    # blocks in ARRIVAL order, which varies run to run) — required by the
+    # pinned literal oracle
     packed = ds.map_batches(SequencePacker, fn_constructor_kwargs={'context_len': 512},
-                            batch_format='pyarrow', concurrency=2)
+                            batch_format='pyarrow', concurrency=2, batch_size=None)
 
     def project(batch: pa.Table) -> pa.Table:
+        from auto_featurs_ray.datapipe.tokens import token_array_hashes
+        member_col = batch.column('member_ids').combine_chunks()
+        mv = member_col.values.to_numpy(zero_copy_only=False)  # zero-padded str ids
+        mo = np.asarray(member_col.offsets).astype(np.int64)
+        member_min = (np.minimum.reduceat(mv, mo[:-1]) if batch.num_rows
+                      else np.array([], dtype=object))  # lexicographic == numeric (padded)
         return pa.table({
-            'n_members': pc.list_value_length(batch.column('member_ids')),
-            'n_tokens': pc.list_value_length(batch.column('tokens')),
+            'member_min': pa.array(member_min, pa.string()),
+            'n_members': pc.list_value_length(batch.column('member_ids')).cast(pa.int64()),
+            'n_tokens': pc.list_value_length(batch.column('tokens')).cast(pa.int64()),
+            'tok_hash': pa.array(token_array_hashes(batch.column('tokens'))),
             'fill_ratio': batch.column('fill_ratio'),
         })
 
@@ -1819,10 +1832,19 @@ def q_multimodal_decode(sf_dir: str):
     out = decode_pipeline(media, decoder='auto', concurrency=2, batch_size=32)
 
     def project(batch: pa.Table) -> pa.Table:
-        feats = batch.column('image_features')
+        feats = batch.column('image_features').combine_chunks()
+        pix = batch.column('pixels').combine_chunks()
+        pv = np.asarray(pix.values, dtype=np.int64)
+        po = np.asarray(pix.offsets).astype(np.int64)
+        pixel_sum = np.add.reduceat(pv, po[:-1]) if batch.num_rows else np.zeros(0, np.int64)
+        fv = np.asarray(feats.values, dtype=np.float64)
+        fo = np.asarray(feats.offsets).astype(np.int64)
+        feat_sum = np.add.reduceat(fv, fo[:-1]) if batch.num_rows else np.zeros(0, np.float64)
         return pa.table({'media_id': batch.column('media_id'),
-                         'n_pixels': pc.list_value_length(batch.column('pixels')),
-                         'feat_dim': pc.list_value_length(feats)})
+                         'n_pixels': pc.list_value_length(pix).cast(pa.int64()),
+                         'feat_dim': pc.list_value_length(feats).cast(pa.int64()),
+                         'pixel_sum': pa.array(pixel_sum, pa.int64()),
+                         'feat_sum': pa.array(np.round(feat_sum, 6), pa.float64())})
 
     return out.map_batches(project, batch_format='pyarrow')
 
@@ -2235,3 +2257,10 @@ ORACLE_SQL = {
     'minhash_signatures_documents': _minhash_signatures_sql(),
     'sample_documents': SQL_SAMPLE_DOCUMENTS,
 }
+
+# literal-pinned oracles for deterministic-but-not-SQL-expressible queries
+# (k-means, first-fit packing, media decode, hyperplane LSH): regression pins
+# generated by tools/gen_pinned_oracles.py — see auto_featurs_ray/pinned_oracles.py
+from auto_featurs_ray.pinned_oracles import PINNED as _PINNED  # noqa: E402
+
+ORACLE_SQL.update(_PINNED)
