@@ -2047,6 +2047,110 @@ def q_token_ops(sf_dir: str):
     return _finish(ds, ['doc_id', 'ts', 'n_tok', 'length_bucket'])
 
 
+def q_token_pipeline_documents(sf_dir: str):
+    """The token-ops pipeline over a REGISTERED table, fully SQL-oracled
+    (round-4).  ``q_token_ops`` exercises the same operators over the F6
+    fixture but that parquet isn't a driver view; here tokens derive from
+    ``documents.text`` utf-8 bytes (ASCII, so ``ascii()`` replays them 1:1),
+    which puts the dual polynomial content hashes, exact token dedup
+    (min-id per 126-bit key), length buckets and truncation under the hash
+    gate against an independent SQL derivation."""
+    from auto_featurs_ray.datapipe.tokens import (add_length_buckets, exact_token_dedup,
+                                                  token_array_hashes, truncate_tokens)
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        chunks = [np.frombuffer((t or '').encode('utf-8'), np.uint8).astype(np.int32)
+                  for t in batch.column('text').to_pylist()]
+        lens = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=len(chunks))
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          pa.array(flat, pa.int32()))
+        return pa.table({'doc_id': batch.column('doc_id'), 'tokens': tokens,
+                         'n_tok': pa.array(lens.astype(np.int32), pa.int32())})
+
+    ds = docs.map_batches(tokenize, batch_format='pyarrow')
+    ds = exact_token_dedup(ds, num_partitions=8)
+    ds = add_length_buckets(ds, boundaries=[128, 256, 512, 1024])
+    ds = truncate_tokens(ds, max_tokens=512)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'n_tok': batch.column('n_tok').cast(pa.int64()),
+                         'length_bucket': batch.column('length_bucket').cast(pa.int64()),
+                         'tok_hash': pa.array(token_array_hashes(batch.column('tokens')))})
+
+    return ds.map_batches(project, batch_format='pyarrow')
+
+
+def _token_pipeline_sql() -> str:
+    """DuckDB replay of the token pipeline: per-position byte values join two
+    recursive power tables (``B^pos mod 2^64`` for each hash base); the
+    content hash is ``((seed + sum((v+1)*B^pos)) * B + len) mod 2^64 mod
+    2^63`` (tokens.py token_array_hashes); dedup keeps the min doc_id per
+    (h1, h2) pair; buckets count boundaries <= original length
+    (searchsorted side='right'); the output hash re-derives over the first
+    512 bytes only (the truncated array)."""
+    from auto_featurs_ray.datapipe.tokens import (_HASH_BASE, _HASH_BASE_2,
+                                                  _HASH_SEED, _HASH_SEED_2)
+    M64 = 1 << 64
+    M63 = 1 << 63
+    b1, s1 = int(_HASH_BASE), int(_HASH_SEED)
+    b2, s2 = int(_HASH_BASE_2), int(_HASH_SEED_2)
+
+    def mix(s_expr: str, len_expr: str, base: int, seed: int) -> str:
+        return (f'((({seed}::HUGEINT + ({s_expr}) % {M64}::HUGEINT) % {M64}::HUGEINT'
+                f' * {base}::HUGEINT + {len_expr}) % {M64}::HUGEINT) % {M63}::HUGEINT')
+
+    return f"""
+WITH RECURSIVE
+pw1(pos, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL SELECT pos + 1, (p * {b1}::HUGEINT) % {M64}::HUGEINT FROM pw1 WHERE pos < 4095
+),
+pw2(pos, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL SELECT pos + 1, (p * {b2}::HUGEINT) % {M64}::HUGEINT FROM pw2 WHERE pos < 4095
+),
+chars AS (
+  SELECT doc_id, text, length(text) AS len, unnest(range(0, length(text))) AS pos
+  FROM documents
+),
+sums AS (
+  SELECT c.doc_id, ANY_VALUE(c.len) AS len,
+         SUM((ascii(substr(c.text, c.pos + 1, 1)) + 1)::HUGEINT * p1.p) AS s1,
+         SUM((ascii(substr(c.text, c.pos + 1, 1)) + 1)::HUGEINT * p2.p) AS s2,
+         SUM(CASE WHEN c.pos < 512
+             THEN (ascii(substr(c.text, c.pos + 1, 1)) + 1)::HUGEINT * p1.p
+             ELSE 0::HUGEINT END) AS s1t
+  FROM chars c JOIN pw1 p1 ON p1.pos = c.pos JOIN pw2 p2 ON p2.pos = c.pos
+  GROUP BY c.doc_id
+),
+hashed AS (
+  SELECT doc_id, len,
+         {mix('s1', 'len', b1, s1)} AS h1,
+         {mix('s2', 'len', b2, s2)} AS h2,
+         {mix('s1t', 'LEAST(len, 512)', b1, s1)} AS h1t
+  FROM sums
+),
+surv AS (
+  SELECT doc_id, len, h1t
+  FROM hashed
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY h1, h2 ORDER BY doc_id) = 1
+)
+SELECT doc_id,
+       CAST(LEAST(len, 512) AS BIGINT) AS n_tok,
+       CAST((CASE WHEN len >= 128 THEN 1 ELSE 0 END)
+            + (CASE WHEN len >= 256 THEN 1 ELSE 0 END)
+            + (CASE WHEN len >= 512 THEN 1 ELSE 0 END)
+            + (CASE WHEN len >= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS length_bucket,
+       CAST(h1t AS BIGINT) AS tok_hash
+FROM surv
+"""
+
+
 def q_global_cumulative_events(sf_dir: str):
     """UNGROUPED expanding/cumulative aggregates on the FORCED range-partition
     + carry-state path (engine/cumcarry.py) — the round-3 verdict's last
@@ -2198,6 +2302,7 @@ QUERIES = {
     'langid_quality_documents': q_langid_quality_documents,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
+    'token_pipeline_documents': q_token_pipeline_documents,
     'flagship_tokens': q_flagship_tokens,
     'simhash_dedup_documents': q_simhash_dedup_documents,
     'simhash_signatures_documents': q_simhash_signatures_documents,
@@ -2256,6 +2361,7 @@ ORACLE_SQL = {
     'ngram_jaccard_documents': SQL_NGRAM_JACCARD_DOCUMENTS,
     'minhash_signatures_documents': _minhash_signatures_sql(),
     'sample_documents': SQL_SAMPLE_DOCUMENTS,
+    'token_pipeline_documents': _token_pipeline_sql(),
 }
 
 # literal-pinned oracles for deterministic-but-not-SQL-expressible queries
