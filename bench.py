@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     'contamination_documents', 'repetition_documents', 'pii_documents',
     'shuffle_split_documents', 'unigram_logprob_documents',
     'top_k_documents', 'sample_documents',
+    # round-4 coverage queries
+    'global_cumulative_events', 'token_pipeline_documents',
+    'fingerprint_documents', 'knn_ivf_embeddings',
 ]
 
 
@@ -104,6 +107,106 @@ def _prewarm_cluster():
     ray.get([_noop.remote(i) for i in range(NUM_CPUS * 4)])
 
 
+def _hw_burn_units() -> float:
+    """No-Ray single-core ALU burn, in work-units/sec (one unit = one
+    ``_burn_one`` loop).  Emitted alongside every bench JSON so each BENCH_rN
+    is interpretable standalone against the sandbox's documented >6x ambient
+    oscillation (round-3 verdict item 5): compare bench numbers across rounds
+    via ``sequences_per_sec / hw_burn`` rather than raw wall time."""
+    return round(1.0 / _burn_one(0), 3)
+
+
+def run_scale_paths() -> dict:
+    """Time the scale-threshold crossings with the thresholds ACTUALLY
+    tripped (round-3 verdict item 4 — these paths were previously exercised
+    only by forced-path queries at sizes below their auto thresholds):
+
+    * ``global_rolling_large`` — >2M synthetic rows, so the halo
+      range-partitioned plan engages via ``GLOBAL_ROLLING_MIN_ROWS``; the
+      same input is re-run with the single-reduce-task plan forced, giving
+      the measured crossover benefit.
+    * ``minhash_cc_auto_large`` — the corpus is replicated with tail edits
+      until the verified pair set exceeds ``CC_PAIR_THRESHOLD`` (200k), so
+      ``cc='auto'`` routes components through distributed min-label
+      propagation and the drop-set anti-join runs on the exchange.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+    from auto_featurs_ray.engine import runtime as rt
+    from auto_featurs_ray.engine.runtime import apply_global_rolling_stage
+    from auto_featurs_ray.transformers.aggregating import CountTransformer, MeanTransformer
+    from auto_featurs_ray.transformers.rolling_wrapper import RollingWrapper
+
+    out: dict = {}
+
+    n = int(os.environ.get('GRAFT_ROLLING_LARGE_ROWS', '2200000'))
+    rng = np.random.default_rng(11)
+    ts = np.sort(rng.integers(0, 10**12, n)).astype('datetime64[us]')
+    table = pa.table({'ts': pa.array(ts), 'rid': pa.array(np.arange(n, dtype=np.int64)),
+                      'x': pa.array(rng.standard_normal(n))})
+    idx = CS.datetime(name='ts')
+    group = [RollingWrapper(CountTransformer(), idx, '600s'),
+             RollingWrapper(MeanTransformer('x'), idx, '3600s')]
+
+    def make_ds():
+        return rd.from_arrow([table.slice(i, 200_000) for i in range(0, n, 200_000)])
+
+    assert n >= rt.GLOBAL_ROLLING_MIN_ROWS, 'input must trip the halo threshold'
+    start = time.monotonic()
+    rows = apply_global_rolling_stage(make_ds(), group, ['ts', 'rid'],
+                                      num_partitions=NUM_PARTITIONS).count()
+    halo_sec = time.monotonic() - start
+    old_min = rt.GLOBAL_ROLLING_MIN_ROWS
+    rt.GLOBAL_ROLLING_MIN_ROWS = 10**18  # force the single-reduce-task plan
+    try:
+        start = time.monotonic()
+        apply_global_rolling_stage(make_ds(), group, ['ts', 'rid'],
+                                   num_partitions=NUM_PARTITIONS).count()
+        single_sec = time.monotonic() - start
+    finally:
+        rt.GLOBAL_ROLLING_MIN_ROWS = old_min
+    out['global_rolling_large'] = {
+        'rows': rows, 'halo_sec': round(halo_sec, 3), 'single_task_sec': round(single_sec, 3),
+        'speedup': round(single_sec / halo_sec, 2)}
+
+    from auto_featurs_ray.datapipe.dedup import CC_PAIR_THRESHOLD, minhash_dedup
+    docs_t = None
+    import pyarrow.parquet as pq
+    docs_t = pq.read_table(os.path.join(SF_DIR, 'documents.parquet'),
+                           columns=['doc_id', 'text'])
+    d = docs_t.num_rows
+    reps = 2
+    while d * reps * (reps - 1) // 2 < int(1.25 * CC_PAIR_THRESHOLD):
+        reps += 1
+
+    def inflate(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+        texts = batch.column('text').to_pylist()
+        out_ids = [ids + 10_000_000 * r for r in range(reps)]
+        out_texts = [[t if r == 0 else (t or '') + f' v{r}' for t in texts]
+                     for r in range(reps)]
+        return pa.table({'doc_id': pa.array(np.concatenate(out_ids), pa.int64()),
+                         'text': pa.array([t for chunk in out_texts for t in chunk])})
+
+    # slice into ~2x-CPU blocks: from_arrow(one table) is ONE block, which
+    # would run the whole signature stage in a single task
+    step = max(1, -(-d // (NUM_CPUS * 2)))
+    ds = rd.from_arrow([docs_t.slice(i, step) for i in range(0, d, step)]) \
+        .map_batches(inflate, batch_format='pyarrow')
+    start = time.monotonic()
+    survivors = minhash_dedup(ds, text_column='text', id_column='doc_id',
+                              cc='auto', num_partitions=NUM_PARTITIONS).count()
+    cc_sec = time.monotonic() - start
+    out['minhash_cc_auto_large'] = {
+        'docs': d * reps, 'replication': reps,
+        'pairs_at_least': d * reps * (reps - 1) // 2,
+        'survivors': survivors, 'sec': round(cc_sec, 3)}
+    return out
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
@@ -114,6 +217,7 @@ def run_bench() -> dict:
 
     from auto_featurs_ray.queries import QUERIES
 
+    burn_pre = _hw_burn_units()
     headline_sec, headline_rows = run_headline(NUM_PARTITIONS)
 
     import gc
@@ -128,7 +232,11 @@ def run_bench() -> dict:
         # best-of-N per query: single shots swing ~3x with ambient VM load
         query_times[name] = round(min(timings), 3)
 
+    scale_paths = run_scale_paths()
+    burn_post = _hw_burn_units()
+
     ray.shutdown()
+    burn = (burn_pre + burn_post) / 2
     return {
         'metric': 'flagship as-of join + window feature suite wall time (tokenized sequences)',
         'value': round(headline_sec, 3),
@@ -138,6 +246,12 @@ def run_bench() -> dict:
         'num_cpus': NUM_CPUS,
         'headline_rows': headline_rows,
         'sequences_per_sec': round(headline_rows / headline_sec, 1),
+        # ambient-load calibration: single-core no-Ray ALU burn measured in
+        # THIS window (clean windows historically read ~1.5-2.0 units/sec);
+        # normalized = sequences_per_sec / burn is comparable across rounds
+        'hw_burn': {'pre_units_per_sec': burn_pre, 'post_units_per_sec': burn_post},
+        'seq_per_sec_per_burn_unit': round(headline_rows / headline_sec / burn, 1),
+        'scale_paths': scale_paths,
     }
 
 
@@ -302,5 +416,14 @@ if __name__ == '__main__':
         print(json.dumps(run_compute_probe()))
     elif '--headline-only' in sys.argv:
         print(json.dumps(run_headline_only()))
+    elif '--scale-paths-only' in sys.argv:
+        import ray
+        from ray.data import DataContext
+        ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level='ERROR')
+        DataContext.get_current().enable_progress_bars = False
+        _prewarm_cluster()
+        print(json.dumps(run_scale_paths()))
+        ray.shutdown()
     else:
         print(json.dumps(run_bench()))
