@@ -1,15 +1,19 @@
 """Distributed top-k and deterministic sampling.
 
 * :func:`top_k` — global top-k rows by a column: each batch emits only its
-  local top-k (vectorized ``argpartition``), a tiny driver merge picks the
-  final k.  Work scales linearly over the corpus, zero shuffle, and the
-  driver never holds more than ``k x num_batches`` rows.  Ties break on the
-  id column ascending, so results are deterministic on any block layout.
+  local top-k (one ``pc.sort_indices`` with the final tie-break), a tiny
+  driver merge picks the final k.  Work scales linearly over the corpus,
+  zero shuffle, and the driver never holds more than ``k x num_batches``
+  rows.  Ties break on the id column ascending, so results are
+  deterministic on any block layout.
 * :func:`deterministic_sample` — keep each row iff its keyed splitmix64 hash
   maps below ``rate`` (the same hash family as
   :mod:`auto_featurs_ray.datapipe.shuffle`): membership is a pure function
   of (key, seed), reproducible on any cluster shape, and expressible in
   exact integer SQL for the oracle.
+* :func:`stratified_sample` — exactly n rows per stratum by keyed-hash rank:
+  per-batch best-n pre-prune (combiner) + one stratum exchange, so a hot
+  stratum ships ``n x num_blocks`` candidates, never its full population.
 """
 
 from __future__ import annotations
@@ -58,6 +62,60 @@ def top_k(ds, *, column: str, k: int, id_column: str, descending: bool = True,
     order = pc.sort_indices(merged, sort_keys=[
         (column, 'descending' if descending else 'ascending'), (id_column, 'ascending')])
     return merged.take(order.slice(0, k))
+
+
+def _best_n_per_stratum(table: pa.Table, stratum_column: str, n: int) -> pa.Table:
+    """Keep the first ``n`` rows of each stratum after the table is sorted by
+    ``(stratum, __strat_h, key)`` — vectorized run-length ranking."""
+    if table.num_rows == 0:
+        return table
+    codes = table.column(stratum_column)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    enc = codes.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([0], np.flatnonzero(enc[1:] != enc[:-1]) + 1))
+    lengths = np.diff(np.concatenate((starts, [len(enc)])))
+    rank = np.arange(len(enc), dtype=np.int64) - np.repeat(starts, lengths)
+    return table.filter(pa.array(rank < n))
+
+
+def stratified_sample(ds, *, stratum_column: str, key_column: str, n_per_stratum: int,
+                      seed: int = 0, num_partitions: int = 16):
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum, chosen
+    deterministically: rows rank by ``(hash(key, seed), key)`` within their
+    stratum and the first n win — a pure function of row identity, so the
+    sample is identical on any block layout or cluster shape (and expressible
+    in exact integer SQL for the oracle).
+
+    Two-stage at scale: each batch first pre-prunes to its LOCAL best-n per
+    stratum (a combiner — at most ``n x strata_in_batch`` rows leave any
+    batch), then one hash exchange on the stratum co-locates the candidates
+    and keeps the global best n.  A hot stratum therefore ships ``n x
+    num_blocks`` candidate rows, not its full population.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f'n_per_stratum must be positive, got {n_per_stratum}')
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+    HASH = '__strat_h'
+
+    def _ranked(table: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(table, sort_keys=[
+            (stratum_column, 'ascending'), (HASH, 'ascending'), (key_column, 'ascending')])
+        return _best_n_per_stratum(table.take(idx), stratum_column, n_per_stratum)
+
+    def prune_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = _keyed_hash(batch.column(key_column), seed).view(np.uint64)
+        return _ranked(batch.append_column(HASH, pa.array(h, pa.uint64())))
+
+    def finish_partition(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return table
+        return _ranked(table).drop_columns([HASH])
+
+    pruned = ds.map_batches(prune_batch, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(pruned, [stratum_column], num_partitions, finish_partition)
 
 
 def deterministic_sample(ds, *, key_column: str, rate: float, seed: int = 0):

@@ -1972,6 +1972,31 @@ SELECT doc_id, lang, n_chars FROM s4 WHERE u < 0.3
 """
 
 
+def q_stratified_sample_documents(sf_dir: str):
+    """Exact-n-per-stratum deterministic sample (25 docs per language,
+    seed 5): rows rank by (keyed splitmix64 hash, doc_id) within their
+    stratum — membership is a pure function of row identity, so the oracle
+    replays it with exact integer SQL and a windowed rank."""
+    from auto_featurs_ray.datapipe.sampling import stratified_sample
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'lang', 'n_chars'])
+    out = stratified_sample(docs, stratum_column='lang', key_column='doc_id',
+                            n_per_stratum=25, seed=5, num_partitions=8)
+    return _finish(out, ['doc_id', 'lang', 'n_chars'])
+
+
+def _stratified_sample_sql(seed: int = 5, n: int = 25) -> str:
+    seedc = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return f"""
+WITH s0 AS (SELECT doc_id, lang, n_chars, doc_id::HUGEINT AS x FROM documents),
+s1 AS (SELECT * EXCLUDE (x), {_splitmix_fin_sql('x')} AS h FROM s0),
+s2 AS (SELECT * EXCLUDE (h), xor(h, {seedc}::HUGEINT) AS z FROM s1),
+s3 AS (SELECT * EXCLUDE (z), {_splitmix_fin_sql('z')} AS zf FROM s2)
+SELECT doc_id, lang, n_chars FROM s3
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY zf, doc_id) <= {n}
+"""
+
+
 def q_resumable_sink(sf_dir: str):
     """Kill/resume resumability, driver-visible (rows-only): write events to a
     checkpointed partitioned sink, kill after 3 partitions, resume, and emit
@@ -2303,6 +2328,7 @@ QUERIES = {
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
     'token_pipeline_documents': q_token_pipeline_documents,
+    'stratified_sample_documents': q_stratified_sample_documents,
     'flagship_tokens': q_flagship_tokens,
     'simhash_dedup_documents': q_simhash_dedup_documents,
     'simhash_signatures_documents': q_simhash_signatures_documents,
@@ -2362,6 +2388,7 @@ ORACLE_SQL = {
     'minhash_signatures_documents': _minhash_signatures_sql(),
     'sample_documents': SQL_SAMPLE_DOCUMENTS,
     'token_pipeline_documents': _token_pipeline_sql(),
+    'stratified_sample_documents': _stratified_sample_sql(),
 }
 
 # literal-pinned oracles for deterministic-but-not-SQL-expressible queries

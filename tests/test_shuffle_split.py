@@ -73,6 +73,19 @@ class TestTopKAndSampling:
         got = list(zip(out.column('v').to_pylist(), out.column('id').to_pylist()))
         assert got == [(int(v), int(i)) for v, i in want]
 
+    def test_top_k_tie_at_partial_boundary_and_unsigned(self):
+        """Round-3 ADVICE repro: a k-boundary tie inside ONE batch must keep
+        the id-ascending winner (an argpartition cut drops it arbitrarily),
+        and unsigned value columns must not wrap under negation."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import top_k
+        t = pa.table({'id': pa.array([5, 3], pa.int64()),
+                      'v': pa.array([10, 10], pa.uint64())})
+        out = top_k(rd.from_arrow(t), column='v', k=1, id_column='id')
+        assert out.column('id').to_pylist() == [3]
+
     def test_top_k_skips_nulls(self):
         import pyarrow as pa
         import ray.data as rd
@@ -100,6 +113,30 @@ class TestTopKAndSampling:
         a, b = run(4), run(20)
         assert a == b
         assert 150 < len(a) < 350  # ~rate * n
+
+    def test_stratified_sample_exact_n_and_layout_invariant(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import stratified_sample
+        rng = np.random.default_rng(9)
+        strata = rng.choice(['a', 'b', 'c', 'tiny'], 1200, p=[0.5, 0.3, 0.19, 0.01])
+        t = pa.table({'id': pa.array(np.arange(1200), pa.int64()),
+                      'g': pa.array(strata)})
+
+        def run(num_slices):
+            step = 1200 // num_slices
+            ds = rd.from_arrow([t.slice(i, step) for i in range(0, 1200, step)])
+            out = stratified_sample(ds, stratum_column='g', key_column='id',
+                                    n_per_stratum=20, seed=2, num_partitions=4)
+            return out.to_pandas().sort_values(['g', 'id']).reset_index(drop=True)
+
+        a, b = run(3), run(24)
+        assert a.equals(b)  # pure function of row identity, not block layout
+        counts = a.groupby('g').size().to_dict()
+        truth = {g: min(20, int((strata == g).sum())) for g in ['a', 'b', 'c', 'tiny']}
+        assert counts == truth  # exactly n per stratum, capped by population
 
     def test_sample_rate_validation(self):
         import pyarrow as pa
