@@ -400,12 +400,15 @@ def run_headline_only() -> dict:
     ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level='ERROR')
     DataContext.get_current().enable_progress_bars = False
+    burn_pre = _hw_burn_units()
     headline_sec, headline_rows = run_headline(NUM_PARTITIONS)
     ray.shutdown()
     return {
         'metric': 'flagship wall time', 'value': round(headline_sec, 3), 'unit': 'sec',
         'num_cpus': NUM_CPUS, 'headline_rows': headline_rows,
         'sequences_per_sec': round(headline_rows / headline_sec, 1),
+        'hw_burn': {'pre_units_per_sec': burn_pre},
+        'seq_per_sec_per_burn_unit': round(headline_rows / headline_sec / burn_pre, 1),
     }
 
 
