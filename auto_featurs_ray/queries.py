@@ -1094,7 +1094,7 @@ def q_minhash_dedup_documents(sf_dir: str):
     from auto_featurs_ray.datapipe.dedup import minhash_dedup
     docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
                                  columns=['doc_id', 'text'])
-    out = minhash_dedup(docs, text_column='doc_id' if False else 'text', id_column='doc_id')
+    out = minhash_dedup(docs, text_column='text', id_column='doc_id')
     return _finish(out, ['doc_id'])
 
 
