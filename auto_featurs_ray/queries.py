@@ -1472,6 +1472,88 @@ FROM ratios
 SQL_LANGID_QUALITY_DOCUMENTS = _langid_quality_sql()
 
 
+def q_gopher_rules_documents(sf_dir: str):
+    """Gopher-style quality-rule filter stats (Rae et al. 2021, Appendix
+    A.1.1) over documents — word/mean-word-length bounds, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, required
+    stop-word containment, and the combined pass flag.  ``min_words=30``
+    instead of Gopher's 50 so the synthetic 10-99-word corpus yields a
+    pass/fail mix, and ``min_stop_word_hits=1`` because the corpus carries
+    only 'the' of Gopher's required-word set."""
+    from auto_featurs_ray.datapipe.quality_rules import GopherRules
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = docs.map_batches(GopherRules(min_words=30, min_stop_word_hits=1),
+                           batch_format='pyarrow')
+    return _finish(out, ['doc_id', 'n_words', 'mean_word_len', 'symbol_word_ratio',
+                         'bullet_line_frac', 'ellipsis_line_frac', 'alpha_word_frac',
+                         'stop_word_hits', 'pass_word_count', 'pass_mean_word_len',
+                         'pass_symbol_ratio', 'pass_bullet_lines', 'pass_ellipsis_lines',
+                         'pass_alpha_words', 'pass_stop_words', 'gopher_pass'],
+                   round_cols=['mean_word_len', 'symbol_word_ratio', 'bullet_line_frac',
+                               'ellipsis_line_frac', 'alpha_word_frac'])
+
+
+def _gopher_rules_sql() -> str:
+    """Mirror of datapipe/quality_rules.py: identical RE2 patterns, the shared
+    token trim set, flags computed on UNROUNDED int/int ratio doubles (both
+    engines produce the same division result bit-for-bit), round_even to match
+    np.round on the emitted ratio columns."""
+    from auto_featurs_ray.datapipe.quality_rules import GOPHER_STOP_WORDS
+    stop_sum = ' + '.join(
+        f"CASE WHEN len(list_filter(words, w -> trim(lower(w), '.,;:!?\"''()') = '{w}')) > 0"
+        ' THEN 1 ELSE 0 END' for w in GOPHER_STOP_WORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), feats AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         len(regexp_extract_all(t, '\s')) AS n_ws,
+         len(regexp_extract_all(t, '\S+')) AS n_words,
+         len(regexp_extract_all(t, '#|\.\.\.|…')) AS n_symbols,
+         string_split(t, chr(10)) AS lines,
+         regexp_extract_all(t, '\S+') AS words
+  FROM base
+), ratios AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN (n_chars - n_ws)::DOUBLE / n_words ELSE 0 END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN n_symbols::DOUBLE / n_words ELSE 0 END AS symbol_word_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE / len(lines) AS bullet_line_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE / len(lines) AS ellipsis_line_frac,
+         CASE WHEN n_words > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / n_words ELSE 0 END AS alpha_word_frac,
+         ({stop_sum})::BIGINT AS stop_word_hits
+  FROM feats
+), flagged AS (
+  SELECT *,
+         (n_words >= 30 AND n_words <= 100000) AS pass_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+         symbol_word_ratio <= 0.1 AS pass_symbol_ratio,
+         bullet_line_frac <= 0.9 AS pass_bullet_lines,
+         ellipsis_line_frac <= 0.3 AS pass_ellipsis_lines,
+         alpha_word_frac >= 0.8 AS pass_alpha_words,
+         stop_word_hits >= 1 AS pass_stop_words
+  FROM ratios
+)
+SELECT doc_id, n_words,
+       round_even(mean_word_len, 6) AS mean_word_len,
+       round_even(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round_even(bullet_line_frac, 6) AS bullet_line_frac,
+       round_even(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       round_even(alpha_word_frac, 6) AS alpha_word_frac,
+       stop_word_hits,
+       pass_word_count, pass_mean_word_len, pass_symbol_ratio, pass_bullet_lines,
+       pass_ellipsis_lines, pass_alpha_words, pass_stop_words,
+       (pass_word_count AND pass_mean_word_len AND pass_symbol_ratio
+        AND pass_bullet_lines AND pass_ellipsis_lines AND pass_alpha_words
+        AND pass_stop_words) AS gopher_pass
+FROM flagged
+"""
+
+
+SQL_GOPHER_RULES_DOCUMENTS = _gopher_rules_sql()
+
+
 def q_knn_ivf_embeddings(sf_dir: str):
     from auto_featurs_ray.datapipe.similarity import knn_ivf
     path = os.path.join(sf_dir, 'embeddings.parquet')
@@ -2325,6 +2407,7 @@ QUERIES = {
     'cumulative_mode_argminmax_events': q_cumulative_mode_argminmax_events,
     'fingerprint_documents': q_fingerprint_documents,
     'langid_quality_documents': q_langid_quality_documents,
+    'gopher_rules_documents': q_gopher_rules_documents,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
     'token_pipeline_documents': q_token_pipeline_documents,
@@ -2373,6 +2456,7 @@ ORACLE_SQL = {
     'rolling_pmi_argminmax_events': SQL_ROLLING_PMI_ARGMINMAX_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
+    'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,
     'shuffle_split_documents': SQL_SHUFFLE_SPLIT_DOCUMENTS,
     'contamination_documents': SQL_CONTAMINATION_DOCUMENTS,
     'repetition_documents': SQL_REPETITION_DOCUMENTS,

@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     'top_k_documents', 'sample_documents',
     # round-4 coverage queries
     'global_cumulative_events', 'token_pipeline_documents',
-    'fingerprint_documents', 'knn_ivf_embeddings',
+    'fingerprint_documents', 'knn_ivf_embeddings', 'gopher_rules_documents',
 ]
 
 
