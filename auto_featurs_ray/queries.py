@@ -1554,6 +1554,65 @@ FROM flagged
 SQL_GOPHER_RULES_DOCUMENTS = _gopher_rules_sql()
 
 
+def q_substring_overlap_documents(sf_dir: str):
+    """Cross-document exact-substring overlap pairs (datapipe/overlap.py):
+    winnowing-fingerprint buckets as a complete candidate generator for
+    shared substrings of length >= k + window - 1 = 23 normalized chars,
+    pair counts aggregated on two hash exchanges."""
+    from auto_featurs_ray.datapipe.overlap import substring_overlap_pairs
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = substring_overlap_pairs(docs, text_column='text', id_column='doc_id',
+                                  k=16, window=8, min_shared=2, max_bucket=200,
+                                  num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['doc_a', 'doc_b', 'shared_fingerprints'])
+
+
+def _substring_overlap_sql(k: int = 16, window: int = 8, min_shared: int = 2,
+                           max_bucket: int = 200) -> str:
+    """SQL replay of datapipe/overlap.py: the same winnowing sketch CTEs as
+    ``_fingerprint_sql`` (polynomial k-gram hashes masked to 63 bits, windowed
+    MIN, per-doc DISTINCT) at k={k}/window={window}, then bucket-capped
+    self-join + shared-count filter.  Assumes pre-normalized ASCII docs all
+    >= k chars (holds for the driver corpus), like the fingerprint oracle."""
+    P = 0x100000001b3
+    M64 = 1 << 64
+    pow_p = [pow(P, j, M64) for j in range(k)]
+    gram_terms = ' + '.join(
+        f'ascii(substr(text, i + {j}, 1))::HUGEINT * {pow_p[k - 1 - j]}::HUGEINT'
+        for j in range(k))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - {k} + 2)) AS i FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         CAST((({gram_terms}) % 18446744073709551616::HUGEINT)
+              % 9223372036854775808::HUGEINT AS BIGINT) AS g,
+         length(text) - {k - 1} AS ng
+  FROM pos
+), wmins AS (
+  SELECT doc_id, i,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m, ng
+  FROM grams
+), sketch AS (
+  SELECT DISTINCT doc_id, m FROM wmins WHERE i <= ng - {window - 1}
+), bucket AS (
+  SELECT m, COUNT(*) AS c FROM sketch GROUP BY m
+), ok AS (
+  SELECT s.doc_id, s.m FROM sketch s JOIN bucket b ON s.m = b.m
+  WHERE b.c BETWEEN 2 AND {max_bucket}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_fingerprints
+FROM ok a JOIN ok b ON a.m = b.m AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+SQL_SUBSTRING_OVERLAP_DOCUMENTS = _substring_overlap_sql()
+
+
 def q_knn_ivf_embeddings(sf_dir: str):
     from auto_featurs_ray.datapipe.similarity import knn_ivf
     path = os.path.join(sf_dir, 'embeddings.parquet')
@@ -2408,6 +2467,7 @@ QUERIES = {
     'fingerprint_documents': q_fingerprint_documents,
     'langid_quality_documents': q_langid_quality_documents,
     'gopher_rules_documents': q_gopher_rules_documents,
+    'substring_overlap_documents': q_substring_overlap_documents,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
     'token_pipeline_documents': q_token_pipeline_documents,
@@ -2457,6 +2517,7 @@ ORACLE_SQL = {
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,
+    'substring_overlap_documents': SQL_SUBSTRING_OVERLAP_DOCUMENTS,
     'shuffle_split_documents': SQL_SHUFFLE_SPLIT_DOCUMENTS,
     'contamination_documents': SQL_CONTAMINATION_DOCUMENTS,
     'repetition_documents': SQL_REPETITION_DOCUMENTS,
