@@ -133,3 +133,70 @@ def deterministic_sample(ds, *, key_column: str, rate: float, seed: int = 0):
         return batch.filter(pa.array(u < rate))
 
     return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def mixture_resample(ds, *, group_column: str, key_column: str, weight_column: str,
+                     target_weights, seed: int = 0):
+    """Deterministic downsampling to a target source mixture.
+
+    Given relative target weights per group (a ``{group: weight}`` mapping or
+    a ``group -> weight`` callable evaluated on the observed groups), find the
+    largest total budget T reachable WITHOUT upsampling any group —
+    ``T = min_g W_g / t_g`` where ``W_g`` is the group's current
+    ``weight_column`` total and ``t_g`` its normalized target share — then
+    keep each row iff its keyed splitmix64 hash maps below the group's rate
+    ``r_g = t_g * T / W_g`` (the binding group keeps everything).  Groups with
+    non-positive target weight are dropped entirely.
+
+    Membership is a pure function of (key, seed, group totals): identical on
+    any cluster shape, and exactly replayable in SQL.  Scale shape: one cheap
+    column-pruned partial pass for the per-group totals (grouping column must
+    be LOW-cardinality — source/domain-level, same contract as
+    ``compute_grouped_broadcast_states``), rates ride into the filter stage as
+    a tiny closure dict; the filter itself is embarrassingly parallel.
+    """
+    import ray
+
+    def partial_totals(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({'g': pa.array([], pa.string()), 'w': pa.array([], pa.int64())})
+        enc = batch.column(group_column).combine_chunks().dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        w = batch.column(weight_column).to_numpy(zero_copy_only=False)
+        sums = np.bincount(codes, weights=w.astype(np.float64),
+                           minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({'g': enc.dictionary, 'w': pa.array(sums, pa.int64())})
+
+    pruned = ds.select_columns([group_column, weight_column])
+    parts = [t for t in ray.get(pruned.map_batches(
+        partial_totals, batch_format='pyarrow', zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows and t.num_columns]
+    totals: dict = {}
+    for t in parts:
+        for g, w in zip(t.column('g').to_pylist(), t.column('w').to_pylist()):
+            totals[g] = totals.get(g, 0) + w
+
+    weight_of = target_weights if callable(target_weights) else \
+        (lambda g: target_weights.get(g, 0.0))
+    eligible = {g: float(weight_of(g)) for g in totals}
+    eligible = {g: v for g, v in eligible.items() if v > 0 and totals[g] > 0}
+    if not eligible:
+        return ds.filter(lambda row: False)
+    sv = float(sum(eligible.values()))
+    shares = {g: v / sv for g, v in eligible.items()}
+    budget = min(float(totals[g]) / t for g, t in shares.items())
+    rates = {g: shares[g] * budget / float(totals[g]) for g in shares}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        enc = batch.column(group_column).combine_chunks().dictionary_encode()
+        per_code = np.fromiter((rates.get(g, 0.0) for g in enc.dictionary.to_pylist()),
+                               dtype=np.float64, count=len(enc.dictionary))
+        r = per_code[enc.indices.to_numpy(zero_copy_only=False)]
+        u = _keyed_hash(batch.column(key_column), seed).view(np.uint64) / float(2 ** 64)
+        return batch.filter(pa.array(u < r))
+
+    return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)

@@ -1613,6 +1613,85 @@ HAVING COUNT(*) >= {min_shared}
 SQL_SUBSTRING_OVERLAP_DOCUMENTS = _substring_overlap_sql()
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping-window document chunking (datapipe/chunking.py): 120-char
+    chunks every 80 chars, tails shorter than 40 chars dropped (unless they
+    are a document's only chunk)."""
+    from auto_featurs_ray.datapipe.chunking import chunk_documents
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = chunk_documents(docs, text_column='text', id_column='doc_id',
+                          chunk_chars=120, stride=80, min_tail_chars=40)
+    return _finish(out, ['doc_id', 'chunk_index', 'chunk_text', 'chunk_start', 'chunk_len'])
+
+
+def _chunk_documents_sql(chunk: int = 120, stride: int = 80, min_tail: int = 40) -> str:
+    """Mirror of datapipe/chunking.py at the query's parameters: codepoint
+    boundaries via 1-based ``substr`` (DuckDB substr is codepoint-based like
+    the engine's utf8_slice_codeunits), integer chunk-count ceiling with the
+    empty-doc single-chunk rule, and the short-tail drop."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t, length(coalesce(text, '')) AS n FROM documents
+), counted AS (
+  SELECT *, CASE WHEN n = 0 THEN 1 ELSE (n + {stride} - 1) // {stride} END AS nch FROM base
+), chunks AS (
+  SELECT doc_id, n, nch,
+         unnest(range(0, nch)) AS chunk_index
+  FROM counted
+)
+SELECT c.doc_id,
+       c.chunk_index,
+       substr(b.t, c.chunk_index * {stride} + 1, {chunk}) AS chunk_text,
+       c.chunk_index * {stride} AS chunk_start,
+       greatest(least(c.n - c.chunk_index * {stride}, {chunk}), 0) AS chunk_len
+FROM chunks c JOIN base b USING (doc_id)
+WHERE NOT (c.nch > 1 AND c.chunk_index = c.nch - 1
+           AND c.chunk_index * {stride} + {min_tail} > c.n)
+"""
+
+
+SQL_CHUNK_DOCUMENTS = _chunk_documents_sql()
+
+
+def q_mixture_resample_documents(sf_dir: str):
+    """Deterministic mixture resampling (datapipe/sampling.py
+    ``mixture_resample``): even-numbered sources get 2x the target share of
+    odd ones (by n_chars weight), budget capped by the scarcest source, row
+    membership by exact keyed splitmix64 — bit-replayable in SQL."""
+    from auto_featurs_ray.datapipe.sampling import mixture_resample
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'source', 'n_chars'])
+    out = mixture_resample(docs, group_column='source', key_column='doc_id',
+                           weight_column='n_chars',
+                           target_weights=lambda g: 2.0 if g[-1] in '02468' else 1.0,
+                           seed=11)
+    return _finish(out, ['doc_id', 'source', 'n_chars'])
+
+
+def _mixture_resample_sql(seed: int = 11) -> str:
+    """Replay of ``mixture_resample``: BIGINT group totals (exact), the same
+    double-arithmetic shapes for share/budget/rate (normalizer is a sum of
+    exact small floats so summation order cannot change it), and the exact
+    splitmix64 membership fragment shared with the shuffle/sample oracles."""
+    return f"""
+WITH {_keyed_hash_u_sql(seed=seed)},
+tw AS (
+  SELECT source, SUM(n_chars)::BIGINT AS w,
+         CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 2.0 ELSE 1.0 END AS v
+  FROM documents GROUP BY source
+), norm AS (
+  SELECT *, v / (SELECT SUM(v) FROM tw WHERE v > 0 AND w > 0) AS t
+  FROM tw WHERE v > 0 AND w > 0
+), rates AS (
+  SELECT source, t * (SELECT MIN(w::DOUBLE / t) FROM norm) / w::DOUBLE AS r FROM norm
+)
+SELECT s4.doc_id, s4.source, s4.n_chars
+FROM s4 JOIN rates USING (source)
+WHERE s4.u < rates.r
+"""
+
+
 def q_knn_ivf_embeddings(sf_dir: str):
     from auto_featurs_ray.datapipe.similarity import knn_ivf
     path = os.path.join(sf_dir, 'embeddings.parquet')
@@ -2468,6 +2547,8 @@ QUERIES = {
     'langid_quality_documents': q_langid_quality_documents,
     'gopher_rules_documents': q_gopher_rules_documents,
     'substring_overlap_documents': q_substring_overlap_documents,
+    'chunk_documents': q_chunk_documents,
+    'mixture_resample_documents': q_mixture_resample_documents,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
     'token_pipeline_documents': q_token_pipeline_documents,
@@ -2518,6 +2599,9 @@ ORACLE_SQL = {
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,
     'substring_overlap_documents': SQL_SUBSTRING_OVERLAP_DOCUMENTS,
+    'chunk_documents': SQL_CHUNK_DOCUMENTS,
+    # evaluated here: the helper reuses _keyed_hash_u_sql defined further up
+    'mixture_resample_documents': _mixture_resample_sql(),
     'shuffle_split_documents': SQL_SHUFFLE_SPLIT_DOCUMENTS,
     'contamination_documents': SQL_CONTAMINATION_DOCUMENTS,
     'repetition_documents': SQL_REPETITION_DOCUMENTS,

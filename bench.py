@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     # round-4 coverage queries
     'global_cumulative_events', 'token_pipeline_documents',
     'fingerprint_documents', 'knn_ivf_embeddings', 'gopher_rules_documents',
-    'substring_overlap_documents',
+    'substring_overlap_documents', 'chunk_documents', 'mixture_resample_documents',
 ]
 
 
