@@ -431,3 +431,217 @@ class Fingerprinter:
         sketches = winnowing_fingerprints_batch(texts)
         batch = batch.append_column('fingerprint', exact)
         return batch.append_column('winnow_sketch', sketches)
+
+
+def _bigram_hash(prev: np.ndarray, cur: np.ndarray) -> np.ndarray:
+    """64-bit mix of two word hashes (engine-internal key only — the SQL
+    oracle joins on the word strings themselves, so this hash never needs
+    SQL replication; collisions are ~2^-64 per pair)."""
+    x = (prev ^ (cur * np.uint64(0x9E3779B97F4A7C15))) + np.uint64(0x2545F4914F6CDD1D)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    return x
+
+
+def corpus_bigram_logprob(ds, *, text_column: str, id_column: str,
+                          lam: float = 0.75, broadcast_threshold: int = 2_000_000,
+                          num_partitions: int = 16):
+    """Per-document mean log2 of the interpolated bigram probability under
+    the CORPUS language model — the CCNet-style perplexity quality filter one
+    order up from :func:`corpus_unigram_logprob`.
+
+    Each document position scores ``log2(P)`` with
+
+    * first word: ``P = c(w) / N`` (corpus unigram), and
+    * later words: ``P = lam * (c(v,w) / c(v,.)) + (1-lam) * (c(w) / N)``
+      (bigram interpolated with the unigram so unseen-in-context words never
+      hit -inf; ``c(v,.)`` counts ``v`` as a LEFT context).
+
+    Scale shape mirrors the unigram op: unigram and bigram count tables come
+    from hash exchanges over the exploded corpus (the bigram exchange keys on
+    the CONTEXT ``v`` so ``c(v,w)`` and ``c(v,.)`` reduce in one task).
+    Scoring broadcasts both tables when the bigram vocabulary fits under
+    ``broadcast_threshold``; above it the per-position rows chain through two
+    cogroups (attach ``c(w)/N`` on the word key, then the bigram probability
+    on the bigram key) and a per-doc combine — nothing corpus-sized ever
+    lands on the driver.
+
+    Returns ``(id_column, n_words, bigram_logprob)``; zero-word documents
+    score null.
+    """
+    import ray
+
+    from auto_featurs_ray.engine.runtime import cogroup_map_partitions, shuffle_map_partitions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        """One row per word position: (doc, w, v, first)."""
+        hashes, counts = _word_hashes(batch.column(text_column).to_pylist())
+        doc_of = np.repeat(np.arange(batch.num_rows), counts)
+        starts = np.cumsum(counts) - counts
+        first = np.zeros(len(hashes), dtype=bool)
+        first[starts[counts > 0]] = True
+        prev = np.empty_like(hashes)
+        prev[1:] = hashes[:-1]
+        prev[0] = 0
+        prev[first] = 0
+        return pa.table({
+            'w': pa.array(hashes.view(np.int64)),
+            'v': pa.array(prev.view(np.int64)),
+            'first': pa.array(first),
+            'doc': batch.column(id_column).take(pa.array(doc_of)),
+        })
+
+    occurrences = ds.map_batches(explode, batch_format='pyarrow').materialize()
+
+    def uni_counts(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({'w': pa.array([], pa.int64()), 'c': pa.array([], pa.int64())})
+        grouped = table.select(['w']).group_by('w').aggregate([('w', 'count')])
+        return pa.table({'w': grouped.column('w'), 'c': grouped.column('w_count').cast(pa.int64())})
+
+    uni_ds = shuffle_map_partitions(occurrences, ['w'], num_partitions, uni_counts).materialize()
+    total = float(uni_ds.sum('c') or 0)
+
+    def bigram_probs(table: pa.Table, _pid: int) -> pa.Table:
+        """(bh, p_bg) per distinct bigram: keyed on v, so c(v,w) and c(v,.)
+        both reduce here; p_bg = c(v,w)/c(v,.) is computed ONCE at the count
+        stage so the broadcast and cogroup paths share the same double."""
+        empty = pa.table({'bh': pa.array([], pa.int64()), 'p_bg': pa.array([], pa.float64())})
+        if table.num_rows == 0 or table.num_columns == 0:
+            return empty
+        sub = table.filter(pc.invert(table.column('first')))
+        if sub.num_rows == 0:
+            return empty
+        v = sub.column('v').to_numpy(zero_copy_only=False).view(np.uint64)
+        w = sub.column('w').to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((w, v))
+        v, w = v[order], w[order]
+        new_pair = np.concatenate(([True], (v[1:] != v[:-1]) | (w[1:] != w[:-1])))
+        pair_id = np.cumsum(new_pair) - 1
+        cvw = np.bincount(pair_id).astype(np.float64)
+        new_ctx = np.concatenate(([True], (v[1:] != v[:-1])))
+        row_ctx = np.cumsum(new_ctx) - 1
+        cvdot = np.bincount(row_ctx).astype(np.float64)  # rows per context v
+        p_bg = cvw / cvdot[row_ctx[new_pair]]
+        return pa.table({'bh': pa.array(_bigram_hash(v[new_pair], w[new_pair]).view(np.int64)),
+                         'p_bg': pa.array(p_bg, pa.float64())})
+
+    bigram_ds = shuffle_map_partitions(occurrences, ['v'], num_partitions,
+                                       bigram_probs).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column('n').to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column('s').to_numpy(zero_copy_only=False)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            lp = np.where(n > 0, s / n, np.nan)
+        return pa.table({id_column: batch.column('doc'),
+                         'n_words': pa.array(n.astype(np.int64)),
+                         'bigram_logprob': pa.array(lp, mask=~(n > 0))})
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        _, counts = _word_hashes(batch.column(text_column).to_pylist())
+        sub = batch.filter(pa.array(counts == 0))
+        return pa.table({id_column: sub.column(id_column),
+                         'n_words': pa.array(np.zeros(sub.num_rows, np.int64)),
+                         'bigram_logprob': pa.nulls(sub.num_rows, pa.float64())})
+
+    if bigram_ds.count() <= broadcast_threshold:
+        uni_t = pa.concat_tables(ray.get(uni_ds.to_arrow_refs()), promote_options='permissive')
+        uw = uni_t.column('w').to_numpy(zero_copy_only=False)
+        uc = uni_t.column('c').to_numpy(zero_copy_only=False).astype(np.float64)
+        uo = np.argsort(uw)
+        big_t = pa.concat_tables(ray.get(bigram_ds.to_arrow_refs()), promote_options='permissive')
+        bh = big_t.column('bh').to_numpy(zero_copy_only=False)
+        bp = big_t.column('p_bg').to_numpy(zero_copy_only=False)
+        bo = np.argsort(bh)
+        handle = ray.put((uw[uo], uc[uo] / total, bh[bo], bp[bo]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            wv, pw_tab, bhv, pbg_tab = ray.get(handle)
+            hashes, counts = _word_hashes(batch.column(text_column).to_pylist())
+            doc_of = np.repeat(np.arange(batch.num_rows), counts)
+            starts = np.cumsum(counts) - counts
+            first = np.zeros(len(hashes), dtype=bool)
+            first[starts[counts > 0]] = True
+            pw = pw_tab[np.minimum(np.searchsorted(wv, hashes.view(np.int64)), len(wv) - 1)] \
+                if len(wv) else np.zeros(len(hashes))
+            prev = np.empty_like(hashes)
+            prev[1:] = hashes[:-1]
+            if len(prev):
+                prev[0] = 0
+            key = _bigram_hash(prev, hashes).view(np.int64)  # first rows never read it
+            pbg = np.zeros(len(hashes))
+            if len(bhv):
+                pos = np.minimum(np.searchsorted(bhv, key), len(bhv) - 1)
+                hit = bhv[pos] == key
+                pbg[hit] = pbg_tab[pos[hit]]
+            with np.errstate(divide='ignore', invalid='ignore'):
+                lp = np.where(first, np.log2(pw), np.log2(lam * pbg + (1.0 - lam) * pw))
+            s = np.bincount(doc_of, weights=lp, minlength=batch.num_rows)
+            return finish(pa.table({'doc': batch.column(id_column),
+                                    'n': pa.array(counts), 's': pa.array(s)}))
+
+        return ds.map_batches(score, batch_format='pyarrow')
+
+    # scale path: two cogroup hops over the per-position rows
+    def attach_uni(occ_t: pa.Table, count_t: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'doc': pa.array([], pa.int64()), 'bh': pa.array([], pa.int64()),
+                          'first': pa.array([], pa.bool_()), 'pw': pa.array([], pa.float64())})
+        if occ_t.num_rows == 0 or occ_t.num_columns == 0 \
+                or count_t.num_rows == 0 or count_t.num_columns == 0:
+            return empty
+        wv = count_t.column('w').to_numpy(zero_copy_only=False)
+        cv = count_t.column('c').to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(wv)
+        wv, cv = wv[order], cv[order]
+        hw = occ_t.column('w').to_numpy(zero_copy_only=False)
+        pw = cv[np.minimum(np.searchsorted(wv, hw), len(wv) - 1)] / total
+        v = occ_t.column('v').to_numpy(zero_copy_only=False).view(np.uint64)
+        w = hw.view(np.uint64)
+        return pa.table({'doc': occ_t.column('doc'),
+                         'bh': pa.array(_bigram_hash(v, w).view(np.int64)),
+                         'first': occ_t.column('first'),
+                         'pw': pa.array(pw, pa.float64())})
+
+    enriched = cogroup_map_partitions(occurrences, uni_ds, ['w'], num_partitions, attach_uni)
+
+    def attach_big(occ_t: pa.Table, big_t: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'doc': pa.array([], pa.int64()), 's': pa.array([], pa.float64()),
+                          'n': pa.array([], pa.int64())})
+        if occ_t.num_rows == 0 or occ_t.num_columns == 0:
+            return empty
+        first = occ_t.column('first').to_numpy(zero_copy_only=False)
+        pw = occ_t.column('pw').to_numpy(zero_copy_only=False)
+        pbg = np.zeros(occ_t.num_rows)
+        if big_t.num_rows and big_t.num_columns:
+            bhv = big_t.column('bh').to_numpy(zero_copy_only=False)
+            bp = big_t.column('p_bg').to_numpy(zero_copy_only=False)
+            order = np.argsort(bhv)
+            bhv, bp = bhv[order], bp[order]
+            key = occ_t.column('bh').to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(bhv, key), len(bhv) - 1)
+            hit = bhv[pos] == key
+            pbg[hit] = bp[pos[hit]]
+        with np.errstate(divide='ignore', invalid='ignore'):
+            lp = np.where(first, np.log2(pw), np.log2(lam * pbg + (1.0 - lam) * pw))
+        docs = occ_t.column('doc').to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        return pa.table({'doc': pa.array(uniq),
+                         's': pa.array(np.bincount(inv, weights=lp), pa.float64()),
+                         'n': pa.array(np.bincount(inv).astype(np.int64))})
+
+    partials = cogroup_map_partitions(enriched, bigram_ds, ['bh'], num_partitions, attach_big)
+
+    def combine(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             'n_words': pa.array([], pa.int64()),
+                             'bigram_logprob': pa.array([], pa.float64())})
+        grouped = table.group_by('doc').aggregate([('s', 'sum'), ('n', 'sum')])
+        return finish(pa.table({'doc': grouped.column('doc'),
+                                's': grouped.column('s_sum'),
+                                'n': grouped.column('n_sum')}))
+
+    scored = shuffle_map_partitions(partials, ['doc'], num_partitions, combine)
+    return scored.union(ds.map_batches(zeros, batch_format='pyarrow'))

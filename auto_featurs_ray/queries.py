@@ -1252,6 +1252,54 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_bigram_logprob_documents(sf_dir: str):
+    """Interpolated bigram LM quality score (datapipe/textstats.py
+    ``corpus_bigram_logprob``): per-position log2 of
+    ``0.75 * c(v,w)/c(v,.) + 0.25 * c(w)/N`` (first words pure unigram),
+    averaged per document."""
+    from auto_featurs_ray.datapipe.textstats import corpus_bigram_logprob
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = corpus_bigram_logprob(docs, text_column='text', id_column='doc_id',
+                                num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['doc_id', 'n_words', 'bigram_logprob'],
+                   round_cols=['bigram_logprob'])
+
+
+SQL_BIGRAM_LOGPROB_DOCUMENTS = r"""
+WITH wl AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM wl
+), uni AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+), tot AS (
+  SELECT sum(c)::DOUBLE AS t FROM uni
+), big AS (
+  SELECT a.doc_id, b.w AS v, a.w AS w
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos - 1
+), bc AS (
+  SELECT v, w, count(*)::DOUBLE AS cvw FROM big GROUP BY v, w
+), cv AS (
+  SELECT v, sum(cvw) AS cvdot FROM bc GROUP BY v
+), pbg AS (
+  -- p computed at the count stage, same double as the engine's p_bg
+  SELECT v, w, cvw / cvdot AS p FROM bc JOIN cv USING (v)
+), scored AS (
+  SELECT wo.doc_id, log2(u.c / t.t) AS lp
+  FROM words wo JOIN uni u USING (w) CROSS JOIN tot t WHERE wo.pos = 1
+  UNION ALL
+  SELECT g.doc_id, log2(0.75 * pbg.p + 0.25 * (u.c / t.t)) AS lp
+  FROM big g JOIN pbg USING (v, w) JOIN uni u ON u.w = g.w CROSS JOIN tot t
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_words, avg(lp) AS blp FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_words, 0) AS n_words, round(p.blp, 6) AS bigram_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_minhash_dedup_distributed_documents(sf_dir: str):
     """MinHash dedup with the pair set FORCED through the distributed scale
     path (distributed connected components + exchange-derived drop ids + true
@@ -2549,6 +2597,7 @@ QUERIES = {
     'substring_overlap_documents': q_substring_overlap_documents,
     'chunk_documents': q_chunk_documents,
     'mixture_resample_documents': q_mixture_resample_documents,
+    'bigram_logprob_documents': q_bigram_logprob_documents,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
     'token_pipeline_documents': q_token_pipeline_documents,
@@ -2607,6 +2656,7 @@ ORACLE_SQL = {
     'repetition_documents': SQL_REPETITION_DOCUMENTS,
     'pii_documents': SQL_PII_DOCUMENTS,
     'unigram_logprob_documents': SQL_UNIGRAM_LOGPROB_DOCUMENTS,
+    'bigram_logprob_documents': SQL_BIGRAM_LOGPROB_DOCUMENTS,
     'top_k_documents': SQL_TOP_K_DOCUMENTS,
     'fingerprint_documents': _fingerprint_sql(),
     'simhash_signatures_documents': _simhash_signatures_sql(),
