@@ -222,3 +222,46 @@ def knn_ivf_from_index(index_dir: str, *, embedding_column: str, id_column: str,
         return partials
     return (partials.sort_values(['query_idx', 'cosine', 'id'], ascending=[True, False, True])
             .groupby('query_idx', sort=True).head(k).reset_index(drop=True))
+
+
+def quantize_embeddings(ds, *, embedding_column: str = 'embedding',
+                        id_column: str = 'vec_id'):
+    """Symmetric per-vector int8 quantization: ``scale = max(|x|)/127`` and
+    ``q_i = round_even(x_i / scale)`` (so ``q * scale`` dequantizes) — the
+    standard 4x memory reduction before ANN serving.  All-zero vectors keep
+    ``scale = 0`` and quantize to zeros.
+
+    Per-document and stateless: one ``map_batches`` pass over the Arrow list
+    layout (``reduceat`` row maxima over the flat values buffer, one rounding
+    pass), no shuffle — embarrassingly parallel at any corpus size.  Values
+    are widened to float64 BEFORE the divide so a SQL oracle
+    (``x::DOUBLE / scale`` + ``round_even``) replays the doubles bit-for-bit.
+
+    Output columns: ``(id_column, scale: float64, q: list<int32>)``.
+    """
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        col = batch.column(embedding_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]  # sliced ListArrays share the child buffer
+        flat = col.values.to_numpy(zero_copy_only=False)[base:offsets[-1]].astype(np.float64)
+        counts = np.diff(offsets)
+        starts = offsets[:-1] - base
+        nonempty = counts > 0
+        scale = np.zeros(n, dtype=np.float64)
+        if nonempty.any() and len(flat):
+            maxima = np.maximum.reduceat(np.abs(flat), starts[nonempty])
+            scale[nonempty] = maxima / 127.0
+        srep = np.repeat(scale, counts)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            q = np.where(srep > 0, np.round(flat / srep), 0.0).astype(np.int32)
+        q_list = pa.ListArray.from_arrays(pa.array(offsets - base, pa.int32()),
+                                          pa.array(q, pa.int32()))
+        return pa.table({id_column: batch.column(id_column),
+                         'scale': pa.array(scale, pa.float64()),
+                         'q': q_list})
+
+    return ds.map_batches(quantize, batch_format='pyarrow', zero_copy_batch=True)

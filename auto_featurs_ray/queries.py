@@ -1300,6 +1300,49 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 quantization (datapipe/similarity.py
+    ``quantize_embeddings``), flattened to (vec_id, pos, q, scale) scalar
+    rows for the hash gate."""
+    from auto_featurs_ray.datapipe.similarity import quantize_embeddings
+    ds = ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'),
+                               columns=['vec_id', 'embedding'])
+    out = quantize_embeddings(ds, embedding_column='embedding', id_column='vec_id')
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        q = batch.column('q')
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        offs = q.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        row_of = np.repeat(np.arange(batch.num_rows), counts)
+        flat = q.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1] - offs[0], counts)
+        return pa.table({'vec_id': batch.column('vec_id').take(pa.array(row_of)),
+                         'pos': pa.array(pos, pa.int64()),
+                         'q': pa.array(flat, pa.int32()),
+                         'scale': batch.column('scale').take(pa.array(row_of))})
+
+    return out.map_batches(flatten, batch_format='pyarrow', zero_copy_batch=True)
+
+
+SQL_QUANTIZE_EMBEDDINGS = r"""
+WITH flat AS (
+  SELECT vec_id,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), s AS (
+  SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM flat GROUP BY vec_id
+)
+SELECT f.vec_id, f.pos,
+       CASE WHEN s.scale > 0
+            THEN CAST(round_even(f.x / s.scale, 0) AS INTEGER) ELSE 0 END AS q,
+       s.scale
+FROM flat f JOIN s USING (vec_id)
+"""
+
+
 def q_minhash_dedup_distributed_documents(sf_dir: str):
     """MinHash dedup with the pair set FORCED through the distributed scale
     path (distributed connected components + exchange-derived drop ids + true
@@ -2598,6 +2641,7 @@ QUERIES = {
     'chunk_documents': q_chunk_documents,
     'mixture_resample_documents': q_mixture_resample_documents,
     'bigram_logprob_documents': q_bigram_logprob_documents,
+    'quantize_embeddings': q_quantize_embeddings,
     'knn_ivf_embeddings': q_knn_ivf_embeddings,
     'token_ops': q_token_ops,
     'token_pipeline_documents': q_token_pipeline_documents,
@@ -2657,6 +2701,7 @@ ORACLE_SQL = {
     'pii_documents': SQL_PII_DOCUMENTS,
     'unigram_logprob_documents': SQL_UNIGRAM_LOGPROB_DOCUMENTS,
     'bigram_logprob_documents': SQL_BIGRAM_LOGPROB_DOCUMENTS,
+    'quantize_embeddings': SQL_QUANTIZE_EMBEDDINGS,
     'top_k_documents': SQL_TOP_K_DOCUMENTS,
     'fingerprint_documents': _fingerprint_sql(),
     'simhash_signatures_documents': _simhash_signatures_sql(),

@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     'global_cumulative_events', 'token_pipeline_documents',
     'fingerprint_documents', 'knn_ivf_embeddings', 'gopher_rules_documents',
     'substring_overlap_documents', 'chunk_documents', 'mixture_resample_documents',
-    'bigram_logprob_documents',
+    'bigram_logprob_documents', 'quantize_embeddings',
 ]
 
 
