@@ -10,7 +10,7 @@ each batch expands independently and flows on without materialization.
 Vectorization: chunk boundaries for a whole batch are computed with offset
 arithmetic (no per-document Python loop); the chunk texts themselves are cut
 with one ``pyarrow.compute.utf8_slice_codeunits`` call per batch over a
-row-replicated array.  Codepoint (not byte) offsets, so the SQL oracle's
+per-start-group gather.  Codepoint (not byte) offsets, so the SQL oracle's
 ``substr`` replays boundaries 1:1.
 
 No counterpart exists in the reference repo (LLM-datapipe surface).
@@ -30,10 +30,13 @@ def chunk_documents(ds, *, text_column: str = 'text', id_column: str = 'doc_id',
 
     Chunks start every ``stride`` codepoints (default: ``chunk_chars``, i.e.
     non-overlapping) and span ``chunk_chars`` codepoints (the last chunk may
-    be shorter).  A trailing chunk shorter than ``min_tail_chars`` is dropped
-    UNLESS it is the document's only chunk (empty/short docs still emit one
-    row, preserving lineage).  Output columns: ``(id, chunk_index, chunk_text,
-    chunk_start, chunk_len, *keep_columns)``.
+    be shorter).  AT MOST ONE trailing chunk is dropped: the final raw chunk
+    goes when it is shorter than ``min_tail_chars`` and not the document's
+    only chunk (empty/short docs still emit one row, preserving lineage);
+    with ``min_tail_chars > stride`` the chunk promoted to last after the
+    drop may itself be shorter than ``min_tail_chars`` — the drop is a
+    single-pass rule, not a loop.  Output columns: ``(id, chunk_index,
+    chunk_text, chunk_start, chunk_len, *keep_columns)``.
     """
     if stride is None:
         stride = chunk_chars
@@ -62,11 +65,12 @@ def chunk_documents(ds, *, text_column: str = 'text', id_column: str = 'doc_id',
         chunk_len = np.minimum(lens[row_of] - starts, chunk_chars)
         chunk_len = np.maximum(chunk_len, 0)  # empty doc: one zero-length chunk
 
-        replicated = col.take(pa.array(row_of))
         # Arrow's utf8_slice_codeunits takes scalar bounds, so slice one
         # distinct chunk position at a time (distinct starts ==
         # ceil(max_len/stride), << rows) and scatter back — still zero
-        # per-row Python.
+        # per-row Python.  Each group takes its rows straight from ``col``
+        # (never a full-text row replicated per chunk), so peak memory per
+        # batch is one start-group of documents, not O(len^2 / stride).
         order = np.argsort(starts, kind='stable')
         sorted_starts = starts[order]
         pieces, backrefs = [], []
@@ -74,7 +78,7 @@ def chunk_documents(ds, *, text_column: str = 'text', id_column: str = 'doc_id',
             lo = np.searchsorted(sorted_starts, s)
             hi = np.searchsorted(sorted_starts, s, side='right')
             sel = order[lo:hi]
-            cut = pc.utf8_slice_codeunits(replicated.take(pa.array(sel)),
+            cut = pc.utf8_slice_codeunits(col.take(pa.array(row_of[sel])),
                                           start=int(s), stop=int(s + chunk_chars))
             pieces.append(cut.combine_chunks() if isinstance(cut, pa.ChunkedArray) else cut)
             backrefs.append(sel)

@@ -79,9 +79,12 @@ class GopherRules:
             col = col.combine_chunks()
         n = len(col)
         if n == 0:
-            return self._append(batch, {name: np.zeros(0) for name in (
-                'n_words', 'mean_word_len', 'symbol_word_ratio', 'bullet_line_frac',
-                'ellipsis_line_frac', 'alpha_word_frac', 'stop_word_hits')})
+            # dtypes must match the non-empty path or block schemas conflict
+            zero_i, zero_f = np.zeros(0, np.int64), np.zeros(0, np.float64)
+            return self._append(batch, {
+                'n_words': zero_i, 'mean_word_len': zero_f, 'symbol_word_ratio': zero_f,
+                'bullet_line_frac': zero_f, 'ellipsis_line_frac': zero_f,
+                'alpha_word_frac': zero_f, 'stop_word_hits': zero_i})
 
         n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         n_ws = pc.count_substring_regex(col, pattern=r'\s').to_numpy(zero_copy_only=False).astype(np.int64)
@@ -105,8 +108,11 @@ class GopherRules:
         bullet_line_frac = _per_row_counts(lines, bullet, n) / n_lines
         ellipsis_line_frac = _per_row_counts(lines, ellipsis, n) / n_lines
 
-        # word-level: alphabetic fraction + distinct required-stop-word hits
-        tokens = pc.utf8_split_whitespace(col)
+        # word-level: alphabetic fraction + distinct required-stop-word hits.
+        # Split on RE2 \s+ (ASCII whitespace), the SAME class n_words counts
+        # \S+ runs with — a Unicode-whitespace split would disagree with the
+        # denominator on NBSP-like characters and push ratios past 1.0.
+        tokens = pc.split_pattern_regex(col, pattern=r'\s+')
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         flat = tokens.values

@@ -158,16 +158,19 @@ def mixture_resample(ds, *, group_column: str, key_column: str, weight_column: s
     import ray
 
     def partial_totals(batch: pa.Table) -> pa.Table:
+        # rows with a null group have no target weight and are dropped
+        batch = batch.filter(pc.is_valid(batch.column(group_column)))
         if batch.num_rows == 0:
-            return pa.table({'g': pa.array([], pa.string()), 'w': pa.array([], pa.int64())})
+            return pa.table({'g': pa.array([], pa.string()), 'w': pa.array([], pa.float64())})
         enc = batch.column(group_column).combine_chunks().dictionary_encode()
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         w = batch.column(weight_column).to_numpy(zero_copy_only=False)
-        sums = np.bincount(codes, weights=w.astype(np.float64),
-                           minlength=len(enc.dictionary)).astype(np.int64)
-        return pa.table({'g': enc.dictionary, 'w': pa.array(sums, pa.int64())})
+        # float64 partial sums: exact for integer weights below 2^53 and
+        # correct (not truncated) for fractional weight columns
+        sums = np.bincount(codes, weights=w.astype(np.float64), minlength=len(enc.dictionary))
+        return pa.table({'g': enc.dictionary, 'w': pa.array(sums, pa.float64())})
 
     pruned = ds.select_columns([group_column, weight_column])
     parts = [t for t in ray.get(pruned.map_batches(
@@ -190,6 +193,7 @@ def mixture_resample(ds, *, group_column: str, key_column: str, weight_column: s
     rates = {g: shares[g] * budget / float(totals[g]) for g in shares}
 
     def keep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(group_column)))
         if batch.num_rows == 0:
             return batch
         enc = batch.column(group_column).combine_chunks().dictionary_encode()

@@ -237,7 +237,7 @@ def quantize_embeddings(ds, *, embedding_column: str = 'embedding',
     are widened to float64 BEFORE the divide so a SQL oracle
     (``x::DOUBLE / scale`` + ``round_even``) replays the doubles bit-for-bit.
 
-    Output columns: ``(id_column, scale: float64, q: list<int32>)``.
+    Output columns: ``(id_column, scale: float64, q: list<int8>)``.
     """
 
     def quantize(batch: pa.Table) -> pa.Table:
@@ -257,9 +257,9 @@ def quantize_embeddings(ds, *, embedding_column: str = 'embedding',
             scale[nonempty] = maxima / 127.0
         srep = np.repeat(scale, counts)
         with np.errstate(divide='ignore', invalid='ignore'):
-            q = np.where(srep > 0, np.round(flat / srep), 0.0).astype(np.int32)
+            q = np.where(srep > 0, np.round(flat / srep), 0.0).astype(np.int8)
         q_list = pa.ListArray.from_arrays(pa.array(offsets - base, pa.int32()),
-                                          pa.array(q, pa.int32()))
+                                          pa.array(q, pa.int8()))
         return pa.table({id_column: batch.column(id_column),
                          'scale': pa.array(scale, pa.float64()),
                          'q': q_list})

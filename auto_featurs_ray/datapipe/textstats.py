@@ -198,6 +198,15 @@ def _word_hashes(texts) -> Tuple[np.ndarray, np.ndarray]:
     return hashes.astype(np.uint64), counts
 
 
+def _word_count_partition(table: pa.Table, _pid: int) -> pa.Table:
+    """Per-word-hash counts for one exchange partition — shared reducer for
+    the unigram and bigram vocabulary passes (extra columns are ignored)."""
+    if table.num_rows == 0 or table.num_columns == 0:
+        return pa.table({'w': pa.array([], pa.int64()), 'c': pa.array([], pa.int64())})
+    grouped = table.select(['w']).group_by('w').aggregate([('w', 'count')])
+    return pa.table({'w': grouped.column('w'), 'c': grouped.column('w_count').cast(pa.int64())})
+
+
 def corpus_unigram_logprob(ds, *, text_column: str, id_column: str,
                            broadcast_threshold: int = 5_000_000,
                            num_partitions: int = 16):
@@ -235,13 +244,8 @@ def corpus_unigram_logprob(ds, *, text_column: str, id_column: str,
     # re-tokenized per consumer; the object store spills it under pressure
     exploded = ds.map_batches(explode, batch_format='pyarrow').materialize()
 
-    def count_partition(table: pa.Table, _pid: int) -> pa.Table:
-        if table.num_rows == 0 or table.num_columns == 0:
-            return pa.table({'w': pa.array([], pa.int64()), 'c': pa.array([], pa.int64())})
-        grouped = table.group_by('w').aggregate([('w', 'count')])
-        return pa.table({'w': grouped.column('w'), 'c': grouped.column('w_count').cast(pa.int64())})
-
-    counts_ds = shuffle_map_partitions(exploded, ['w'], num_partitions, count_partition).materialize()
+    counts_ds = shuffle_map_partitions(exploded, ['w'], num_partitions,
+                                       _word_count_partition).materialize()
     vocab = counts_ds.count()
     total = float(counts_ds.sum('c') or 0)
 
@@ -483,8 +487,7 @@ def corpus_bigram_logprob(ds, *, text_column: str, id_column: str,
         first[starts[counts > 0]] = True
         prev = np.empty_like(hashes)
         prev[1:] = hashes[:-1]
-        prev[0] = 0
-        prev[first] = 0
+        prev[first] = 0  # covers position 0 too (every doc start is first)
         return pa.table({
             'w': pa.array(hashes.view(np.int64)),
             'v': pa.array(prev.view(np.int64)),
@@ -494,13 +497,8 @@ def corpus_bigram_logprob(ds, *, text_column: str, id_column: str,
 
     occurrences = ds.map_batches(explode, batch_format='pyarrow').materialize()
 
-    def uni_counts(table: pa.Table, _pid: int) -> pa.Table:
-        if table.num_rows == 0 or table.num_columns == 0:
-            return pa.table({'w': pa.array([], pa.int64()), 'c': pa.array([], pa.int64())})
-        grouped = table.select(['w']).group_by('w').aggregate([('w', 'count')])
-        return pa.table({'w': grouped.column('w'), 'c': grouped.column('w_count').cast(pa.int64())})
-
-    uni_ds = shuffle_map_partitions(occurrences, ['w'], num_partitions, uni_counts).materialize()
+    uni_ds = shuffle_map_partitions(occurrences, ['w'], num_partitions,
+                                    _word_count_partition).materialize()
     total = float(uni_ds.sum('c') or 0)
 
     def bigram_probs(table: pa.Table, _pid: int) -> pa.Table:

@@ -1665,7 +1665,9 @@ def _substring_overlap_sql(k: int = 16, window: int = 8, min_shared: int = 2,
     ``_fingerprint_sql`` (polynomial k-gram hashes masked to 63 bits, windowed
     MIN, per-doc DISTINCT) at k={k}/window={window}, then bucket-capped
     self-join + shared-count filter.  Assumes pre-normalized ASCII docs all
-    >= k chars (holds for the driver corpus), like the fingerprint oracle."""
+    >= k + window - 1 chars (holds for the driver corpus: min doc ~50 chars)
+    — BELOW that bound the engine's short-doc branch emits a min-gram
+    fingerprint the SQL windowed-MIN filter never produces."""
     P = 0x100000001b3
     M64 = 1 << 64
     pow_p = [pow(P, j, M64) for j in range(k)]
