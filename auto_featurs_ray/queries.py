@@ -1087,6 +1087,45 @@ JOIN args ON args.eid = e.event_id
 
 
 # ---------------------------------------------------------------------------
+# 24c. percent_rank (engine extension): grouped SQL percent_rank + rolling
+# anchor-rank within the time window — (rank_min - 1) / (n - 1), 0 for n=1.
+# ---------------------------------------------------------------------------
+
+def q_percent_rank_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.PERCENT_RANK],
+                                      over_columns_combinations=[['user_id']])
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.PERCENT_RANK],
+                                      over_columns_combinations=[['user_id']],
+                                      time_windows=['6h'], index_column_name='ts'))
+    keep = ['event_id', 'value_percent_rank_over_user_id',
+            'value_percent_rank_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:])
+
+
+# The rolling half ranks the window ANCHOR row's value (the engine's shared
+# per-ts-run convention); (user_id, ts) pairs are unique in the synthetic
+# events table, so the anchor is the probe row itself and ``e.value`` in the
+# join reproduces it exactly.  Single-row windows define percent_rank = 0.
+SQL_PERCENT_RANK_EVENTS = """
+WITH roll AS (
+  SELECT e.event_id,
+         CASE WHEN COUNT(w.value) = 1 THEN 0.0
+              ELSE SUM(CASE WHEN w.value < e.value THEN 1 ELSE 0 END) * 1.0
+                   / (COUNT(w.value) - 1) END AS pr
+  FROM events e JOIN events w
+    ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+  GROUP BY e.event_id, e.value
+)
+SELECT b.event_id,
+       round(percent_rank() OVER (PARTITION BY b.user_id ORDER BY b.value), 6)
+           AS value_percent_rank_over_user_id,
+       round(r.pr, 6) AS value_percent_rank_in_the_last_6h_over_user_id
+FROM events b JOIN roll r ON r.event_id = b.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -2626,6 +2665,7 @@ QUERIES = {
     'ttest_chi2_lineitem': q_ttest_chi2_lineitem,
     'rolling_extras_events': q_rolling_extras_events,
     'rolling_pmi_argminmax_events': q_rolling_pmi_argminmax_events,
+    'percent_rank_events': q_percent_rank_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -2690,6 +2730,7 @@ ORACLE_SQL = {
     'ttest_chi2_lineitem': SQL_TTEST_CHI2_LINEITEM,
     'rolling_extras_events': SQL_ROLLING_EXTRAS_EVENTS,
     'rolling_pmi_argminmax_events': SQL_ROLLING_PMI_ARGMINMAX_EVENTS,
+    'percent_rank_events': SQL_PERCENT_RANK_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -1166,6 +1166,58 @@ class ZscoreTransformer(ArithmeticAggregationTransformer):
             return (x - mean_col) / std_col
 
 
+class PercentRankTransformer(ArithmeticAggregationTransformer):
+    """SQL-style ``percent_rank`` of each row's value within its group
+    (engine extension; no reference counterpart): ``(rank_min - 1) /
+    (n_valid - 1)``, ``0.0`` for a single-valid-value group, NaN inputs
+    excluded from both rank and count (output NaN for those rows).
+
+    Rolling windows rank the ANCHOR row's value — the engine's shared
+    per-timestamp-run window convention, same anchor ZscoreTransformer and
+    the PMI inner use — via pandas' C rolling-rank kernel (which ranks
+    ``values[hi-1]``, verified against custom ``_BoundsIndexer`` bounds).
+
+    Expanding (cumulative) modes are rejected: a running rank is not
+    combinable state, and the reference defines no such semantics.  The
+    ungrouped NONE form needs a global sort, so it runs on the single-task
+    fallback plan — group (``over_columns_combinations``) at scale.
+    """
+
+    def __init__(self, column: ColumnNameOrSpec, cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if cumulative != CumulativeOptions.NONE:
+            raise ValueError('percent_rank supports only CumulativeOptions.NONE '
+                             '(a running rank is not an expanding aggregate); '
+                             'use a rolling time window or the NONE mode')
+        super().__init__(column, cumulative, filtering_condition)
+
+    @property
+    def _aggregation(self) -> str:
+        return 'percent_rank'
+
+    @staticmethod
+    def _finalize(rank: np.ndarray, n: np.ndarray) -> np.ndarray:
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = (rank - 1.0) / (n - 1.0)
+        return np.where((n == 1.0) & ~np.isnan(rank), 0.0, out)
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        masked = pd.Series(self._masked(frame))
+        grouped = masked.groupby(codes)
+        rank = grouped.rank(method='min').to_numpy(dtype=np.float64)
+        n = grouped.transform('count').to_numpy(dtype=np.float64)
+        return self._finalize(rank, n)
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        rolling = pd.Series(self._masked(frame)).rolling(_BoundsIndexer(lo=lo, hi=hi), min_periods=1)
+        rank = rolling.rank(method='min').to_numpy(dtype=np.float64)
+        n = rolling.count().to_numpy(dtype=np.float64)
+        return self._finalize(rank, n)
+
+
 from enum import Enum
 
 
@@ -1178,6 +1230,7 @@ class ArithmeticAggregations(Enum):
     MEAN = MeanTransformer
     STD = StdTransformer
     ZSCORE = ZscoreTransformer
+    PERCENT_RANK = PercentRankTransformer
 
 
 class _ArgExtremeTransformer(AggregatingTransformer, ABC):

@@ -28,6 +28,7 @@ from auto_featurs_ray.transformers.aggregating import (
     MinTransformer,
     ModeTransformer,
     NumUniqueTransformer,
+    PercentRankTransformer,
     PointwiseMutualInformationTransformer,
     StandardScaler,
     StdTransformer,
@@ -194,6 +195,37 @@ class TestArithmeticAggregations:
     ])
     def test_golden(self, t, want):
         close(run(t), want)
+
+
+class TestPercentRank:
+    """PercentRankTransformer (engine extension, SQL percent_rank semantics)."""
+
+    def test_ungrouped(self):
+        close(run(PercentRankTransformer('NUMERIC_FEATURE')), [0.0, 0.2, 0.4, 0.6, 0.8, 1.0])
+
+    def test_ties_min_rank(self):
+        t = pa.table({'NUMERIC_FEATURE': [5.0, 1.0, 3.0, 3.0, 2.0]})
+        close(run(PercentRankTransformer('NUMERIC_FEATURE'), t), [1.0, 0.0, 0.5, 0.5, 0.25])
+
+    def test_filtered_rows_are_nan(self):
+        close(run(PercentRankTransformer('NUMERIC_FEATURE', filtering_condition=BOOL)),
+              [0.0, None, 0.5, None, 1.0, None])
+
+    def test_grouped(self):
+        close(run(OverWrapper(PercentRankTransformer('NUMERIC_FEATURE'), ['GROUPING_FEATURE_NUM'])),
+              [0.0, 0.0, 0.0, 0.5, 1.0, 1.0])
+
+    def test_single_value_group_is_zero(self):
+        t = pa.table({'NUMERIC_FEATURE': [7.0]})
+        close(run(PercentRankTransformer('NUMERIC_FEATURE'), t), [0.0])
+
+    def test_rolling_ranks_window_anchor(self):
+        close(run(RollingWrapper(PercentRankTransformer('NUMERIC_FEATURE'), DATE, '2d1h')),
+              [0.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+
+    def test_cumulative_rejected(self):
+        with pytest.raises(ValueError, match='percent_rank'):
+            PercentRankTransformer('NUMERIC_FEATURE', C.INCLUSIVE)
 
 
 class TestArgExtremes:
