@@ -33,6 +33,7 @@ from auto_featurs_ray.transformers.aggregating import (
     ArgMaxTransformer,
     ArgMinTransformer,
     ArithmeticAggregations,
+    CorrelationTransformer,
     CountTransformer,
     EntityEntropyTransformer,
     FirstValueTransformer,
@@ -238,6 +239,22 @@ class Pipeline:
                                           auxiliary: bool = False) -> 'Pipeline':
         transformers = self._build_aggregated_transformers(
             column_a_subset, column_b_subset, transformer_factory=PointwiseMutualInformationTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            cumulative=cumulative, filtering_condition=filtering_condition)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_correlation(self, column_a_subset: ColumnSelection,
+                         column_b_subset: ColumnSelection,
+                         over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                         time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                         cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                         filtering_condition: Optional[Expr] = None,
+                         auxiliary: bool = False) -> 'Pipeline':
+        """Pairwise sample Pearson correlation features (engine extension):
+        per-group, running (cumulative), or rolling-window ``corr(a, b)``."""
+        transformers = self._build_aggregated_transformers(
+            column_a_subset, column_b_subset, transformer_factory=CorrelationTransformer,
             over_columns_combinations=over_columns_combinations,
             time_windows=time_windows, index_column_name=index_column_name,
             cumulative=cumulative, filtering_condition=filtering_condition)

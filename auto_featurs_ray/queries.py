@@ -52,12 +52,26 @@ def _round_columns(table: pa.Table, columns: Sequence[str], digits: int = 6) -> 
     return table
 
 
-def _finish(ds, keep: Sequence[str], round_cols: Sequence[str] = ()):
+def _nan_to_null(table: pa.Table, columns: Sequence[str]) -> pa.Table:
+    """Encode float NaN as Arrow null (for SQL oracles whose aggregate —
+    e.g. DuckDB corr() on a degenerate window — returns NULL where the
+    engine's kernel emits NaN; the driver hashes NaN and NULL distinctly)."""
+    for name in columns:
+        if name in table.column_names:
+            col = pc.cast(table.column(name), pa.float64())
+            cleaned = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+            table = table.set_column(table.column_names.index(name), name, cleaned)
+    return table
+
+
+def _finish(ds, keep: Sequence[str], round_cols: Sequence[str] = (),
+            nan_null_cols: Sequence[str] = ()):
     keep = list(keep)
     round_cols = list(round_cols)
+    nan_null_cols = list(nan_null_cols)
 
     def project(batch: pa.Table) -> pa.Table:
-        return _round_columns(batch.select(keep), round_cols)
+        return _round_columns(_nan_to_null(batch.select(keep), nan_null_cols), round_cols)
 
     return ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True)
 
@@ -1122,6 +1136,68 @@ SELECT b.event_id,
            AS value_percent_rank_over_user_id,
        round(r.pr, 6) AS value_percent_rank_in_the_last_6h_over_user_id
 FROM events b JOIN roll r ON r.event_id = b.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24d. two-column Pearson correlation (engine extension, DuckDB corr()
+# semantics): grouped, running (cumulative INCLUSIVE), and 30-day rolling —
+# all from six combinable moments, nan->null for SQL NULL parity.
+# ---------------------------------------------------------------------------
+
+def q_correlation_lineitem(sf_dir: str):
+    schema = Schema([
+        CS.numeric(name='l_orderkey', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='l_linenumber', role=ColumnRole.IDENTIFIER),
+        CS.nominal(name='l_suppkey', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='l_shipdate', role=ColumnRole.TIME_INFO),
+        CS.numeric(name='l_quantity'),
+        CS.numeric(name='l_extendedprice'),
+    ])
+    ds = Dataset.from_parquet(os.path.join(sf_dir, 'lineitem.parquet'), schema,
+                              order_by=['l_shipdate', 'l_orderkey', 'l_linenumber'],
+                              num_partitions=NUM_PARTITIONS,
+                              columns=['l_orderkey', 'l_linenumber', 'l_suppkey',
+                                       'l_shipdate', 'l_quantity', 'l_extendedprice'])
+    p = (Pipeline(ds)
+         .with_correlation(['l_quantity'], ['l_extendedprice'],
+                           over_columns_combinations=[['l_suppkey']])
+         .with_correlation(['l_quantity'], ['l_extendedprice'],
+                           over_columns_combinations=[['l_suppkey']],
+                           cumulative=CumulativeOptions.INCLUSIVE)
+         .with_correlation(['l_quantity'], ['l_extendedprice'],
+                           over_columns_combinations=[['l_suppkey']],
+                           time_windows=['30d'], index_column_name='l_shipdate'))
+    keep = ['l_orderkey', 'l_linenumber',
+            'l_quantity_l_extendedprice_corr_over_l_suppkey',
+            'l_quantity_l_extendedprice_inclusive_cum_corr_over_l_suppkey',
+            'l_quantity_l_extendedprice_corr_in_the_last_30d_over_l_suppkey']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[2:], nan_null_cols=keep[2:])
+
+
+# DuckDB corr() is already pairwise-null-excluding and returns NULL for n<2 /
+# zero variance — matching the engine's NaN states after nan_null_cols.
+# (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem, so the
+# rolling window must be a RANGE frame (per-row join keys would merge distinct
+# rows' windows); the -1-microsecond shave reproduces the engine's strict
+# ``ts > anchor - 30d`` left edge, and RANGE peers reproduce the shared
+# per-timestamp-run anchor.  (l_suppkey, l_shipdate, l_orderkey, l_linenumber)
+# IS unique, so the cumulative ROWS order is total.
+SQL_CORRELATION_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(corr(l_quantity, l_extendedprice) OVER (PARTITION BY l_suppkey), 6)
+           AS l_quantity_l_extendedprice_corr_over_l_suppkey,
+       round(corr(l_quantity, l_extendedprice) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS l_quantity_l_extendedprice_inclusive_cum_corr_over_l_suppkey,
+       round(corr(l_quantity, l_extendedprice) OVER (
+                 PARTITION BY l_suppkey ORDER BY l_shipdate
+                 RANGE BETWEEN INTERVAL 30 DAY - INTERVAL 1 MICROSECOND PRECEDING
+                       AND CURRENT ROW), 6)
+           AS l_quantity_l_extendedprice_corr_in_the_last_30d_over_l_suppkey
+FROM lineitem
 """
 
 
@@ -2666,6 +2742,7 @@ QUERIES = {
     'rolling_extras_events': q_rolling_extras_events,
     'rolling_pmi_argminmax_events': q_rolling_pmi_argminmax_events,
     'percent_rank_events': q_percent_rank_events,
+    'correlation_lineitem': q_correlation_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -2731,6 +2808,7 @@ ORACLE_SQL = {
     'rolling_extras_events': SQL_ROLLING_EXTRAS_EVENTS,
     'rolling_pmi_argminmax_events': SQL_ROLLING_PMI_ARGMINMAX_EVENTS,
     'percent_rank_events': SQL_PERCENT_RANK_EVENTS,
+    'correlation_lineitem': SQL_CORRELATION_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -1218,6 +1218,95 @@ class PercentRankTransformer(ArithmeticAggregationTransformer):
         return self._finalize(rank, n)
 
 
+class CorrelationTransformer(AggregatingTransformer):
+    """Pairwise-valid sample Pearson correlation between two numeric columns
+    (engine extension; DuckDB ``corr()`` semantics — no reference counterpart).
+
+    Rows where either side is NaN (or the filter is false) are excluded
+    pairwise.  Degenerate states — fewer than two valid pairs, or zero
+    variance on either side — emit NaN (SQL NULL after a caller-side
+    nan-to-null conversion).  Every mode reduces to six combinable moments
+    ``(n, Sx, Sy, Sxx, Syy, Sxy)``: NONE broadcasts the group value,
+    cumulative is a grouped prefix scan, rolling differences prefix sums at
+    the window bounds, and the ungrouped NONE form is a two-pass global
+    aggregate — so no mode ever materializes a group on one core beyond the
+    partition it already owns.
+    """
+
+    def __init__(self, column_a: ColumnNameOrSpec, column_b: ColumnNameOrSpec,
+                 cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        self._column_a = parse_column_name(column_a)
+        self._column_b = parse_column_name(column_b)
+        self.cumulative = cumulative
+        self.filtering_condition = default_true_filtering_condition(filtering_condition)
+
+    def input_type(self):
+        sel = ColumnTypeSelector(frozenset((ColumnType.NUMERIC, ColumnType.BOOLEAN)))
+        return (sel, sel)
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return (f'{self._column_a}_{self._column_b}_{self.cumulative}corr'
+                + filtering_condition_to_string(self.filtering_condition))
+
+    def _moment_arrays(self, frame: AggFrame) -> np.ndarray:
+        """(rows, 6) per-row contributions: valid, x, y, x², y², xy."""
+        x = frame.numeric(self._column_a)
+        y = frame.numeric(self._column_b)
+        valid = ~np.isnan(x) & ~np.isnan(y)
+        cond = frame.cond_mask(self.filtering_condition)
+        if cond is not None:
+            valid = valid & cond
+        xz = np.where(valid, x, 0.0)
+        yz = np.where(valid, y, 0.0)
+        return np.column_stack([valid.astype(np.float64), xz, yz, xz * xz, yz * yz, xz * yz])
+
+    @staticmethod
+    def _r(m: np.ndarray):
+        n, sx, sy, sxx, syy, sxy = (m[..., i] for i in range(6))
+        with np.errstate(divide='ignore', invalid='ignore'):
+            cov = sxy - sx * sy / n
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            r = cov / np.sqrt(vx * vy)
+            return np.where((n >= 2) & (vx > 0) & (vy > 0), r, np.nan)
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        grouped = pd.DataFrame(self._moment_arrays(frame)).groupby(codes)
+        if self.cumulative == CumulativeOptions.NONE:
+            return self._r(grouped.transform('sum').to_numpy())
+        cum = grouped.cumsum().to_numpy()
+        if self.cumulative == CumulativeOptions.EXCLUSIVE:
+            cum = np.stack([_gshift(pd.Series(cum[:, i]), codes, 1, fill_value=0.0).to_numpy()
+                            for i in range(6)], axis=1)
+        return self._r(cum)
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        prefix = np.vstack([np.zeros((1, 6)), np.cumsum(self._moment_arrays(frame), axis=0)])
+        return self._r(prefix[hi] - prefix[lo])
+
+    supports_global_two_pass = True
+
+    def global_partial(self, table: pa.Table):
+        return tuple(self._moment_arrays(AggFrame(table)).sum(axis=0).tolist())
+
+    def global_combine(self, left, right):
+        return tuple(a + b for a, b in zip(left, right))
+
+    def global_finalize(self, state, table: pa.Table):
+        return np.full(table.num_rows, float(self._r(np.asarray(state, dtype=np.float64))))
+
+
 from enum import Enum
 
 

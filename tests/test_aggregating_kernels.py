@@ -7,6 +7,7 @@ These run the kernels directly on an AggFrame (no Ray session needed).
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -16,6 +17,7 @@ from auto_featurs_ray.engine.aggframe import AggFrame
 from auto_featurs_ray.expressions import col
 from auto_featurs_ray.transformers.aggregating import (
     ArgMaxTransformer,
+    CorrelationTransformer,
     ArgMinTransformer,
     CountTransformer,
     EntityEntropyTransformer,
@@ -226,6 +228,57 @@ class TestPercentRank:
     def test_cumulative_rejected(self):
         with pytest.raises(ValueError, match='percent_rank'):
             PercentRankTransformer('NUMERIC_FEATURE', C.INCLUSIVE)
+
+
+class TestCorrelation:
+    """CorrelationTransformer (engine extension, DuckDB corr() semantics)."""
+
+    PAIR_TABLE = pa.table({'X': [1.0, 2.0, 4.0, 5.0, 7.0, 9.0],
+                           'Y': [2.0, 5.0, 7.0, 4.0, 11.0, 13.0]})
+
+    def test_ungrouped_matches_numpy(self):
+        got = run(CorrelationTransformer('X', 'Y'), self.PAIR_TABLE)
+        want = float(np.corrcoef([1, 2, 4, 5, 7, 9], [2, 5, 7, 4, 11, 13])[0, 1])
+        close(got, [want] * 6)
+
+    def test_perfect_anticorrelation(self):
+        close(run(CorrelationTransformer('NUMERIC_FEATURE', 'NUMERIC_FEATURE_2')), [-1.0] * 6)
+
+    def test_grouped_with_degenerate_group(self):
+        # ZERO group has a single row -> NaN; ODD/EVEN are exactly linear.
+        close(run(OverWrapper(CorrelationTransformer('NUMERIC_FEATURE', 'NUMERIC_FEATURE_2'),
+                              ['GROUPING_FEATURE_NUM'])),
+              [None, -1.0, -1.0, -1.0, -1.0, -1.0])
+
+    def test_cumulative(self):
+        close(run(CorrelationTransformer('NUMERIC_FEATURE', 'NUMERIC_FEATURE_2', C.INCLUSIVE)),
+              [None, -1.0, -1.0, -1.0, -1.0, -1.0])
+        close(run(CorrelationTransformer('NUMERIC_FEATURE', 'NUMERIC_FEATURE_2', C.EXCLUSIVE)),
+              [None, None, -1.0, -1.0, -1.0, -1.0])
+
+    def test_cumulative_matches_pandas_expanding(self):
+        x = pd.Series([1.0, 2.0, 4.0, 5.0, 7.0, 9.0])
+        y = pd.Series([2.0, 5.0, 7.0, 4.0, 11.0, 13.0])
+        want = [_norm(v) if not np.isnan(v) else None for v in x.expanding(2).corr(y)]
+        close(run(CorrelationTransformer('X', 'Y', C.INCLUSIVE), self.PAIR_TABLE), want)
+
+    def test_rolling(self):
+        close(run(RollingWrapper(CorrelationTransformer('NUMERIC_FEATURE', 'NUMERIC_FEATURE_2'),
+                                 DATE, '2d1h')),
+              [None, -1.0, -1.0, -1.0, -1.0, -1.0])
+
+    def test_filtered_broadcast(self):
+        close(run(CorrelationTransformer('NUMERIC_FEATURE', 'NUMERIC_FEATURE_2',
+                                         filtering_condition=BOOL)), [-1.0] * 6)
+
+    def test_zero_variance_is_nan(self):
+        t = pa.table({'X': [1.0, 1.0, 1.0], 'Y': [2.0, 5.0, 7.0]})
+        close(run(CorrelationTransformer('X', 'Y'), t), [None] * 3)
+
+    def test_nan_pairs_excluded(self):
+        t = pa.table({'X': [1.0, 2.0, None, 4.0], 'Y': [2.0, None, 7.0, 8.0]})
+        want = float(np.corrcoef([1, 4], [2, 8])[0, 1])  # rows 1/2 dropped pairwise
+        close(run(CorrelationTransformer('X', 'Y'), t), [want] * 4)
 
 
 class TestArgExtremes:
