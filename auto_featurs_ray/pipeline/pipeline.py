@@ -41,6 +41,8 @@ from auto_featurs_ray.transformers.aggregating import (
     ModeTransformer,
     NumUniqueTransformer,
     PointwiseMutualInformationTransformer,
+    RegressionInterceptTransformer,
+    RegressionSlopeTransformer,
     Scaling,
 )
 from auto_featurs_ray.transformers.base import CumulativeOptions, Transformer
@@ -255,6 +257,28 @@ class Pipeline:
         per-group, running (cumulative), or rolling-window ``corr(a, b)``."""
         transformers = self._build_aggregated_transformers(
             column_a_subset, column_b_subset, transformer_factory=CorrelationTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            cumulative=cumulative, filtering_condition=filtering_condition)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_linear_regression(self, y_subset: ColumnSelection, x_subset: ColumnSelection,
+                               statistics: Sequence[str] = ('slope', 'intercept'),
+                               over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                               time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                               cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                               filtering_condition: Optional[Expr] = None,
+                               auxiliary: bool = False) -> 'Pipeline':
+        """Least-squares ``y ~ x`` features (engine extension): per-group,
+        running (cumulative), or rolling-window slope / intercept with DuckDB
+        ``regr_slope`` / ``regr_intercept`` semantics."""
+        fmap = {'slope': RegressionSlopeTransformer, 'intercept': RegressionInterceptTransformer}
+        unknown = [s for s in statistics if s not in fmap]
+        if unknown:
+            raise ValueError(f'unknown regression statistics {unknown}; choose from {sorted(fmap)}')
+        factories = [fmap[s] for s in order_preserving_unique(statistics)]
+        transformers = self._build_aggregated_transformers(
+            y_subset, x_subset, transformer_factory=factories,
             over_columns_combinations=over_columns_combinations,
             time_windows=time_windows, index_column_name=index_column_name,
             cumulative=cumulative, filtering_condition=filtering_condition)

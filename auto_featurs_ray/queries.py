@@ -37,15 +37,24 @@ ORDER_EVENTS = ['ts', 'event_id']
 NUM_PARTITIONS = 32
 
 
-def _round_columns(table: pa.Table, columns: Sequence[str], digits: int = 6) -> pa.Table:
+def _round_columns(table: pa.Table, columns: Sequence[str], digits: int = 6,
+                   shift: float = 0.0) -> pa.Table:
     for name in columns:
         if name in table.column_names:
             col = pc.cast(table.column(name), pa.float64())
             # np.round (scale-rint-divide) produces the same result double as
             # DuckDB's round(); pc.round can return a double 1 ulp away (e.g.
             # interpolated quantiles landing on x.xxx25), which breaks the
-            # driver's bit-exact value hash
-            values = np.round(col.to_numpy(zero_copy_only=False), digits)
+            # driver's bit-exact value hash.
+            # ``shift``: a tiny epsilon added on BOTH sides (engine and SQL)
+            # before rounding, for statistics that are small-denominator
+            # rationals of decimal data (regression slopes: -17/16000 =
+            # -0.0010625) and therefore sit EXACTLY on a rounding
+            # half-boundary, where a 1-ulp computation difference flips the
+            # rounded digit.  The shift moves the grid off those halves; a
+            # value must then land within ~1e-12 of (boundary - shift) to
+            # flip, a measure-zero event for generic reals.
+            values = np.round(col.to_numpy(zero_copy_only=False) + shift, digits)
             mask = np.asarray(pc.is_null(col).combine_chunks())
             rounded = pa.array(values, mask=mask)
             table = table.set_column(table.column_names.index(name), name, rounded)
@@ -65,13 +74,15 @@ def _nan_to_null(table: pa.Table, columns: Sequence[str]) -> pa.Table:
 
 
 def _finish(ds, keep: Sequence[str], round_cols: Sequence[str] = (),
-            nan_null_cols: Sequence[str] = ()):
+            nan_null_cols: Sequence[str] = (), round_digits: int = 6,
+            round_shift: float = 0.0):
     keep = list(keep)
     round_cols = list(round_cols)
     nan_null_cols = list(nan_null_cols)
 
     def project(batch: pa.Table) -> pa.Table:
-        return _round_columns(_nan_to_null(batch.select(keep), nan_null_cols), round_cols)
+        return _round_columns(_nan_to_null(batch.select(keep), nan_null_cols), round_cols,
+                              digits=round_digits, shift=round_shift)
 
     return ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True)
 
@@ -1197,6 +1208,72 @@ SELECT l_orderkey, l_linenumber,
                  RANGE BETWEEN INTERVAL 30 DAY - INTERVAL 1 MICROSECOND PRECEDING
                        AND CURRENT ROW), 6)
            AS l_quantity_l_extendedprice_corr_in_the_last_30d_over_l_suppkey
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24e. least-squares regression features (engine extension, DuckDB
+# regr_slope/regr_intercept semantics): grouped slope+intercept, running
+# slope, 30-day rolling slope.  The regressand is l_discount (O(0.1)), NOT
+# l_extendedprice: money-magnitude slopes are short decimals that land
+# EXACTLY on coarse rounding half-boundaries (e.g. -5670.915), where a 1-ulp
+# engine-vs-DuckDB difference flips the rounded digit — measured 34 flips at
+# sf0.01.  O(1e-3) slopes keep fp divergence ~9 orders below the 6-decimal
+# grid and short money decimals on-grid.
+# ---------------------------------------------------------------------------
+
+def _lineitem_supp_dataset(sf_dir: str) -> Dataset:
+    schema = Schema([
+        CS.numeric(name='l_orderkey', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='l_linenumber', role=ColumnRole.IDENTIFIER),
+        CS.nominal(name='l_suppkey', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='l_shipdate', role=ColumnRole.TIME_INFO),
+        CS.numeric(name='l_quantity'),
+        CS.numeric(name='l_discount'),
+    ])
+    return Dataset.from_parquet(os.path.join(sf_dir, 'lineitem.parquet'), schema,
+                                order_by=['l_shipdate', 'l_orderkey', 'l_linenumber'],
+                                num_partitions=NUM_PARTITIONS,
+                                columns=['l_orderkey', 'l_linenumber', 'l_suppkey',
+                                         'l_shipdate', 'l_quantity', 'l_discount'])
+
+
+def q_regression_lineitem(sf_dir: str):
+    p = (Pipeline(_lineitem_supp_dataset(sf_dir))
+         .with_linear_regression(['l_discount'], ['l_quantity'],
+                                 over_columns_combinations=[['l_suppkey']])
+         .with_linear_regression(['l_discount'], ['l_quantity'], statistics=['slope'],
+                                 over_columns_combinations=[['l_suppkey']],
+                                 cumulative=CumulativeOptions.INCLUSIVE)
+         .with_linear_regression(['l_discount'], ['l_quantity'], statistics=['slope'],
+                                 over_columns_combinations=[['l_suppkey']],
+                                 time_windows=['30d'], index_column_name='l_shipdate'))
+    keep = ['l_orderkey', 'l_linenumber',
+            'l_discount_l_quantity_regr_slope_over_l_suppkey',
+            'l_discount_l_quantity_regr_intercept_over_l_suppkey',
+            'l_discount_l_quantity_inclusive_cum_regr_slope_over_l_suppkey',
+            'l_discount_l_quantity_regr_slope_in_the_last_30d_over_l_suppkey']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[2:],
+                   nan_null_cols=keep[2:], round_shift=1e-9)
+
+
+SQL_REGRESSION_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(regr_slope(l_discount, l_quantity) OVER (PARTITION BY l_suppkey) + 1e-9, 6)
+           AS l_discount_l_quantity_regr_slope_over_l_suppkey,
+       round(regr_intercept(l_discount, l_quantity) OVER (PARTITION BY l_suppkey) + 1e-9, 6)
+           AS l_discount_l_quantity_regr_intercept_over_l_suppkey,
+       round(regr_slope(l_discount, l_quantity) OVER (
+                 PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+           AS l_discount_l_quantity_inclusive_cum_regr_slope_over_l_suppkey,
+       round(regr_slope(l_discount, l_quantity) OVER (
+                 PARTITION BY l_suppkey ORDER BY l_shipdate
+                 RANGE BETWEEN INTERVAL 30 DAY - INTERVAL 1 MICROSECOND PRECEDING
+                       AND CURRENT ROW) + 1e-9, 6)
+           AS l_discount_l_quantity_regr_slope_in_the_last_30d_over_l_suppkey
 FROM lineitem
 """
 
@@ -2743,6 +2820,7 @@ QUERIES = {
     'rolling_pmi_argminmax_events': q_rolling_pmi_argminmax_events,
     'percent_rank_events': q_percent_rank_events,
     'correlation_lineitem': q_correlation_lineitem,
+    'regression_lineitem': q_regression_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -2809,6 +2887,7 @@ ORACLE_SQL = {
     'rolling_pmi_argminmax_events': SQL_ROLLING_PMI_ARGMINMAX_EVENTS,
     'percent_rank_events': SQL_PERCENT_RANK_EVENTS,
     'correlation_lineitem': SQL_CORRELATION_LINEITEM,
+    'regression_lineitem': SQL_REGRESSION_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

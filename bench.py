@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     'fingerprint_documents', 'knn_ivf_embeddings', 'gopher_rules_documents',
     'substring_overlap_documents', 'chunk_documents', 'mixture_resample_documents',
     'bigram_logprob_documents', 'quantize_embeddings',
+    'percent_rank_events', 'correlation_lineitem', 'regression_lineitem',
 ]
 
 

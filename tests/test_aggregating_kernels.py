@@ -32,6 +32,8 @@ from auto_featurs_ray.transformers.aggregating import (
     NumUniqueTransformer,
     PercentRankTransformer,
     PointwiseMutualInformationTransformer,
+    RegressionInterceptTransformer,
+    RegressionSlopeTransformer,
     StandardScaler,
     StdTransformer,
     SumTransformer,
@@ -279,6 +281,31 @@ class TestCorrelation:
         t = pa.table({'X': [1.0, 2.0, None, 4.0], 'Y': [2.0, None, 7.0, 8.0]})
         want = float(np.corrcoef([1, 4], [2, 8])[0, 1])  # rows 1/2 dropped pairwise
         close(run(CorrelationTransformer('X', 'Y'), t), [want] * 4)
+
+
+class TestLinearRegression:
+    """Regression slope/intercept (DuckDB regr_slope/regr_intercept semantics:
+    first column is the dependent y, second the regressor x)."""
+
+    T = pa.table({'Y': [2.0, 5.0, 7.0], 'X': [1.0, 2.0, 4.0]})
+
+    def test_slope_intercept_match_polyfit(self):
+        slope, intercept = np.polyfit([1, 2, 4], [2, 5, 7], 1)
+        close(run(RegressionSlopeTransformer('Y', 'X'), self.T), [float(slope)] * 3)
+        close(run(RegressionInterceptTransformer('Y', 'X'), self.T), [float(intercept)] * 3)
+
+    def test_constant_regressor_is_nan(self):
+        t = pa.table({'Y': [2.0, 5.0, 7.0], 'X': [1.0, 1.0, 1.0]})
+        close(run(RegressionSlopeTransformer('Y', 'X'), t), [None] * 3)
+        close(run(RegressionInterceptTransformer('Y', 'X'), t), [None] * 3)
+
+    def test_cumulative_rolling(self):
+        # y = NUMERIC_FEATURE_2 = -x exactly: slope -1, intercept 0
+        close(run(RegressionSlopeTransformer('NUMERIC_FEATURE_2', 'NUMERIC_FEATURE', C.INCLUSIVE)),
+              [None, -1.0, -1.0, -1.0, -1.0, -1.0])
+        close(run(RollingWrapper(RegressionInterceptTransformer('NUMERIC_FEATURE_2', 'NUMERIC_FEATURE'),
+                                 DATE, '2d1h')),
+              [None, 0.0, 0.0, 0.0, 0.0, 0.0])
 
 
 class TestArgExtremes:
