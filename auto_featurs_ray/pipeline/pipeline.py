@@ -35,6 +35,7 @@ from auto_featurs_ray.transformers.aggregating import (
     ArithmeticAggregations,
     CorrelationTransformer,
     CountTransformer,
+    EwmMeanTransformer,
     EntityEntropyTransformer,
     FirstValueTransformer,
     LaggedTransformer,
@@ -260,6 +261,23 @@ class Pipeline:
             over_columns_combinations=over_columns_combinations,
             time_windows=time_windows, index_column_name=index_column_name,
             cumulative=cumulative, filtering_condition=filtering_condition)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_ewm(self, subset: ColumnSelection, alphas: Sequence[float],
+                 over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                 time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                 cumulative: CumulativeOptions = CumulativeOptions.INCLUSIVE,
+                 filtering_condition: Optional[Expr] = None,
+                 auxiliary: bool = False) -> 'Pipeline':
+        """Exponentially weighted moving-average features (engine extension):
+        one running EWM column per (column, alpha); ``cumulative`` defaults
+        to INCLUSIVE — the natural mode for a recency-weighted mean."""
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=EwmMeanTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            cumulative=cumulative, filtering_condition=filtering_condition,
+            kw_params={'alpha': list(alphas)})
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
     def with_linear_regression(self, y_subset: ColumnSelection, x_subset: ColumnSelection,

@@ -1279,6 +1279,62 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# 24f. exponentially weighted moving average (engine extension, pandas
+# ewm(adjust=True) semantics): running INCLUSIVE, shifted EXCLUSIVE, and
+# group-final NONE — replayed in SQL as explicit positional-weight sums
+# (0.5^(i-j) weights are binary-exact).
+# ---------------------------------------------------------------------------
+
+def q_ewm_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_ewm('value', alphas=[0.5], over_columns_combinations=[['user_id']])
+         .with_ewm('value', alphas=[0.5], over_columns_combinations=[['user_id']],
+                   cumulative=CumulativeOptions.EXCLUSIVE)
+         .with_ewm('value', alphas=[0.5], over_columns_combinations=[['user_id']],
+                   cumulative=CumulativeOptions.NONE))
+    keep = ['event_id',
+            'value_inclusive_cum_ewm_0.5_over_user_id',
+            'value_exclusive_cum_ewm_0.5_over_user_id',
+            'value_ewm_0.5_over_user_id']
+    # the EXCLUSIVE head of each group is NaN (nothing precedes it) = SQL NULL
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:],
+                   nan_null_cols=[keep[2]])
+
+
+SQL_EWM_EVENTS = """
+WITH t AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), inc AS (
+  SELECT a.event_id,
+         SUM(b.value * pow(0.5, a.rn - b.rn)) / SUM(pow(0.5, a.rn - b.rn)) AS v
+  FROM t a JOIN t b ON b.user_id = a.user_id AND b.rn <= a.rn
+  GROUP BY a.event_id
+), exc AS (
+  SELECT a.event_id,
+         SUM(b.value * pow(0.5, a.rn - 1 - b.rn)) / SUM(pow(0.5, a.rn - 1 - b.rn)) AS v
+  FROM t a JOIN t b ON b.user_id = a.user_id AND b.rn < a.rn
+  GROUP BY a.event_id
+), fin AS (
+  SELECT a.event_id, i.v
+  FROM t a
+  JOIN t l ON l.user_id = a.user_id
+          AND l.rn = (SELECT max(x.rn) FROM t x WHERE x.user_id = a.user_id)
+  JOIN inc i ON i.event_id = l.event_id
+)
+SELECT t.event_id,
+       round(i.v, 6) AS "value_inclusive_cum_ewm_0.5_over_user_id",
+       round(x.v, 6) AS "value_exclusive_cum_ewm_0.5_over_user_id",
+       round(f.v, 6) AS "value_ewm_0.5_over_user_id"
+FROM t
+JOIN inc i USING (event_id)
+LEFT JOIN exc x USING (event_id)
+JOIN fin f USING (event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -2821,6 +2877,7 @@ QUERIES = {
     'percent_rank_events': q_percent_rank_events,
     'correlation_lineitem': q_correlation_lineitem,
     'regression_lineitem': q_regression_lineitem,
+    'ewm_events': q_ewm_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -2888,6 +2945,7 @@ ORACLE_SQL = {
     'percent_rank_events': SQL_PERCENT_RANK_EVENTS,
     'correlation_lineitem': SQL_CORRELATION_LINEITEM,
     'regression_lineitem': SQL_REGRESSION_LINEITEM,
+    'ewm_events': SQL_EWM_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -1218,6 +1218,48 @@ class PercentRankTransformer(ArithmeticAggregationTransformer):
         return self._finalize(rank, n)
 
 
+class EwmMeanTransformer(ArithmeticAggregationTransformer):
+    """Exponentially weighted moving average (engine extension; pandas
+    ``ewm(alpha, adjust=True, ignore_na=False)`` semantics): the value at row
+    ``i`` is ``sum((1-a)^(i-j) * x_j) / sum((1-a)^(i-j))`` over the valid
+    rows ``j <= i`` of the group, positional weights unaffected by
+    interleaved NaN rows.
+
+    ``INCLUSIVE`` (the natural mode) is the running EWM, ``EXCLUSIVE``
+    shifts it one row (NaN at each group head), and ``NONE`` broadcasts the
+    group-final EWM to every row.  Rolling time windows fall back to the
+    wrapper's exact per-slice path (an EWM anchored inside each window);
+    the recurrence is order-dependent, so prefer grouped use — an ungrouped
+    cumulative EWM runs on the single-task fallback plan at scale.
+    """
+
+    def __init__(self, column: ColumnNameOrSpec, alpha: float,
+                 cumulative: CumulativeOptions = CumulativeOptions.INCLUSIVE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f'ewm alpha must be in (0, 1], got {alpha}')
+        super().__init__(column, cumulative, filtering_condition)
+        self._alpha = float(alpha)
+
+    @property
+    def _aggregation(self) -> str:
+        return f'ewm_{self._alpha:g}'
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        masked = pd.Series(self._masked(frame))
+        running = (masked.groupby(codes)
+                   .ewm(alpha=self._alpha, adjust=True, ignore_na=False, min_periods=1)
+                   .mean().reset_index(level=0, drop=True).sort_index())
+        if self.cumulative == CumulativeOptions.EXCLUSIVE:
+            return _gshift(running, codes, 1)
+        if self.cumulative == CumulativeOptions.NONE:
+            last_pos = (pd.Series(np.arange(frame.num_rows)).groupby(codes)
+                        .transform('max').to_numpy())
+            return running.to_numpy()[last_pos]
+        return running
+
+
 def _grouped_moment_scan(m: np.ndarray, codes: np.ndarray):
     """Per-group (inclusive prefix, exclusive prefix, group total) of a
     (rows, k) contribution matrix, each as float64 (rows, k) aligned with

@@ -21,6 +21,7 @@ from auto_featurs_ray.transformers.aggregating import (
     ArgMinTransformer,
     CountTransformer,
     EntityEntropyTransformer,
+    EwmMeanTransformer,
     FirstValueTransformer,
     LaggedTransformer,
     MaxTransformer,
@@ -306,6 +307,38 @@ class TestLinearRegression:
         close(run(RollingWrapper(RegressionInterceptTransformer('NUMERIC_FEATURE_2', 'NUMERIC_FEATURE'),
                                  DATE, '2d1h')),
               [None, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+
+class TestEwmMean:
+    """EwmMeanTransformer (pandas ewm(adjust=True, ignore_na=False) semantics)."""
+
+    def test_inclusive_matches_pandas(self):
+        want = pd.Series([0.0, 1, 2, 3, 4, 5]).ewm(alpha=0.5, adjust=True).mean().tolist()
+        close(run(EwmMeanTransformer('NUMERIC_FEATURE', 0.5)), want)
+
+    def test_exclusive_is_shifted(self):
+        want = [None] + pd.Series([0.0, 1, 2, 3, 4, 5]).ewm(alpha=0.5, adjust=True).mean().tolist()[:-1]
+        close(run(EwmMeanTransformer('NUMERIC_FEATURE', 0.5, C.EXCLUSIVE)), want)
+
+    def test_none_broadcasts_group_final(self):
+        final = pd.Series([0.0, 1, 2, 3, 4, 5]).ewm(alpha=0.5, adjust=True).mean().iloc[-1]
+        close(run(EwmMeanTransformer('NUMERIC_FEATURE', 0.5, C.NONE)), [final] * 6)
+
+    def test_grouped(self):
+        # ODD group rows (1,3,5) values 1,3,5; EVEN rows (2,4) values 2,4
+        odd = pd.Series([1.0, 3.0, 5.0]).ewm(alpha=0.5, adjust=True).mean().tolist()
+        even = pd.Series([2.0, 4.0]).ewm(alpha=0.5, adjust=True).mean().tolist()
+        close(run(OverWrapper(EwmMeanTransformer('NUMERIC_FEATURE', 0.5), ['GROUPING_FEATURE_NUM'])),
+              [0.0, odd[0], even[0], odd[1], even[1], odd[2]])
+
+    def test_nan_keeps_positional_weights(self):
+        t = pa.table({'X': [1.0, None, 3.0]})
+        want = pd.Series([1.0, np.nan, 3.0]).ewm(alpha=0.5, adjust=True, ignore_na=False).mean().tolist()
+        close(run(EwmMeanTransformer('X', 0.5), t), want)
+
+    def test_alpha_validated(self):
+        with pytest.raises(ValueError, match='alpha'):
+            EwmMeanTransformer('NUMERIC_FEATURE', 0.0)
 
 
 class TestArgExtremes:
