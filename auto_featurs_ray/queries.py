@@ -1335,6 +1335,46 @@ JOIN fin f USING (event_id)
 
 
 # ---------------------------------------------------------------------------
+# 24g. shape moments (engine extension): bias-corrected sample skewness G1 /
+# excess kurtosis G2 (DuckDB skewness()/kurtosis() = pandas .skew()/.kurt()),
+# grouped + running + rolling; zero-variance and below-min-n windows are
+# NaN = SQL NULL.
+# ---------------------------------------------------------------------------
+
+def q_shape_moments_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.SKEW,
+                                                             ArithmeticAggregations.KURTOSIS],
+                                      over_columns_combinations=[['user_id']])
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.SKEW],
+                                      over_columns_combinations=[['user_id']],
+                                      cumulative=CumulativeOptions.INCLUSIVE)
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.SKEW],
+                                      over_columns_combinations=[['user_id']],
+                                      time_windows=['6h'], index_column_name='ts'))
+    keep = ['event_id', 'value_skew_over_user_id', 'value_kurtosis_over_user_id',
+            'value_inclusive_cum_skew_over_user_id', 'value_skew_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:], nan_null_cols=keep[1:])
+
+
+SQL_SHAPE_MOMENTS_EVENTS = """
+SELECT event_id,
+       round(skewness(value) OVER (PARTITION BY user_id), 6) AS value_skew_over_user_id,
+       round(kurtosis(value) OVER (PARTITION BY user_id), 6) AS value_kurtosis_over_user_id,
+       round(skewness(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS value_inclusive_cum_skew_over_user_id,
+       round(skewness(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 6 HOUR - INTERVAL 1 MICROSECOND PRECEDING
+                       AND CURRENT ROW), 6)
+           AS value_skew_in_the_last_6h_over_user_id
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -2878,6 +2918,7 @@ QUERIES = {
     'correlation_lineitem': q_correlation_lineitem,
     'regression_lineitem': q_regression_lineitem,
     'ewm_events': q_ewm_events,
+    'shape_moments_events': q_shape_moments_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -2946,6 +2987,7 @@ ORACLE_SQL = {
     'correlation_lineitem': SQL_CORRELATION_LINEITEM,
     'regression_lineitem': SQL_REGRESSION_LINEITEM,
     'ewm_events': SQL_EWM_EVENTS,
+    'shape_moments_events': SQL_SHAPE_MOMENTS_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

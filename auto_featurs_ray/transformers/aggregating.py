@@ -1218,6 +1218,113 @@ class PercentRankTransformer(ArithmeticAggregationTransformer):
         return self._finalize(rank, n)
 
 
+class _ShapeMomentTransformer(ArithmeticAggregationTransformer, ABC):
+    """Shared plumbing for bias-corrected shape statistics (sample skewness
+    G1 / excess kurtosis G2 — engine extensions with DuckDB
+    ``skewness()``/``kurtosis()`` = pandas ``.skew()``/``.kurt()``
+    semantics).  All modes delegate to pandas' C kernels; the ungrouped NONE
+    form is a two-pass global aggregate over the raw power sums.  Values are
+    scale-free O(1), so the SQL-oracle hash is insensitive to fp noise.
+    Degenerate states (n below the statistic's minimum, zero variance) are
+    NaN = SQL NULL after a caller-side nan-to-null conversion."""
+
+    _pandas_stat: str  # 'skew' | 'kurt'
+    _num_raw_moments: int  # power sums needed for the global two-pass
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        masked = pd.Series(self._masked(frame))
+        grouped = masked.groupby(codes)
+        stat = (getattr(grouped.expanding(min_periods=1), self._pandas_stat)()
+                .reset_index(level=0, drop=True).sort_index())
+        # pandas emits 0.0 for a zero-variance window where SQL (and the
+        # statistic itself) is undefined — mask to NaN for DuckDB parity
+        std = (grouped.expanding(min_periods=1).std()
+               .reset_index(level=0, drop=True).sort_index())
+        stat = stat.mask(std.to_numpy() == 0.0)
+        if self.cumulative == CumulativeOptions.NONE:
+            last_pos = (pd.Series(np.arange(frame.num_rows)).groupby(codes)
+                        .transform('max').to_numpy())
+            return stat.to_numpy()[last_pos]
+        if self.cumulative == CumulativeOptions.EXCLUSIVE:
+            return _gshift(stat, codes, 1)
+        return stat
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        rolling = pd.Series(self._masked(frame)).rolling(_BoundsIndexer(lo=lo, hi=hi), min_periods=1)
+        stat = getattr(rolling, self._pandas_stat)().to_numpy()
+        return np.where(rolling.std().to_numpy() == 0.0, np.nan, stat)
+
+    supports_global_two_pass = True
+
+    def global_partial(self, table: pa.Table):
+        x = self._masked(AggFrame(table))
+        valid = x[~np.isnan(x)]
+        return tuple([float(len(valid))] + [float((valid ** k).sum())
+                                            for k in range(1, self._num_raw_moments + 1)])
+
+    def global_combine(self, left, right):
+        return tuple(a + b for a, b in zip(left, right))
+
+    def global_finalize(self, state, table: pa.Table):
+        return np.full(table.num_rows, self._from_power_sums(np.asarray(state, dtype=np.longdouble)))
+
+    @staticmethod
+    def _central_moments(state: np.ndarray):
+        n = state[0]
+        mean = state[1] / n
+        m2 = state[2] / n - mean ** 2
+        m3 = state[3] / n - 3 * mean * state[2] / n + 2 * mean ** 3
+        m4 = (state[4] / n - 4 * mean * state[3] / n + 6 * mean ** 2 * state[2] / n
+              - 3 * mean ** 4) if len(state) > 4 else None
+        return n, m2, m3, m4
+
+    @abstractmethod
+    def _from_power_sums(self, state: np.ndarray) -> float:
+        raise NotImplementedError
+
+
+class SkewTransformer(_ShapeMomentTransformer):
+    """Bias-corrected sample skewness G1: ``g1 * sqrt(n(n-1)) / (n-2)``,
+    NaN for n < 3 or zero variance."""
+
+    _pandas_stat = 'skew'
+    _num_raw_moments = 3
+
+    @property
+    def _aggregation(self) -> str:
+        return 'skew'
+
+    def _from_power_sums(self, state: np.ndarray) -> float:
+        n, m2, m3, _ = self._central_moments(state)
+        if n < 3 or m2 <= 0:
+            return float('nan')
+        g1 = m3 / m2 ** 1.5
+        return float(g1 * math.sqrt(n * (n - 1)) / (n - 2))
+
+
+class KurtosisTransformer(_ShapeMomentTransformer):
+    """Bias-corrected sample excess kurtosis G2:
+    ``((n+1) g2 + 6) (n-1) / ((n-2)(n-3))``, NaN for n < 4 or zero
+    variance."""
+
+    _pandas_stat = 'kurt'
+    _num_raw_moments = 4
+
+    @property
+    def _aggregation(self) -> str:
+        return 'kurtosis'
+
+    def _from_power_sums(self, state: np.ndarray) -> float:
+        n, m2, m3, m4 = self._central_moments(state)
+        if n < 4 or m2 <= 0:
+            return float('nan')
+        g2 = m4 / (m2 * m2) - 3.0
+        return float(((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)))
+
+
 class EwmMeanTransformer(ArithmeticAggregationTransformer):
     """Exponentially weighted moving average (engine extension; pandas
     ``ewm(alpha, adjust=True, ignore_na=False)`` semantics): the value at row
@@ -1454,6 +1561,8 @@ class ArithmeticAggregations(Enum):
     STD = StdTransformer
     ZSCORE = ZscoreTransformer
     PERCENT_RANK = PercentRankTransformer
+    SKEW = SkewTransformer
+    KURTOSIS = KurtosisTransformer
 
 
 class _ArgExtremeTransformer(AggregatingTransformer, ABC):

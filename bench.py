@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     'substring_overlap_documents', 'chunk_documents', 'mixture_resample_documents',
     'bigram_logprob_documents', 'quantize_embeddings',
     'percent_rank_events', 'correlation_lineitem', 'regression_lineitem',
-    'ewm_events',
+    'ewm_events', 'shape_moments_events',
 ]
 
 

@@ -32,11 +32,13 @@ from auto_featurs_ray.transformers.aggregating import (
     ModeTransformer,
     NumUniqueTransformer,
     PercentRankTransformer,
+    KurtosisTransformer,
     PointwiseMutualInformationTransformer,
     RegressionInterceptTransformer,
     RegressionSlopeTransformer,
     StandardScaler,
     StdTransformer,
+    SkewTransformer,
     SumTransformer,
     ZscoreTransformer,
 )
@@ -307,6 +309,42 @@ class TestLinearRegression:
         close(run(RollingWrapper(RegressionInterceptTransformer('NUMERIC_FEATURE_2', 'NUMERIC_FEATURE'),
                                  DATE, '2d1h')),
               [None, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+
+class TestShapeMoments:
+    """Skew/Kurtosis (bias-corrected G1/G2 = pandas .skew()/.kurt() =
+    DuckDB skewness()/kurtosis())."""
+
+    X = pd.Series([2.0, 5.0, 7.0, 11.0, 13.0, 13.5])
+    T = pa.table({'X': X.tolist()})
+
+    def test_none_matches_pandas(self):
+        close(run(SkewTransformer('X'), self.T), [self.X.skew()] * 6)
+        close(run(KurtosisTransformer('X'), self.T), [self.X.kurt()] * 6)
+
+    def test_cumulative(self):
+        close(run(SkewTransformer('X', C.INCLUSIVE), self.T),
+              self.X.expanding(1).skew().tolist())
+        close(run(KurtosisTransformer('X', C.EXCLUSIVE), self.T),
+              [None] + self.X.expanding(1).kurt().tolist()[:-1])
+
+    def test_rolling(self):
+        close(run(RollingWrapper(SkewTransformer('NUMERIC_FEATURE'), DATE, '2d1h')),
+              pd.Series([0.0, 1, 2, 3, 4, 5]).rolling(3, min_periods=1).skew().tolist())
+
+    def test_degenerate_is_nan(self):
+        t = pa.table({'X': [3.0, 3.0, 3.0, 3.0]})
+        close(run(SkewTransformer('X'), t), [None] * 4)
+        close(run(KurtosisTransformer('X'), t), [None] * 4)
+
+    def test_global_two_pass_matches_compute(self):
+        t = SkewTransformer('X')
+        state = t.global_partial(self.T.slice(0, 3))
+        state = t.global_combine(state, t.global_partial(self.T.slice(3)))
+        close(list(t.global_finalize(state, self.T)), [self.X.skew()] * 6)
+        k = KurtosisTransformer('X')
+        state = k.global_combine(k.global_partial(self.T.slice(0, 2)), k.global_partial(self.T.slice(2)))
+        close(list(k.global_finalize(state, self.T)), [self.X.kurt()] * 6)
 
 
 class TestEwmMean:
