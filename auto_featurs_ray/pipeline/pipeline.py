@@ -45,6 +45,7 @@ from auto_featurs_ray.transformers.aggregating import (
     RegressionInterceptTransformer,
     RegressionSlopeTransformer,
     Scaling,
+    TargetEncodingTransformer,
 )
 from auto_featurs_ray.transformers.base import CumulativeOptions, Transformer
 from auto_featurs_ray.transformers.comparison import Comparisons
@@ -279,6 +280,39 @@ class Pipeline:
             cumulative=cumulative, filtering_condition=filtering_condition,
             kw_params={'alpha': list(alphas)})
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_target_encoding(self, subset: ColumnSelection,
+                             over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                             smoothing: Union[float, Sequence[float]] = 0.0,
+                             leave_one_out: bool = False,
+                             time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                             cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                             filtering_condition: Optional[Expr] = None,
+                             auxiliary: bool = False) -> 'Pipeline':
+        """Smoothed / leave-one-out target encoding of the ``over`` key sets
+        by a numeric target column (engine extension):
+        ``(S_g + m * prior) / (n_g + m)`` with the global target mean as the
+        prior.  ``cumulative=EXCLUSIVE`` gives the leakage-free expanding
+        encoding, a time window the rolling one.  When any ``smoothing > 0``
+        a preceding layer computing the global prior mean (broadcast
+        two-pass, auxiliary ``{column}_mean``) is planned automatically — so
+        this method may add one layer to the pipeline.
+        """
+        smoothings = [float(s) for s in
+                      (smoothing if isinstance(smoothing, (list, tuple)) else [smoothing])]
+        p = self
+        if any(s > 0 for s in smoothings):
+            p = p.with_arithmetic_aggregation(
+                subset, [ArithmeticAggregations.MEAN],
+                filtering_condition=filtering_condition, auxiliary=True)
+            p = p.with_new_layer()
+        transformers = p._build_aggregated_transformers(
+            subset, transformer_factory=TargetEncodingTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            cumulative=cumulative, filtering_condition=filtering_condition,
+            kw_params={'smoothing': smoothings, 'leave_one_out': [leave_one_out]})
+        return p._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
     def with_linear_regression(self, y_subset: ColumnSelection, x_subset: ColumnSelection,
                                statistics: Sequence[str] = ('slope', 'intercept'),

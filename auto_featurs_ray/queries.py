@@ -1375,6 +1375,61 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# 24h. target encoding (engine extension): smoothed grouped, leave-one-out,
+# leakage-free expanding (EXCLUSIVE) and rolling — the prior is the global
+# target mean, computed by the broadcast two-pass stage (never on the driver).
+# ---------------------------------------------------------------------------
+
+def q_target_encoding_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_target_encoding('value', over_columns_combinations=[['user_id']], smoothing=10.0)
+         .with_target_encoding('value', over_columns_combinations=[['user_id']], leave_one_out=True)
+         .with_target_encoding('value', over_columns_combinations=[['user_id']], smoothing=10.0,
+                               cumulative=CumulativeOptions.EXCLUSIVE)
+         .with_target_encoding('value', over_columns_combinations=[['user_id']], smoothing=10.0,
+                               time_windows=['6h'], index_column_name='ts'))
+    keep = ['event_id', 'value_target_enc_s10_over_user_id',
+            'value_target_enc_loo_over_user_id',
+            'value_exclusive_cum_target_enc_s10_over_user_id',
+            'value_target_enc_s10_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:], nan_null_cols=keep[1:],
+                   round_shift=1e-9)
+
+
+# The prior is SUM(value)/COUNT(*) — the engine's global mean counts null
+# rows (reference quirk); events.value is null-free so AVG would match too,
+# but the SUM/COUNT(*) form stays exact either way.  LOO on a singleton
+# group divides 0/0 -> NULL (the engine emits NaN, mapped by nan_null_cols).
+SQL_TARGET_ENCODING_EVENTS = """
+WITH prior AS (SELECT SUM(value) * 1.0 / COUNT(*) AS p FROM events),
+base AS (
+  SELECT e.event_id, e.value, pr.p,
+         SUM(value) OVER (PARTITION BY user_id) AS s_g,
+         COUNT(value) OVER (PARTITION BY user_id) AS n_g,
+         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s_ex,
+         COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_ex
+  FROM events e CROSS JOIN prior pr
+), roll AS (
+  SELECT e.event_id, SUM(w.value) AS s_w, COUNT(w.value) AS n_w
+  FROM events e JOIN events w
+    ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+  GROUP BY e.event_id
+)
+SELECT b.event_id,
+       round((b.s_g + 10 * b.p) / (b.n_g + 10) + 1e-9, 6) AS value_target_enc_s10_over_user_id,
+       round(CASE WHEN b.n_g > 1 THEN (b.s_g - b.value) / (b.n_g - 1) + 1e-9 END, 6)
+           AS value_target_enc_loo_over_user_id,
+       round((COALESCE(b.s_ex, 0) + 10 * b.p) / (b.n_ex + 10) + 1e-9, 6)
+           AS value_exclusive_cum_target_enc_s10_over_user_id,
+       round((r.s_w + 10 * b.p) / (r.n_w + 10) + 1e-9, 6)
+           AS value_target_enc_s10_in_the_last_6h_over_user_id
+FROM base b JOIN roll r ON r.event_id = b.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -2919,6 +2974,7 @@ QUERIES = {
     'regression_lineitem': q_regression_lineitem,
     'ewm_events': q_ewm_events,
     'shape_moments_events': q_shape_moments_events,
+    'target_encoding_events': q_target_encoding_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -2988,6 +3044,7 @@ ORACLE_SQL = {
     'regression_lineitem': SQL_REGRESSION_LINEITEM,
     'ewm_events': SQL_EWM_EVENTS,
     'shape_moments_events': SQL_SHAPE_MOMENTS_EVENTS,
+    'target_encoding_events': SQL_TARGET_ENCODING_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -1548,6 +1548,105 @@ class RegressionInterceptTransformer(_PairMomentTransformer):
             return np.where((n >= 2) & (vx > 0), intercept, np.nan)
 
 
+class TargetEncodingTransformer(ArithmeticAggregationTransformer):
+    """Smoothed / leave-one-out target encoding (engine extension; no
+    reference counterpart — the reference aggregate catalog is
+    ``aggregating_transformers.py``).  For a categorical key set supplied via
+    ``over_columns_combinations``, row ``i`` of group ``g`` encodes as::
+
+        (S_g + m * prior) / (n_g + m)                # smoothed
+        (S_g - x_i + m * prior) / (n_g - 1 + m)      # leave-one-out
+
+    where ``S_g`` / ``n_g`` sum and count the *valid* (non-null, filter-true)
+    target values of the group — SQL ``SUM(col)`` / ``COUNT(col)`` semantics,
+    deliberately not the reference mean's count-including-nulls quirk — and
+    ``prior`` is the global target mean read from the ``{column}_mean``
+    column that :meth:`Pipeline.with_target_encoding` plans as a preceding
+    broadcast two-pass layer whenever ``smoothing > 0`` (the prior is
+    computed distributed, never on the driver).
+
+    ``EXCLUSIVE`` is the leakage-free expanding encoding (strictly preceding
+    rows only — the point-in-time-correct mode for training features),
+    ``INCLUSIVE`` the running encoding, and a time window the rolling
+    encoding.  Leave-one-out composes with grouped NONE and rolling windows
+    (each row subtracts its own valid contribution from its window) but not
+    with cumulative modes — EXCLUSIVE already excludes the current row.
+    Degenerate denominators (empty group / first row / singleton with
+    ``m = 0``) yield NaN = SQL NULL.
+    """
+
+    def __init__(self, column: ColumnNameOrSpec, smoothing: float = 0.0,
+                 leave_one_out: bool = False,
+                 cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if smoothing < 0:
+            raise ValueError(f'target-encoding smoothing must be >= 0, got {smoothing}')
+        if leave_one_out and cumulative != CumulativeOptions.NONE:
+            raise ValueError('leave_one_out composes with grouped/rolling target '
+                             'encoding only; use cumulative=EXCLUSIVE for the '
+                             'leakage-free expanding mode instead')
+        super().__init__(column, cumulative, filtering_condition)
+        self._smoothing = float(smoothing)
+        self._loo = bool(leave_one_out)
+
+    @property
+    def _aggregation(self) -> str:
+        tag = 'target_enc' + ('_loo' if self._loo else '')
+        if self._smoothing > 0:
+            tag += '_s' + f'{self._smoothing:g}'.replace('.', 'p').replace('-', 'm')
+        return tag
+
+    def _prior(self, frame: AggFrame):
+        if self._smoothing == 0:
+            return 0.0
+        name = f'{self._column}_mean' + filtering_condition_to_string(self.filtering_condition)
+        try:
+            return frame.numeric(name)
+        except KeyError:
+            raise KeyError(
+                f'target encoding with smoothing needs the global prior column '
+                f'{name!r}; plan it via Pipeline.with_target_encoding (which adds '
+                f'the broadcast global-mean layer automatically)') from None
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = self._masked(frame)
+        valid = ~np.isnan(x)
+        xz = np.where(valid, x, 0.0)
+        inc, exc, totals = _grouped_moment_scan(
+            np.column_stack([valid.astype(np.float64), xz]), codes)
+        sel = {CumulativeOptions.NONE: totals, CumulativeOptions.INCLUSIVE: inc,
+               CumulativeOptions.EXCLUSIVE: exc}[self.cumulative]
+        n, s = sel[:, 0], sel[:, 1]
+        if self._loo:
+            n = n - valid
+            s = s - xz
+        return self._encode(n, s, frame)
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        s, _, n = self._window_prefix_stats(frame, lo, hi)
+        n = n.astype(np.float64)
+        s = s.astype(np.float64)
+        if self._loo:
+            x = self._masked(frame)
+            valid = ~np.isnan(x)
+            # every row lies inside its own trailing window (shared tie-run
+            # anchors only widen it), so subtracting the row's own valid
+            # contribution is exact leave-one-out
+            n = n - valid
+            s = s - np.where(valid, x, 0.0)
+        return self._encode(n, s, frame)
+
+    def _encode(self, n: np.ndarray, s: np.ndarray, frame: AggFrame) -> np.ndarray:
+        num = s + self._smoothing * self._prior(frame)
+        den = n + self._smoothing
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = num / den
+        return np.where(den > 0, out, np.nan)
+
+
 from enum import Enum
 
 

@@ -40,6 +40,7 @@ from auto_featurs_ray.transformers.aggregating import (
     StdTransformer,
     SkewTransformer,
     SumTransformer,
+    TargetEncodingTransformer,
     ZscoreTransformer,
 )
 from auto_featurs_ray.transformers.base import CumulativeOptions as C
@@ -482,3 +483,73 @@ class TestRollingWrapper:
         out[idx.to_numpy()] = res
         close([_norm(v) for v in out], [0, 1, 2, 1, 2, 3])
         assert t.output_name == 'NUMERIC_FEATURE_first_value_in_the_last_2d1h_over_GROUPING_FEATURE_NUM'
+
+
+class TestTargetEncoding:
+    """TargetEncodingTransformer (engine extension): smoothed / leave-one-out
+    encodings with a global-mean prior read from the ``{col}_mean`` column."""
+
+    # X grouped by G: a -> [1, 3], b -> [5]; global mean = 3.0
+    T = pa.table({'X': [1.0, 3.0, 5.0], 'G': ['a', 'a', 'b'], 'X_mean': [3.0] * 3})
+    CODES = np.array([0, 0, 1])
+
+    def _run(self, t, codes=None):
+        return [_norm(v) for v in np.asarray(
+            t.compute(AggFrame(self.T), self.CODES if codes is None else codes), dtype=object)]
+
+    def test_unsmoothed_equals_group_mean(self):
+        close(self._run(TargetEncodingTransformer('X')), [2.0, 2.0, 5.0])
+
+    def test_smoothed_shrinks_toward_prior(self):
+        # (S_g + m*prior)/(n_g + m), m=2, prior=3: a=(4+6)/4=2.5, b=(5+6)/3=11/3
+        close(self._run(TargetEncodingTransformer('X', smoothing=2.0)), [2.5, 2.5, 11 / 3])
+
+    def test_leave_one_out(self):
+        # a rows: (4-1)/1=3, (4-3)/1=1; b singleton: 0/0 -> NaN
+        close(self._run(TargetEncodingTransformer('X', leave_one_out=True)), [3.0, 1.0, None])
+
+    def test_loo_smoothed_singleton_falls_back_to_prior(self):
+        # b: (5-5+2*3)/(0+2) = 3.0 (pure prior)
+        close(self._run(TargetEncodingTransformer('X', smoothing=2.0, leave_one_out=True)),
+              [(3 + 6) / 3, (1 + 6) / 3, 3.0])
+
+    def test_exclusive_is_leakage_free(self):
+        # a: first row NaN (m=0), second (1)/(1)=1; b first row NaN
+        close(self._run(TargetEncodingTransformer('X', cumulative=C.EXCLUSIVE)),
+              [None, 1.0, None])
+
+    def test_exclusive_smoothed_first_row_is_prior(self):
+        close(self._run(TargetEncodingTransformer('X', smoothing=2.0, cumulative=C.EXCLUSIVE)),
+              [3.0, (1 + 6) / 3, 3.0])
+
+    def test_windowed_with_loo(self):
+        t = TargetEncodingTransformer('X', leave_one_out=True)
+        lo = np.array([0, 0, 2])
+        hi = np.array([1, 2, 3])
+        got = t.compute_windowed(AggFrame(self.T), lo, hi)
+        close([_norm(v) for v in got], [None, 1.0, None])
+
+    def test_null_target_rows_do_not_contribute(self):
+        t = pa.table({'X': [1.0, None, 3.0], 'X_mean': [2.0] * 3})
+        close([_norm(v) for v in np.asarray(
+            TargetEncodingTransformer('X').compute(AggFrame(t), None), dtype=object)],
+            [2.0, 2.0, 2.0])
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match='smoothing'):
+            TargetEncodingTransformer('X', smoothing=-1.0)
+        with pytest.raises(ValueError, match='leave_one_out'):
+            TargetEncodingTransformer('X', leave_one_out=True, cumulative=C.EXCLUSIVE)
+
+    def test_missing_prior_column_raises(self):
+        t = pa.table({'X': [1.0, 2.0]})
+        with pytest.raises(KeyError, match='with_target_encoding'):
+            TargetEncodingTransformer('X', smoothing=1.0).compute(AggFrame(t), None)
+
+    def test_output_names(self):
+        assert TargetEncodingTransformer('X').output_name == 'X_target_enc'
+        assert TargetEncodingTransformer('X', smoothing=0.5).output_name == 'X_target_enc_s0p5'
+        assert (TargetEncodingTransformer('X', smoothing=10, leave_one_out=True).output_name
+                == 'X_target_enc_loo_s10')
+        assert (TargetEncodingTransformer('X', smoothing=10, cumulative=C.EXCLUSIVE).output_name
+                == 'X_exclusive_cum_target_enc_s10')
