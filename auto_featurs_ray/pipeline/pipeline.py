@@ -33,6 +33,7 @@ from auto_featurs_ray.transformers.aggregating import (
     ArgMaxTransformer,
     ArgMinTransformer,
     ArithmeticAggregations,
+    Binning,
     CorrelationTransformer,
     CountTransformer,
     EwmMeanTransformer,
@@ -279,6 +280,22 @@ class Pipeline:
             time_windows=time_windows, index_column_name=index_column_name,
             cumulative=cumulative, filtering_condition=filtering_condition,
             kw_params={'alpha': list(alphas)})
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_binning(self, subset: ColumnSelection, strategies: Sequence[Binning],
+                     num_bins: Sequence[int] = (4,),
+                     over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                     auxiliary: bool = False) -> 'Pipeline':
+        """Discretize numeric columns into ordinal bin codes 0..k-1 (engine
+        extension): ``QUANTILE`` fits equal-frequency edges, ``EQUAL_WIDTH``
+        evenly spaced ones — per ``over`` group, or globally via mergeable
+        broadcast states (quantile sketch / min-max) when no grouping is
+        given."""
+        factories = [op.value for op in order_preserving_unique(strategies)]
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=factories,
+            over_columns_combinations=over_columns_combinations,
+            kw_params={'num_bins': [int(b) for b in num_bins]})
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
     def with_target_encoding(self, subset: ColumnSelection,

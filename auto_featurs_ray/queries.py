@@ -1430,6 +1430,63 @@ FROM base b JOIN roll r ON r.event_id = b.event_id
 
 
 # ---------------------------------------------------------------------------
+# 24i. robust scaling + discretization (engine extensions): (x - median)/IQR,
+# equal-frequency and equal-width bins — global via mergeable broadcast
+# states (quantile sketch / min-max), grouped via per-group edges.
+# ---------------------------------------------------------------------------
+
+def q_binning_lineitem(sf_dir: str):
+    from auto_featurs_ray.transformers.aggregating import Binning, Scaling
+    p = (Pipeline(_lineitem_dataset(sf_dir))
+         .with_scaling('l_quantity', [Scaling.ROBUST])
+         .with_binning('l_quantity', [Binning.QUANTILE, Binning.EQUAL_WIDTH], num_bins=[4])
+         .with_binning('l_extendedprice', [Binning.QUANTILE], num_bins=[4],
+                       over_columns_combinations=[['l_returnflag']]))
+    keep = ['l_orderkey', 'l_linenumber', 'l_quantity_robust_scaled',
+            'l_quantity_qbin_4', 'l_quantity_wbin_4',
+            'l_extendedprice_qbin_4_over_l_returnflag']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['l_quantity_robust_scaled'],
+                   nan_null_cols=['l_quantity_robust_scaled'], round_shift=1e-9)
+
+
+# Bin edges are rounded to 6 digits on BOTH sides before the `>` comparisons
+# (the engine does the same in _BinningTransformer._assign) so a 1-ulp
+# np.quantile-vs-quantile_cont edge difference cannot flip a bin on
+# integer-grid data; the equal-width edge expression mirrors the engine's
+# evaluation order lo + (hi - lo) * step exactly.
+SQL_BINNING_LINEITEM = """
+WITH g AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+         quantile_cont(l_quantity, 0.25) OVER () AS q1,
+         quantile_cont(l_quantity, 0.5)  OVER () AS q2,
+         quantile_cont(l_quantity, 0.75) OVER () AS q3,
+         MIN(l_quantity) OVER () AS mn,
+         MAX(l_quantity) OVER () AS mx,
+         round(quantile_cont(l_extendedprice, 0.25) OVER (PARTITION BY l_returnflag), 6) AS ge1,
+         round(quantile_cont(l_extendedprice, 0.5)  OVER (PARTITION BY l_returnflag), 6) AS ge2,
+         round(quantile_cont(l_extendedprice, 0.75) OVER (PARTITION BY l_returnflag), 6) AS ge3
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - q2) / (q3 - q1) + 1e-9, 6) AS l_quantity_robust_scaled,
+       CAST((CASE WHEN l_quantity > round(q1, 6) THEN 1 ELSE 0 END
+           + CASE WHEN l_quantity > round(q2, 6) THEN 1 ELSE 0 END
+           + CASE WHEN l_quantity > round(q3, 6) THEN 1 ELSE 0 END) AS DOUBLE)
+           AS l_quantity_qbin_4,
+       CAST((CASE WHEN l_quantity > round(mn + (mx - mn) * 0.25, 6) THEN 1 ELSE 0 END
+           + CASE WHEN l_quantity > round(mn + (mx - mn) * 0.5, 6) THEN 1 ELSE 0 END
+           + CASE WHEN l_quantity > round(mn + (mx - mn) * 0.75, 6) THEN 1 ELSE 0 END) AS DOUBLE)
+           AS l_quantity_wbin_4,
+       CAST((CASE WHEN l_extendedprice > ge1 THEN 1 ELSE 0 END
+           + CASE WHEN l_extendedprice > ge2 THEN 1 ELSE 0 END
+           + CASE WHEN l_extendedprice > ge3 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS l_extendedprice_qbin_4_over_l_returnflag
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -2975,6 +3032,7 @@ QUERIES = {
     'ewm_events': q_ewm_events,
     'shape_moments_events': q_shape_moments_events,
     'target_encoding_events': q_target_encoding_events,
+    'binning_lineitem': q_binning_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3045,6 +3103,7 @@ ORACLE_SQL = {
     'ewm_events': SQL_EWM_EVENTS,
     'shape_moments_events': SQL_SHAPE_MOMENTS_EVENTS,
     'target_encoding_events': SQL_TARGET_ENCODING_EVENTS,
+    'binning_lineitem': SQL_BINNING_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

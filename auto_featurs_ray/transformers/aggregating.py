@@ -1008,17 +1008,20 @@ class QuantileTransformer(ArithmeticAggregationTransformer):
         weights = np.full(self.SKETCH_POINTS, total / self.SKETCH_POINTS)
         return {'v': points, 'w': weights, 'exact': False, 'depth': depth}
 
+    @staticmethod
+    def state_quantile(state, q: float) -> float:
+        """Evaluate one quantile of a (possibly compressed) global state."""
+        if state['exact']:
+            return float(np.quantile(state['v'], q))
+        v, w = QuantileTransformer._weighted(state)
+        total = w.sum()
+        xp = np.cumsum(w) - 1.0
+        return float(np.interp(q * (total - 1.0), xp, v))
+
     def global_finalize(self, state, table: pa.Table):
         if len(state['v']) == 0:
             return np.full(table.num_rows, np.nan)
-        if state['exact']:
-            value = float(np.quantile(state['v'], self._quantile))
-        else:
-            v, w = self._weighted(state)
-            total = w.sum()
-            xp = np.cumsum(w) - 1.0
-            value = float(np.interp(self._quantile * (total - 1.0), xp, v))
-        return np.full(table.num_rows, value)
+        return np.full(table.num_rows, self.state_quantile(state, self._quantile))
 
 
 class MedianTransformer(QuantileTransformer):
@@ -1859,6 +1862,176 @@ class MinMaxScaler(AggregatingTransformer):
             return (x - lo) / (hi - lo)
 
 
+class RobustScaler(AggregatingTransformer):
+    """(x - median) / IQR robust scaling (engine extension; the reference
+    ships only standard/min-max — numeric_transformers.py:84-90).  Grouped
+    via per-group interpolated quantiles, global via the same mergeable
+    bounded-memory quantile sketch ``QuantileTransformer`` uses (exact below
+    EXACT_CAP values, weighted-CDF summary beyond).  Zero IQR or empty
+    input yields NaN = SQL NULL."""
+
+    def __init__(self, column: ColumnNameOrSpec) -> None:
+        self._column = parse_column_name(column)
+        # one sketch carries all three quantiles; q value is irrelevant to the state
+        self._sketch = QuantileTransformer(column, 0.5)
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnType.NUMERIC.as_selector()
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return f'{self._column}_robust_scaled'
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = pd.Series(frame.numeric(self._column))
+        grouped = x.groupby(codes)
+        med = grouped.transform('quantile', 0.5)
+        q1 = grouped.transform('quantile', 0.25)
+        q3 = grouped.transform('quantile', 0.75)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = (x - med) / (q3 - q1)
+        return np.where(q3 > q1, out, np.nan)
+
+    supports_global_two_pass = True
+
+    def global_partial(self, table: pa.Table):
+        return self._sketch.global_partial(table)
+
+    def global_combine(self, left, right):
+        return self._sketch.global_combine(left, right)
+
+    def global_finalize(self, state, table: pa.Table):
+        x = AggFrame(table).numeric(self._column)
+        if len(state['v']) == 0:
+            return np.full(table.num_rows, np.nan)
+        med, q1, q3 = (QuantileTransformer.state_quantile(state, q) for q in (0.5, 0.25, 0.75))
+        if not q3 > q1:
+            return np.full(table.num_rows, np.nan)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            return (x - med) / (q3 - q1)
+
+
+class _BinningTransformer(AggregatingTransformer, ABC):
+    """Discretize a numeric column into ``num_bins`` ordinal codes 0..k-1
+    (engine extension).  The bin of row ``i`` is ``sum(x_i > edge)`` over the
+    k-1 interior edges fit on the row's group (or globally, via the same
+    mergeable states the scalers use) — right-closed bins, NaN input rows
+    stay NaN = SQL NULL.  Edges are rounded to 6 digits before comparison so
+    an engine-vs-SQL 1-ulp edge difference cannot flip a bin for data with
+    few significant digits."""
+
+    def __init__(self, column: ColumnNameOrSpec, num_bins: int) -> None:
+        if num_bins < 2:
+            raise ValueError(f'num_bins must be >= 2, got {num_bins}')
+        self._column = parse_column_name(column)
+        self._num_bins = int(num_bins)
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnType.NUMERIC.as_selector()
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    @staticmethod
+    def _assign(x: np.ndarray, edges: np.ndarray) -> np.ndarray:
+        """sum(x > edge) per row, NaN rows stay NaN; edges shape (k-1,) or (n, k-1)."""
+        edges = np.round(edges, 6)
+        if edges.ndim == 1:
+            bins = (x[:, None] > edges[None, :]).sum(axis=1).astype(np.float64)
+        else:
+            bins = (x[:, None] > edges).sum(axis=1).astype(np.float64)
+        return np.where(np.isnan(x), np.nan, bins)
+
+
+class QuantileBinTransformer(_BinningTransformer):
+    """Equal-frequency bins: interior edges at quantiles i/k of the group."""
+
+    def _output_name(self) -> str:
+        return f'{self._column}_qbin_{self._num_bins}'
+
+    def _edge_qs(self):
+        return [i / self._num_bins for i in range(1, self._num_bins)]
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = frame.numeric(self._column)
+        grouped = pd.Series(x).groupby(codes)
+        edges = np.column_stack([grouped.transform('quantile', q).to_numpy()
+                                 for q in self._edge_qs()])
+        return self._assign(x, edges)
+
+    supports_global_two_pass = True
+
+    def global_partial(self, table: pa.Table):
+        return QuantileTransformer(self._column, 0.5).global_partial(table)
+
+    def global_combine(self, left, right):
+        return QuantileTransformer(self._column, 0.5).global_combine(left, right)
+
+    def global_finalize(self, state, table: pa.Table):
+        x = AggFrame(table).numeric(self._column)
+        if len(state['v']) == 0:
+            return np.full(table.num_rows, np.nan)
+        edges = np.array([QuantileTransformer.state_quantile(state, q) for q in self._edge_qs()])
+        return self._assign(x, edges)
+
+
+class EqualWidthBinTransformer(_BinningTransformer):
+    """Equal-width bins: interior edges evenly spaced over [min, max] of the
+    group; every value of a constant group lands in bin 0."""
+
+    def _output_name(self) -> str:
+        return f'{self._column}_wbin_{self._num_bins}'
+
+    def _edges(self, lo, hi):
+        # lo/hi scalars or aligned arrays -> (n-or-1, k-1) interior edges;
+        # evaluation order lo + (hi - lo) * (i/k) is mirrored in the SQL oracle
+        steps = np.arange(1, self._num_bins) / self._num_bins
+        lo = np.atleast_1d(np.asarray(lo, dtype=np.float64))
+        hi = np.atleast_1d(np.asarray(hi, dtype=np.float64))
+        return lo[:, None] + (hi - lo)[:, None] * steps[None, :]
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = frame.numeric(self._column)
+        grouped = pd.Series(x).groupby(codes)
+        lo = grouped.transform('min').to_numpy()
+        hi = grouped.transform('max').to_numpy()
+        return self._assign(x, self._edges(lo, hi))
+
+    supports_global_two_pass = True
+
+    def global_partial(self, table: pa.Table):
+        return MinMaxScaler(self._column).global_partial(table)
+
+    def global_combine(self, left, right):
+        return MinMaxScaler(self._column).global_combine(left, right)
+
+    def global_finalize(self, state, table: pa.Table):
+        lo, hi = state
+        x = AggFrame(table).numeric(self._column)
+        if np.isnan(lo) or np.isnan(hi):
+            return np.full(table.num_rows, np.nan)
+        return self._assign(x, self._edges(lo, hi)[0])
+
+
 class Scaling(Enum):
     STANDARD = StandardScaler
     MIN_MAX = MinMaxScaler
+    ROBUST = RobustScaler
+
+
+class Binning(Enum):
+    QUANTILE = QuantileBinTransformer
+    EQUAL_WIDTH = EqualWidthBinTransformer

@@ -34,8 +34,11 @@ from auto_featurs_ray.transformers.aggregating import (
     PercentRankTransformer,
     KurtosisTransformer,
     PointwiseMutualInformationTransformer,
+    EqualWidthBinTransformer,
+    QuantileBinTransformer,
     RegressionInterceptTransformer,
     RegressionSlopeTransformer,
+    RobustScaler,
     StandardScaler,
     StdTransformer,
     SkewTransformer,
@@ -553,3 +556,68 @@ class TestTargetEncoding:
                 == 'X_target_enc_loo_s10')
         assert (TargetEncodingTransformer('X', smoothing=10, cumulative=C.EXCLUSIVE).output_name
                 == 'X_exclusive_cum_target_enc_s10')
+
+
+class TestRobustScalerAndBinning:
+    """RobustScaler / QuantileBin / EqualWidthBin (engine extensions)."""
+
+    X = pd.Series([1.0, 2.0, 3.0, 4.0, 5.0, 100.0])
+    T = pa.table({'X': X.tolist()})
+
+    def test_robust_scaler_global_compute(self):
+        med, q1, q3 = self.X.quantile(.5), self.X.quantile(.25), self.X.quantile(.75)
+        want = ((self.X - med) / (q3 - q1)).tolist()
+        close([_norm(v) for v in np.asarray(
+            RobustScaler('X').compute(AggFrame(self.T), None), dtype=object)], want)
+
+    def test_robust_scaler_two_pass_matches_compute(self):
+        t = RobustScaler('X')
+        state = t.global_combine(t.global_partial(self.T.slice(0, 2)),
+                                 t.global_partial(self.T.slice(2)))
+        direct = np.asarray(t.compute(AggFrame(self.T), None), dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(t.global_finalize(state, self.T)), direct)
+
+    def test_robust_scaler_zero_iqr_is_nan(self):
+        t = pa.table({'X': [2.0, 2.0, 2.0]})
+        got = RobustScaler('X').compute(AggFrame(t), None)
+        assert all(np.isnan(np.asarray(got, dtype=np.float64)))
+
+    def test_quantile_bins_are_equal_frequency(self):
+        got = QuantileBinTransformer('X', 4).compute(AggFrame(self.T), None)
+        edges = np.round([self.X.quantile(q) for q in (.25, .5, .75)], 6)
+        want = (self.X.to_numpy()[:, None] > edges[None, :]).sum(1).astype(float)
+        np.testing.assert_array_equal(np.asarray(got, dtype=np.float64), want)
+
+    def test_equal_width_bins(self):
+        got = EqualWidthBinTransformer('X', 4).compute(AggFrame(self.T), None)
+        # span 1..100: edges 25.75, 50.5, 75.25 -> first five rows bin 0, last bin 3
+        np.testing.assert_array_equal(np.asarray(got, dtype=np.float64),
+                                      [0, 0, 0, 0, 0, 3])
+
+    def test_bins_two_pass_matches_compute(self):
+        for cls in (QuantileBinTransformer, EqualWidthBinTransformer):
+            t = cls('X', 4)
+            state = t.global_combine(t.global_partial(self.T.slice(0, 3)),
+                                     t.global_partial(self.T.slice(3)))
+            direct = np.asarray(t.compute(AggFrame(self.T), None), dtype=np.float64)
+            np.testing.assert_array_equal(np.asarray(t.global_finalize(state, self.T)), direct)
+
+    def test_grouped_bins(self):
+        t = pa.table({'X': [1.0, 10.0, 2.0, 20.0]})
+        codes = np.array([0, 1, 0, 1])
+        got = QuantileBinTransformer('X', 2).compute(AggFrame(t), codes)
+        # per-group median edges: g0 -> 1.5, g1 -> 15
+        np.testing.assert_array_equal(np.asarray(got, dtype=np.float64), [0, 0, 1, 1])
+
+    def test_nan_rows_stay_nan(self):
+        t = pa.table({'X': [1.0, None, 3.0]})
+        got = np.asarray(QuantileBinTransformer('X', 2).compute(AggFrame(t), None),
+                         dtype=np.float64)
+        assert np.isnan(got[1]) and not np.isnan(got[0])
+
+    def test_validation_and_names(self):
+        with pytest.raises(ValueError, match='num_bins'):
+            QuantileBinTransformer('X', 1)
+        assert QuantileBinTransformer('X', 4).output_name == 'X_qbin_4'
+        assert EqualWidthBinTransformer('X', 8).output_name == 'X_wbin_8'
+        assert RobustScaler('X').output_name == 'X_robust_scaled'
