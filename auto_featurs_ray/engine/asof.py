@@ -194,3 +194,130 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
         from auto_featurs_ray.engine.runtime import cogroup_reduce_from_splits
         return cogroup_reduce_from_splits(presplit, merge_partition)
     return cogroup_map_partitions(left, right, by, num_partitions, merge_partition)
+
+
+def range_join_aggregate(left, right, *, by: Sequence[str], on: str,
+                         right_on: Optional[str] = None,
+                         lo_us: int = 0, hi_us: int = 0,
+                         value_column: Optional[str] = None,
+                         aggs: Sequence[str] = ('count',),
+                         prefix: str = '', num_partitions: int = 64,
+                         max_right_rows_per_entity: Optional[int] = None):
+    """Point-in-time range-join aggregation (engine extension; the reference
+    ships only the backward as-of join): for every left row ``(entity, t)``,
+    aggregate the right rows of the same entity whose time falls in
+    ``[t + lo_us, t + hi_us)`` microseconds — e.g. ``lo_us=0,
+    hi_us=30*24*3600*1e6`` counts/sums the entity's NEXT-30-days right rows
+    (label construction), negative bounds give trailing windows over a
+    second table.
+
+    Supported ``aggs``: ``count``, ``sum``, ``mean`` (``sum``/``mean`` need
+    ``value_column``).  These difference per-entity PREFIX aggregates at the
+    two window edges — one sort plus two vectorized as-of lookups per
+    partition, never a per-row scan — which is also why order-statistics
+    (min/max) are not offered here: they don't difference; use the as-of
+    join plus a rolling window stage for those.
+
+    Scale shape: one co-group exchange hash-partitioned on ``by`` (the same
+    partitioning the as-of join and window stages reuse); each reduce task
+    handles only its partition's entities.  ``max_right_rows_per_entity``
+    caps one entity's right history exactly as in :func:`asof_join`.
+
+    Output columns: ``{prefix}{agg}`` (count) / ``{prefix}{value}_{agg}``.
+    Empty windows: count 0, sum/mean NaN (SQL ``SUM``/``AVG`` over an empty
+    set is NULL).
+    """
+    right_on = right_on or on
+    by = list(by)
+    aggs = list(aggs)
+    need_value = [a for a in aggs if a in ('sum', 'mean')]
+    if need_value and value_column is None:
+        raise ValueError(f'aggs {need_value} need value_column')
+    unknown = [a for a in aggs if a not in ('count', 'sum', 'mean')]
+    if unknown:
+        raise ValueError(f'unsupported range aggs {unknown}; supported: count/sum/mean '
+                         '(prefix-differencable)')
+    if not hi_us > lo_us:
+        raise ValueError(f'empty window: [{lo_us}, {hi_us}) microseconds')
+
+    def out_name(agg: str) -> str:
+        return f'{prefix}{agg}' if agg == 'count' else f'{prefix}{value_column}_{agg}'
+
+    def merge_partition(left_t: pa.Table, right_t: pa.Table, _pid: int) -> pa.Table:
+        result = left_t
+        n = left_t.num_rows
+        if n == 0:
+            for a in aggs:
+                result = result.append_column(
+                    out_name(a), pa.nulls(0, pa.int64() if a == 'count' else pa.float64()))
+            return result
+        if right_t.num_rows == 0:
+            zeros = np.zeros(n, dtype=np.int64)
+            nans = np.full(n, np.nan)
+            for a in aggs:
+                col = pa.array(zeros) if a == 'count' else pa.array(nans)
+                result = result.append_column(out_name(a), col)
+            return result
+        if max_right_rows_per_entity is not None:
+            right_t = _cap_entity_history(right_t, by, right_on,
+                                          max_right_rows_per_entity, _pid)
+
+        def _as_us(col: pa.ChunkedArray) -> np.ndarray:
+            # timestamps and numerics both merge as int64/float64 scalars,
+            # sidestepping pandas datetime-unit mismatches
+            if pa.types.is_timestamp(col.type):
+                return col.cast(pa.timestamp('us', tz=col.type.tz)).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)
+            return col.to_numpy(zero_copy_only=False)
+
+        rsorted = right_t.take(pc.sort_indices(
+            right_t, sort_keys=[(k, 'ascending') for k in by] + [(right_on, 'ascending')]))
+        rframe = pd.DataFrame({k: rsorted.column(k).to_pandas() for k in by})
+        rframe['__ts'] = _as_us(rsorted.column(right_on))
+        grouped = rframe.groupby(by, sort=False, dropna=False)
+        rframe['__ccount'] = grouped.cumcount() + 1
+        if value_column is not None:
+            vals = rsorted.column(value_column).cast(pa.float64()).to_pandas().fillna(0.0)
+            rframe['__csum'] = vals.groupby(
+                [rframe[k] for k in by], sort=False, dropna=False).cumsum()
+            valid = (~rsorted.column(value_column).to_pandas().isna()).astype(np.int64)
+            rframe['__cvalid'] = valid.groupby(
+                [rframe[k] for k in by], sort=False, dropna=False).cumsum()
+
+        # merge_asof needs the right frame sorted by the on-key GLOBALLY
+        # (the per-entity cumulatives above are attached per row, so the
+        # re-sort is safe)
+        rframe = rframe.sort_values('__ts', kind='stable').reset_index(drop=True)
+
+        lframe = pd.DataFrame({k: left_t.column(k).to_pandas() for k in by})
+        lts = _as_us(left_t.column(on))
+        lframe['__lidx'] = np.arange(n)
+
+        def prefix_at(edge_us: int) -> pd.DataFrame:
+            probe = lframe.copy()
+            probe['__ts'] = lts + edge_us
+            probe = probe.sort_values('__ts', kind='stable')
+            # backward, exact NOT allowed -> last right row with ts < edge:
+            # its running aggregates are the prefix F(edge)
+            cols = ['__ccount'] + (['__csum', '__cvalid'] if value_column is not None else [])
+            merged = pd.merge_asof(probe, rframe[by + ['__ts'] + cols], on='__ts',
+                                   by=by, direction='backward', allow_exact_matches=False)
+            return merged.sort_values('__lidx')[cols].fillna(0.0).reset_index(drop=True)
+
+        at_hi = prefix_at(hi_us)
+        at_lo = prefix_at(lo_us)
+        count = (at_hi['__ccount'] - at_lo['__ccount']).to_numpy(dtype=np.int64)
+        for a in aggs:
+            if a == 'count':
+                result = result.append_column(out_name(a), pa.array(count))
+                continue
+            s = (at_hi['__csum'] - at_lo['__csum']).to_numpy(dtype=np.float64)
+            v = (at_hi['__cvalid'] - at_lo['__cvalid']).to_numpy(dtype=np.float64)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                out = s if a == 'sum' else s / v
+            out = np.where(v > 0, out, np.nan)
+            result = result.append_column(
+                out_name(a), pa.array(out, mask=np.isnan(out)))
+        return result
+
+    return cogroup_map_partitions(left, right, by, num_partitions, merge_partition)

@@ -1487,6 +1487,46 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# 24j. range-join aggregate (engine extension): forward-looking per-entity
+# window aggregation against a second table — label construction.  Here the
+# right side is the events table itself: count/sum/mean of each user's
+# events in [t, t+6h), via prefix-difference as-of lookups on one co-group
+# exchange (engine/asof.py range_join_aggregate).
+# ---------------------------------------------------------------------------
+
+def q_range_join_events(sf_dir: str):
+    from auto_featurs_ray.engine.asof import range_join_aggregate
+    left = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                 columns=['event_id', 'user_id', 'ts'])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({'user_id': batch.column('user_id'), 'rts': batch.column('ts'),
+                         'value': batch.column('value')})
+
+    right = (ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['user_id', 'ts', 'value'])
+             .map_batches(prep, batch_format='pyarrow'))
+    out = range_join_aggregate(left, right, by=['user_id'], on='ts', right_on='rts',
+                               lo_us=0, hi_us=6 * 3600 * 1_000_000,
+                               value_column='value', aggs=['count', 'sum', 'mean'],
+                               prefix='next6h_', num_partitions=NUM_PARTITIONS)
+    keep = ['event_id', 'next6h_count', 'next6h_value_sum', 'next6h_value_mean']
+    return _finish(out, keep, round_cols=['next6h_value_sum', 'next6h_value_mean'],
+                   nan_null_cols=['next6h_value_sum', 'next6h_value_mean'])
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT e.event_id,
+       COUNT(w.event_id) AS next6h_count,
+       round(SUM(w.value), 6) AS next6h_value_sum,
+       round(AVG(w.value), 6) AS next6h_value_mean
+FROM events e LEFT JOIN events w
+  ON w.user_id = e.user_id AND w.ts >= e.ts AND w.ts < e.ts + INTERVAL 6 HOUR
+GROUP BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3033,6 +3073,7 @@ QUERIES = {
     'shape_moments_events': q_shape_moments_events,
     'target_encoding_events': q_target_encoding_events,
     'binning_lineitem': q_binning_lineitem,
+    'range_join_events': q_range_join_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3104,6 +3145,7 @@ ORACLE_SQL = {
     'shape_moments_events': SQL_SHAPE_MOMENTS_EVENTS,
     'target_encoding_events': SQL_TARGET_ENCODING_EVENTS,
     'binning_lineitem': SQL_BINNING_LINEITEM,
+    'range_join_events': SQL_RANGE_JOIN_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -112,6 +112,57 @@ class TestAsofJoin:
         assert out['v_right'].tolist() == ['right']
 
 
+class TestRangeJoinAggregate:
+    """range_join_aggregate (engine extension): prefix-difference window
+    aggregation of a right table per left row."""
+
+    def _run(self, lo_us, hi_us, aggs=('count', 'sum', 'mean')):
+        from auto_featurs_ray.engine.asof import range_join_aggregate
+        left = pa.table({'k': ['a', 'a', 'b', 'c'], 'ts': [0, 10, 5, 1],
+                         'event_id': [0, 1, 2, 3]})
+        right = pa.table({'k': ['a', 'a', 'a', 'b'], 'ts': [1, 9, 12, 5],
+                          'v': [1.0, 2.0, None, 4.0]})
+        out = range_join_aggregate(rd.from_arrow(left), rd.from_arrow(right),
+                                   by=['k'], on='ts', lo_us=lo_us, hi_us=hi_us,
+                                   value_column='v', aggs=list(aggs),
+                                   num_partitions=3)
+        return out.to_pandas().sort_values('event_id').reset_index(drop=True)
+
+    def test_forward_window(self):
+        # [t, t+10): a@0 sees ts 1,9 -> count 2 sum 3; a@10 sees 12 (null v)
+        # -> count 1 sum NaN; b@5 sees b@5 -> count 1 sum 4; c: none
+        out = self._run(0, 10)
+        assert out['count'].tolist() == [2, 1, 1, 0]
+        v = out['v_sum'].tolist()
+        assert v[0] == 3.0 and np.isnan(v[1]) and v[2] == 4.0 and np.isnan(v[3])
+        m = out['v_mean'].tolist()
+        assert m[0] == 1.5 and v[2] == 4.0
+
+    def test_trailing_window_excludes_self_with_negative_bounds(self):
+        # [t-10, t): a@10 sees ts 1,9 -> count 2; a@0 and others see nothing
+        out = self._run(-10, 0)
+        assert out['count'].tolist() == [0, 2, 0, 0]
+
+    def test_empty_window_rejected(self):
+        with pytest.raises(ValueError, match='empty window'):
+            self._run(5, 5)
+
+    def test_value_required_for_sum(self):
+        from auto_featurs_ray.engine.asof import range_join_aggregate
+        left = pa.table({'k': ['a'], 'ts': [0]})
+        with pytest.raises(ValueError, match='value_column'):
+            range_join_aggregate(rd.from_arrow(left), rd.from_arrow(left),
+                                 by=['k'], on='ts', lo_us=0, hi_us=1, aggs=['sum'])
+
+    def test_unsupported_agg_rejected(self):
+        from auto_featurs_ray.engine.asof import range_join_aggregate
+        left = pa.table({'k': ['a'], 'ts': [0], 'v': [1.0]})
+        with pytest.raises(ValueError, match='unsupported range aggs'):
+            range_join_aggregate(rd.from_arrow(left), rd.from_arrow(left),
+                                 by=['k'], on='ts', lo_us=0, hi_us=1,
+                                 value_column='v', aggs=['max'])
+
+
 class TestTemporal:
     def _dataset(self):
         table = pa.table({
