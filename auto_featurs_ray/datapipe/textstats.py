@@ -643,3 +643,154 @@ def corpus_bigram_logprob(ds, *, text_column: str, id_column: str,
 
     scored = shuffle_map_partitions(partials, ['doc'], num_partitions, combine)
     return scored.union(ds.map_batches(zeros, batch_format='pyarrow'))
+
+
+def _explode_tf(batch: pa.Table, text_column: str, id_column: str) -> pa.Table:
+    """Per-batch (doc_id, w, tf) term-frequency triples over the shared
+    lowercased ``[a-z0-9]+`` tokenization (one Arrow group_by per batch)."""
+    import pyarrow.compute as _pc
+
+    col = _pc.fill_null(batch.column(text_column).cast(pa.string()), '')
+    lists = _pc.split_pattern_regex(_pc.utf8_lower(col), pattern='[^a-z0-9]+')
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.values
+    nonempty = _pc.greater(_pc.utf8_length(flat), 0)
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(batch.num_rows), np.diff(offsets))[np.asarray(nonempty)]
+    words = flat.filter(nonempty)
+    pairs = pa.table({'doc': batch.column(id_column).take(pa.array(row_of)), 'w': words})
+    grouped = pairs.group_by(['doc', 'w']).aggregate([('w', 'count')])
+    return pa.table({'doc': grouped.column('doc'), 'w': grouped.column('w'),
+                     'tf': grouped.column('w_count').cast(pa.int64())})
+
+
+def _topk_terms(doc, w, score, k: int, id_column: str) -> pa.Table:
+    """Per-doc top-``k`` (score desc, w asc) -> joined term string + best
+    score; inputs are aligned arrays covering whole documents."""
+    t = pa.table({'doc': doc, 'w': w, 's': score})
+    t = t.take(pc.sort_indices(t, sort_keys=[('doc', 'ascending'), ('s', 'descending'),
+                                             ('w', 'ascending')]))
+    docs = t.column('doc').to_numpy(zero_copy_only=False)
+    n = len(docs)
+    if n == 0:
+        return pa.table({id_column: pa.array([], pa.int64()),
+                         'top_terms': pa.array([], pa.string()),
+                         'top_score': pa.array([], pa.float64())})
+    new_run = np.r_[True, docs[1:] != docs[:-1]]
+    starts = np.flatnonzero(new_run)
+    lengths = np.diff(np.r_[starts, n])
+    rank = np.arange(n) - np.repeat(starts, lengths)
+    keep = rank < k
+    kept = t.filter(pa.array(keep))
+    kept_counts = np.minimum(lengths, k)
+    offsets = np.r_[0, np.cumsum(kept_counts)].astype(np.int32)
+    terms = pa.ListArray.from_arrays(pa.array(offsets),
+                                     kept.column('w').combine_chunks())
+    joined = pc.binary_join(terms, ',')
+    best = kept.column('s').to_numpy(zero_copy_only=False)[offsets[:-1]]
+    return pa.table({id_column: t.column('doc').take(pa.array(starts)),
+                     'top_terms': joined, 'top_score': pa.array(best)})
+
+
+def tfidf_top_terms(ds, *, text_column: str, id_column: str, k: int = 3,
+                    broadcast_threshold: int = 5_000_000,
+                    num_partitions: int = 16):
+    """Top-``k`` TF-IDF terms per document over the corpus vocabulary
+    (engine extension; keyword extraction for curation/search).
+
+    ``score(term, doc) = tf * ln((N + 1) / (df + 1))`` with ``N`` the corpus
+    document count and ``df`` the term's document frequency; scores are
+    rounded to 6 digits (with the repo's 1e-9 half-boundary shift) BEFORE
+    ranking so the SQL oracle's libm cannot flip a 1-ulp ordering.  Ties
+    break term-ascending.
+
+    Scale shape mirrors :func:`corpus_unigram_logprob`: one (doc, term, tf)
+    explode feeds a term-keyed exchange producing the DF table; vocabularies
+    up to ``broadcast_threshold`` broadcast as two sorted arrays and each
+    batch ranks its own intact documents in one pass, larger vocabularies
+    co-group the tf triples with the DF table on term and re-rank per doc
+    behind a doc-keyed exchange — the driver never holds corpus text.
+    Documents with no ``[a-z0-9]+`` words get null terms/score.
+    """
+    import ray
+
+    from auto_featurs_ray.engine.runtime import cogroup_map_partitions, shuffle_map_partitions
+
+    tf_ds = ds.map_batches(lambda b: _explode_tf(b, text_column, id_column),
+                           batch_format='pyarrow').materialize()
+
+    def df_partition(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({'w': pa.array([], pa.string()), 'df': pa.array([], pa.int64())})
+        grouped = table.select(['w']).group_by('w').aggregate([('w', 'count')])
+        return pa.table({'w': grouped.column('w'),
+                         'df': grouped.column('w_count').cast(pa.int64())})
+
+    df_ds = shuffle_map_partitions(tf_ds, ['w'], num_partitions, df_partition).materialize()
+    n_docs = float(ds.count())
+    vocab = df_ds.count()
+
+    def score_of(tf: np.ndarray, df: np.ndarray) -> np.ndarray:
+        return np.round(tf.astype(np.float64) * np.log((n_docs + 1.0) / (df + 1.0))
+                        + 1e-9, 6)
+
+    def nulls_for_wordless(batch: pa.Table) -> pa.Table:
+        tf_t = _explode_tf(batch, text_column, id_column)
+        have = pc.is_in(batch.column(id_column), value_set=tf_t.column('doc').combine_chunks())
+        sub = batch.filter(pc.invert(pc.fill_null(have, False)))
+        return pa.table({id_column: sub.column(id_column),
+                         'top_terms': pa.nulls(sub.num_rows, pa.string()),
+                         'top_score': pa.nulls(sub.num_rows, pa.float64())})
+
+    if vocab <= broadcast_threshold:
+        tbl = pa.concat_tables(ray.get(df_ds.to_arrow_refs()), promote_options='permissive')
+        words = tbl.column('w').to_numpy(zero_copy_only=False).astype(object)
+        dfs = tbl.column('df').to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(words)
+        handle = ray.put((words[order], dfs[order]))
+
+        def rank_batch(batch: pa.Table) -> pa.Table:
+            wv, dv = ray.get(handle)
+            tf_t = _explode_tf(batch, text_column, id_column)
+            bw = tf_t.column('w').to_numpy(zero_copy_only=False).astype(object)
+            pos = np.searchsorted(wv, bw) if len(wv) else np.zeros(len(bw), np.int64)
+            df = dv[np.minimum(pos, max(len(wv) - 1, 0))] if len(wv) else np.zeros(len(bw))
+            s = score_of(tf_t.column('tf').to_numpy(zero_copy_only=False), df)
+            out = _topk_terms(tf_t.column('doc'), tf_t.column('w'), pa.array(s), k, id_column)
+            return pa.concat_tables([out, nulls_for_wordless(batch)],
+                                    promote_options='permissive')
+
+        return ds.map_batches(rank_batch, batch_format='pyarrow')
+
+    # scale path: attach df behind a term-keyed cogroup, rank behind a
+    # doc-keyed exchange
+    def attach(tf_t: pa.Table, df_t: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'doc': pa.array([], pa.int64()), 'w': pa.array([], pa.string()),
+                          's': pa.array([], pa.float64())})
+        if tf_t.num_rows == 0 or tf_t.num_columns == 0 \
+                or df_t.num_rows == 0 or df_t.num_columns == 0:
+            return empty
+        wv = df_t.column('w').to_numpy(zero_copy_only=False).astype(object)
+        dv = df_t.column('df').to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(wv)
+        wv, dv = wv[order], dv[order]
+        bw = tf_t.column('w').to_numpy(zero_copy_only=False).astype(object)
+        pos = np.searchsorted(wv, bw)
+        s = score_of(tf_t.column('tf').to_numpy(zero_copy_only=False),
+                     dv[np.minimum(pos, len(wv) - 1)])
+        return pa.table({'doc': tf_t.column('doc'), 'w': tf_t.column('w'),
+                         's': pa.array(s)})
+
+    scored = cogroup_map_partitions(tf_ds, df_ds, ['w'], num_partitions, attach)
+
+    def rank_partition(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             'top_terms': pa.array([], pa.string()),
+                             'top_score': pa.array([], pa.float64())})
+        return _topk_terms(table.column('doc'), table.column('w'), table.column('s'),
+                           k, id_column)
+
+    ranked = shuffle_map_partitions(scored, ['doc'], num_partitions, rank_partition)
+    return ranked.union(ds.map_batches(nulls_for_wordless, batch_format='pyarrow'))

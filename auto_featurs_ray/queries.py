@@ -1527,6 +1527,43 @@ GROUP BY e.event_id
 
 
 # ---------------------------------------------------------------------------
+# 24k. corpus TF-IDF keyword extraction: top-3 terms per document, DF table
+# built on a term-keyed exchange, scores rounded-before-ranking so the SQL
+# oracle's libm can't flip a 1-ulp ordering (datapipe/textstats.py).
+# ---------------------------------------------------------------------------
+
+def q_tfidf_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.textstats import tfidf_top_terms
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = tfidf_top_terms(docs, text_column='text', id_column='doc_id', k=3,
+                          num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['doc_id', 'top_terms', 'top_score'])
+
+
+SQL_TFIDF_DOCUMENTS = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS w
+    FROM documents) WHERE w <> ''
+), tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.w,
+                  round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) + 1e-9, 6) AS s
+           FROM tf JOIN df USING (w) CROSS JOIN n),
+ranked AS (SELECT doc_id, w, s,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, w ASC) AS r
+           FROM scored)
+SELECT d.doc_id,
+       string_agg(r.w, ',' ORDER BY r.r) AS top_terms,
+       MAX(CASE WHEN r.r = 1 THEN r.s END) AS top_score
+FROM documents d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.r <= 3
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3074,6 +3111,7 @@ QUERIES = {
     'target_encoding_events': q_target_encoding_events,
     'binning_lineitem': q_binning_lineitem,
     'range_join_events': q_range_join_events,
+    'tfidf_documents': q_tfidf_documents,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3146,6 +3184,7 @@ ORACLE_SQL = {
     'target_encoding_events': SQL_TARGET_ENCODING_EVENTS,
     'binning_lineitem': SQL_BINNING_LINEITEM,
     'range_join_events': SQL_RANGE_JOIN_EVENTS,
+    'tfidf_documents': SQL_TFIDF_DOCUMENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -509,3 +509,54 @@ class TestEmptyCorpus:
         with _pytest.raises(ValueError, match="cc must be"):
             minhash_dedup(rd.from_arrow(doc_table()), text_column='text',
                           id_column='doc_id', cc='Distributed')
+
+
+class TestTfidfTopTerms:
+    def test_broadcast_and_cogroup_paths_agree(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.textstats import tfidf_top_terms
+        ds = rd.from_arrow(doc_table())
+        a = (tfidf_top_terms(ds, text_column='text', id_column='doc_id', k=3)
+             .to_pandas().sort_values('doc_id').reset_index(drop=True))
+        b = (tfidf_top_terms(ds, text_column='text', id_column='doc_id', k=3,
+                             broadcast_threshold=0)
+             .to_pandas().sort_values('doc_id').reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, rtol=1e-12)
+
+    def test_matches_brute_force(self):
+        import math
+        import re
+        from collections import Counter
+
+        from auto_featurs_ray.datapipe.textstats import tfidf_top_terms
+        table = doc_table()
+        out = (tfidf_top_terms(rd.from_arrow(table), text_column='text',
+                               id_column='doc_id', k=3)
+               .to_pandas().set_index('doc_id'))
+        texts = dict(zip(table.column('doc_id').to_pylist(), table.column('text').to_pylist()))
+        n = len(texts)
+        df = Counter()
+        tfs = {}
+        for d, t in texts.items():
+            ws = re.findall(r'[a-z0-9]+', (t or '').lower())
+            tfs[d] = Counter(ws)
+            df.update(set(ws))
+        for d, tf in tfs.items():
+            if not tf:
+                assert out.loc[d, 'top_terms'] is None or out.loc[d, 'top_terms'] != out.loc[d, 'top_terms']
+                continue
+            scored = sorted(
+                ((round(c * math.log((n + 1.0) / (df[w] + 1.0)) + 1e-9, 6), w) for w, c in tf.items()),
+                key=lambda p: (-p[0], p[1]))
+            want = ','.join(w for _, w in scored[:3])
+            assert out.loc[d, 'top_terms'] == want, (d, out.loc[d, 'top_terms'], want)
+            assert abs(out.loc[d, 'top_score'] - scored[0][0]) < 1e-9
+
+    def test_empty_docs_get_null(self):
+        from auto_featurs_ray.datapipe.textstats import tfidf_top_terms
+        t = pa.table({'doc_id': pa.array([1, 2], pa.int64()),
+                      'text': pa.array(['', None], pa.string())})
+        out = tfidf_top_terms(rd.from_arrow(t), text_column='text',
+                              id_column='doc_id').to_pandas()
+        assert len(out) == 2 and out['top_terms'].isna().all()
