@@ -33,8 +33,10 @@ from auto_featurs_ray.transformers.aggregating import (
     ArgMaxTransformer,
     ArgMinTransformer,
     ArithmeticAggregations,
+    AutocorrTransformer,
     Binning,
     CorrelationTransformer,
+    CovarianceTransformer,
     CountTransformer,
     EwmMeanTransformer,
     EntityEntropyTransformer,
@@ -263,6 +265,36 @@ class Pipeline:
             over_columns_combinations=over_columns_combinations,
             time_windows=time_windows, index_column_name=index_column_name,
             cumulative=cumulative, filtering_condition=filtering_condition)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_covariance(self, column_a_subset: ColumnSelection,
+                        column_b_subset: ColumnSelection,
+                        over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                        time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                        cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                        filtering_condition: Optional[Expr] = None,
+                        auxiliary: bool = False) -> 'Pipeline':
+        """Pairwise sample covariance features (engine extension, DuckDB
+        ``covar_samp`` semantics): per-group, running, or rolling."""
+        transformers = self._build_aggregated_transformers(
+            column_a_subset, column_b_subset, transformer_factory=CovarianceTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            cumulative=cumulative, filtering_condition=filtering_condition)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_autocorrelation(self, subset: ColumnSelection, lags: Sequence[int] = (1,),
+                             over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                             filtering_condition: Optional[Expr] = None,
+                             auxiliary: bool = False) -> 'Pipeline':
+        """Lag-k serial correlation of each entity's ordered series (engine
+        extension): the momentum / mean-reversion signal, broadcast to every
+        row of the group."""
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=AutocorrTransformer,
+            over_columns_combinations=over_columns_combinations,
+            filtering_condition=filtering_condition,
+            kw_params={'lag': [int(l) for l in lags]})
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
     def with_ewm(self, subset: ColumnSelection, alphas: Sequence[float],

@@ -1564,6 +1564,59 @@ GROUP BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# 24l. covariance (grouped / running / rolling, DuckDB covar_samp semantics)
+# + lag-1/lag-2 serial autocorrelation per entity (engine extensions).
+# ---------------------------------------------------------------------------
+
+def q_covariance_autocorr_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_covariance(['event_id'], ['value'], over_columns_combinations=[['user_id']])
+         .with_covariance(['event_id'], ['value'], over_columns_combinations=[['user_id']],
+                          cumulative=CumulativeOptions.INCLUSIVE)
+         .with_covariance(['event_id'], ['value'], over_columns_combinations=[['user_id']],
+                          time_windows=['6h'], index_column_name='ts')
+         .with_autocorrelation('value', lags=[1, 2], over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'event_id_value_covar_over_user_id',
+            'event_id_value_inclusive_cum_covar_over_user_id',
+            'event_id_value_covar_in_the_last_6h_over_user_id',
+            'value_autocorr_1_over_user_id', 'value_autocorr_2_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:], nan_null_cols=keep[1:],
+                   round_shift=1e-9)
+
+
+# The rolling covariance uses the engine's shared per-timestamp-run anchor —
+# (user_id, ts) is unique in the synthetic events so a RANGE frame with the
+# 1-microsecond shave reproduces it exactly (same convention as
+# SQL_CORRELATION_LINEITEM); the autocorrelation joins each row to its
+# group-lagged predecessor ordered by (ts, event_id).
+SQL_COVARIANCE_AUTOCORR_EVENTS = """
+WITH l AS (
+  SELECT event_id, user_id, value,
+         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv1,
+         LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv2
+  FROM events
+)
+SELECT e.event_id,
+       round(covar_samp(e.event_id, e.value) OVER (PARTITION BY e.user_id) + 1e-9, 6)
+           AS event_id_value_covar_over_user_id,
+       round(covar_samp(e.event_id, e.value) OVER (
+                 PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+           AS event_id_value_inclusive_cum_covar_over_user_id,
+       round(covar_samp(e.event_id, e.value) OVER (
+                 PARTITION BY e.user_id ORDER BY e.ts
+                 RANGE BETWEEN INTERVAL 6 HOUR - INTERVAL 1 MICROSECOND PRECEDING
+                       AND CURRENT ROW) + 1e-9, 6)
+           AS event_id_value_covar_in_the_last_6h_over_user_id,
+       round(corr(a.value, a.pv1) OVER (PARTITION BY a.user_id) + 1e-9, 6)
+           AS value_autocorr_1_over_user_id,
+       round(corr(a.value, a.pv2) OVER (PARTITION BY a.user_id) + 1e-9, 6)
+           AS value_autocorr_2_over_user_id
+FROM events e JOIN l a ON a.event_id = e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3112,6 +3165,7 @@ QUERIES = {
     'binning_lineitem': q_binning_lineitem,
     'range_join_events': q_range_join_events,
     'tfidf_documents': q_tfidf_documents,
+    'covariance_autocorr_events': q_covariance_autocorr_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3185,6 +3239,7 @@ ORACLE_SQL = {
     'binning_lineitem': SQL_BINNING_LINEITEM,
     'range_join_events': SQL_RANGE_JOIN_EVENTS,
     'tfidf_documents': SQL_TFIDF_DOCUMENTS,
+    'covariance_autocorr_events': SQL_COVARIANCE_AUTOCORR_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -1513,6 +1513,74 @@ class CorrelationTransformer(_PairMomentTransformer):
     _r = _stat
 
 
+class CovarianceTransformer(_PairMomentTransformer):
+    """Pairwise-valid sample covariance (DuckDB ``covar_samp()`` semantics):
+    NaN for fewer than two valid pairs."""
+
+    @property
+    def _aggregation(self) -> str:
+        return 'covar'
+
+    @staticmethod
+    def _stat(m: np.ndarray):
+        n, sx, sy, sxx, syy, sxy = (m[..., i] for i in range(6))
+        with np.errstate(divide='ignore', invalid='ignore'):
+            return np.where(n >= 2, (sxy - sx * sy / n) / (n - 1), np.nan)
+
+
+class AutocorrTransformer(AggregatingTransformer):
+    """Lag-``k`` serial correlation of a column within its group, ordered by
+    the stage's ``(keys, order_by)`` sort (engine extension): Pearson
+    correlation between ``x_t`` and ``x_{t-k}`` over the pairs where both
+    are valid, broadcast to every row of the group — the mean-reversion /
+    momentum signal of an entity's series.  NaN (= SQL NULL) when fewer
+    than two valid pairs or either side is constant.  Grouped NONE mode
+    only: an expanding/rolling autocorrelation is order-dependent per
+    window; compose ``with_lagged`` + ``with_correlation`` for those.
+    """
+
+    def __init__(self, column: ColumnNameOrSpec, lag: int = 1,
+                 cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if lag < 1:
+            raise ValueError(f'autocorr lag must be >= 1, got {lag}')
+        if cumulative != CumulativeOptions.NONE:
+            raise ValueError('autocorr supports only CumulativeOptions.NONE; compose '
+                             'with_lagged + with_correlation for running forms')
+        self._column = parse_column_name(column)
+        self._lag = int(lag)
+        self.cumulative = cumulative
+        self.filtering_condition = default_true_filtering_condition(filtering_condition)
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnTypeSelector(frozenset((ColumnType.NUMERIC, ColumnType.BOOLEAN)))
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return (f'{self._column}_autocorr_{self._lag}'
+                + filtering_condition_to_string(self.filtering_condition))
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = frame.numeric(self._column)
+        cond = frame.cond_mask(self.filtering_condition)
+        if cond is not None:
+            x = np.where(cond, x, np.nan)
+        lagged = _gshift(pd.Series(x), codes, self._lag).to_numpy(dtype=np.float64)
+        valid = ~np.isnan(x) & ~np.isnan(lagged)
+        a = np.where(valid, x, 0.0)
+        b = np.where(valid, lagged, 0.0)
+        m = np.column_stack([valid.astype(np.float64), a, b, a * a, b * b, a * b])
+        _, _, totals = _grouped_moment_scan(m, codes)
+        return CorrelationTransformer._stat(totals)
+
+
 class RegressionSlopeTransformer(_PairMomentTransformer):
     """Least-squares slope of ``a ~ b`` (DuckDB ``regr_slope(a, b)``
     semantics — first column is the dependent y, second the regressor x):

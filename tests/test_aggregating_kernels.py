@@ -17,7 +17,9 @@ from auto_featurs_ray.engine.aggframe import AggFrame
 from auto_featurs_ray.expressions import col
 from auto_featurs_ray.transformers.aggregating import (
     ArgMaxTransformer,
+    AutocorrTransformer,
     CorrelationTransformer,
+    CovarianceTransformer,
     ArgMinTransformer,
     CountTransformer,
     EntityEntropyTransformer,
@@ -621,3 +623,44 @@ class TestRobustScalerAndBinning:
         assert QuantileBinTransformer('X', 4).output_name == 'X_qbin_4'
         assert EqualWidthBinTransformer('X', 8).output_name == 'X_wbin_8'
         assert RobustScaler('X').output_name == 'X_robust_scaled'
+
+
+class TestCovarianceAndAutocorr:
+    """CovarianceTransformer (covar_samp) / AutocorrTransformer."""
+
+    def test_covariance_matches_pandas(self):
+        x = pd.Series([0.0, 1, 2, 3, 4, 5])
+        y = pd.Series([0.0, -1, -2, -3, -4, -5])
+        t = CovarianceTransformer('NUMERIC_FEATURE', 'NUMERIC_FEATURE_2')
+        close(run(t), [x.cov(y)] * 6)
+        assert t.output_name == 'NUMERIC_FEATURE_NUMERIC_FEATURE_2_covar'
+
+    def test_covariance_degenerate_is_nan(self):
+        t = pa.table({'A': [1.0], 'B': [2.0]})
+        got = CovarianceTransformer('A', 'B').compute(AggFrame(t), None)
+        assert np.isnan(np.asarray(got, dtype=np.float64)).all()
+
+    def test_autocorr_lag1_matches_pandas(self):
+        rng = np.random.default_rng(7)
+        x = pd.Series(rng.normal(size=50))
+        t = pa.table({'X': x.tolist()})
+        got = AutocorrTransformer('X', 1).compute(AggFrame(t), None)
+        want = x.autocorr(lag=1)
+        np.testing.assert_allclose(np.asarray(got, dtype=np.float64), want, rtol=1e-10)
+
+    def test_autocorr_grouped_respects_boundaries(self):
+        # groups [1,2,3] and [10,30]: lag pairs never cross groups
+        t = pa.table({'X': [1.0, 2.0, 3.0, 10.0, 30.0]})
+        codes = np.array([0, 0, 0, 1, 1])
+        got = np.asarray(AutocorrTransformer('X', 1).compute(AggFrame(t), codes),
+                         dtype=np.float64)
+        np.testing.assert_allclose(got[:3], 1.0)        # perfectly linear
+        assert np.isnan(got[3:]).all()                  # single pair, zero variance
+        name = AutocorrTransformer('X', 2).output_name
+        assert name == 'X_autocorr_2'
+
+    def test_autocorr_validation(self):
+        with pytest.raises(ValueError, match='lag'):
+            AutocorrTransformer('X', 0)
+        with pytest.raises(ValueError, match='NONE'):
+            AutocorrTransformer('X', 1, cumulative=C.INCLUSIVE)
