@@ -794,3 +794,87 @@ def tfidf_top_terms(ds, *, text_column: str, id_column: str, k: int = 3,
 
     ranked = shuffle_map_partitions(scored, ['doc'], num_partitions, rank_partition)
     return ranked.union(ds.map_batches(nulls_for_wordless, batch_format='pyarrow'))
+
+
+def bm25_score(ds, *, text_column: str, id_column: str, query_terms: Sequence[str],
+               k1: float = 1.2, b: float = 0.75, num_partitions: int = 16):
+    """Okapi BM25 relevance of every document against one fixed query term
+    set (engine extension; the batch-scoring half of retrieval-based
+    curation).
+
+    ``score(d) = sum_t idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1-b+b*|d|/avgdl))``
+    with ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the Lucene
+    non-negative form), ``|d|`` the document's word count and ``avgdl`` the
+    corpus mean.  Tokenization is the shared lowercased ``[a-z0-9]+`` run
+    split, so a SQL oracle reproduces it with ``regexp_extract_all``.
+
+    Scale shape: document frequencies for the (tiny, fixed) query term set
+    reduce from per-batch partials on the driver — O(|query|) state, no
+    exchange; doc lengths ride the same pass; scoring is then one
+    vectorized broadcast ``map_batches``.  Wordless documents score null.
+
+    Returns a Dataset ``(id_column, n_words, bm25)``.
+    """
+    import ray
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError('query_terms must be non-empty')
+    term_arr = pa.array(terms, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf_t = _explode_tf(batch, text_column, id_column)
+        hit = tf_t.filter(pc.is_in(tf_t.column('w'), value_set=term_arr))
+        # df partial: number of docs (rows of tf_t are unique per (doc, w))
+        grouped = hit.select(['w']).group_by('w').aggregate([('w', 'count')])
+        counts = np.zeros(len(terms), dtype=np.int64)
+        idx = np.searchsorted(terms, np.asarray(grouped.column('w').to_pylist(), dtype=object))
+        counts[idx] = grouped.column('w_count').to_numpy(zero_copy_only=False)
+        n_words = (tf_t.group_by('doc').aggregate([('tf', 'sum')])
+                   .column('tf_sum').to_numpy(zero_copy_only=False))
+        return pa.table({'state': [pickle.dumps(
+            (counts, int(batch.num_rows), float(n_words.sum())))]})
+
+    import pickle
+    rows = ds.map_batches(partial, batch_format='pyarrow').take_all()
+    df = np.zeros(len(terms), dtype=np.int64)
+    n_docs = 0
+    total_words = 0.0
+    for r in rows:
+        c, n, w = pickle.loads(r['state'])
+        df += c
+        n_docs += n
+        total_words += w
+    if n_docs == 0:
+        raise ValueError('bm25 over an empty dataset')
+    avgdl = total_words / n_docs if n_docs else 0.0
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    handle = ray.put((np.asarray(terms, dtype=object), idf))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tv, iv = ray.get(handle)
+        tf_t = _explode_tf(batch, text_column, id_column)
+        ids = batch.column(id_column)
+        # doc lengths aligned with the batch rows
+        doc_len = np.zeros(batch.num_rows, dtype=np.float64)
+        lg = tf_t.group_by('doc').aggregate([('tf', 'sum')])
+        pos = pc.index_in(lg.column('doc'), value_set=ids.combine_chunks())
+        doc_len[pos.to_numpy(zero_copy_only=False)] = \
+            lg.column('tf_sum').to_numpy(zero_copy_only=False)
+        hit = tf_t.filter(pc.is_in(tf_t.column('w'), value_set=pa.array(list(tv), pa.string())))
+        s = np.zeros(batch.num_rows, dtype=np.float64)
+        if hit.num_rows:
+            hw = np.asarray(hit.column('w').to_pylist(), dtype=object)
+            ti = np.searchsorted(tv, hw)
+            hd = pc.index_in(hit.column('doc'), value_set=ids.combine_chunks())
+            hd = hd.to_numpy(zero_copy_only=False)
+            tf = hit.column('tf').to_numpy(zero_copy_only=False).astype(np.float64)
+            dl = doc_len[hd]
+            contrib = iv[ti] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            np.add.at(s, hd, contrib)
+        wordless = doc_len == 0
+        return pa.table({id_column: ids,
+                         'n_words': pa.array(doc_len.astype(np.int64)),
+                         'bm25': pa.array(np.round(s + 1e-9, 6), mask=wordless)})
+
+    return ds.map_batches(score, batch_format='pyarrow')

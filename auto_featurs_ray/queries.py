@@ -1617,6 +1617,47 @@ FROM events e JOIN l a ON a.event_id = e.event_id
 
 
 # ---------------------------------------------------------------------------
+# 24m. Okapi BM25 relevance against a fixed query term set — df/avgdl reduce
+# from O(|query|) per-batch partials (no exchange), scoring is one broadcast
+# map_batches (datapipe/textstats.py bm25_score).
+# ---------------------------------------------------------------------------
+
+def q_bm25_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.textstats import bm25_score
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = bm25_score(docs, text_column='text', id_column='doc_id',
+                     query_terms=['data', 'model', 'the', 'learning'])
+    return _finish(out, ['doc_id', 'n_words', 'bm25'])
+
+
+SQL_BM25_DOCUMENTS = """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS w
+    FROM documents) WHERE w <> ''
+), dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+n AS (SELECT COUNT(*) AS n, (SELECT COUNT(*) * 1.0 FROM words) / COUNT(*) AS avgdl
+      FROM documents),
+q(t) AS (VALUES ('data'), ('model'), ('the'), ('learning')),
+df AS (SELECT q.t, COUNT(DISTINCT w.doc_id) AS df FROM q LEFT JOIN words w ON w.w = q.t
+       GROUP BY q.t),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words WHERE w IN (SELECT t FROM q)
+       GROUP BY doc_id, w),
+contrib AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) AS s
+  FROM tf JOIN df ON df.t = tf.w JOIN dl USING (doc_id) CROSS JOIN n GROUP BY tf.doc_id)
+SELECT d.doc_id, COALESCE(dl.dl, 0) AS n_words,
+       CASE WHEN dl.doc_id IS NULL THEN NULL
+            ELSE round(COALESCE(c.s, 0.0) + 1e-9, 6) END AS bm25
+FROM documents d LEFT JOIN dl ON dl.doc_id = d.doc_id
+LEFT JOIN contrib c ON c.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3166,6 +3207,7 @@ QUERIES = {
     'range_join_events': q_range_join_events,
     'tfidf_documents': q_tfidf_documents,
     'covariance_autocorr_events': q_covariance_autocorr_events,
+    'bm25_documents': q_bm25_documents,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3240,6 +3282,7 @@ ORACLE_SQL = {
     'range_join_events': SQL_RANGE_JOIN_EVENTS,
     'tfidf_documents': SQL_TFIDF_DOCUMENTS,
     'covariance_autocorr_events': SQL_COVARIANCE_AUTOCORR_EVENTS,
+    'bm25_documents': SQL_BM25_DOCUMENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     'bigram_logprob_documents', 'quantize_embeddings',
     'percent_rank_events', 'correlation_lineitem', 'regression_lineitem',
     'ewm_events', 'shape_moments_events',
+    # round-4 late additions
+    'target_encoding_events', 'binning_lineitem', 'range_join_events',
+    'tfidf_documents', 'covariance_autocorr_events',
 ]
 
 

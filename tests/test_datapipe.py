@@ -560,3 +560,40 @@ class TestTfidfTopTerms:
         out = tfidf_top_terms(rd.from_arrow(t), text_column='text',
                               id_column='doc_id').to_pandas()
         assert len(out) == 2 and out['top_terms'].isna().all()
+
+
+class TestBm25:
+    def test_matches_brute_force(self):
+        import math
+        import re
+        from collections import Counter
+
+        from auto_featurs_ray.datapipe.textstats import bm25_score
+        table = doc_table()
+        terms = ['fox', 'the', 'ray']
+        out = (bm25_score(rd.from_arrow(table), text_column='text', id_column='doc_id',
+                          query_terms=terms)
+               .to_pandas().set_index('doc_id'))
+        texts = dict(zip(table.column('doc_id').to_pylist(), table.column('text').to_pylist()))
+        tfs = {d: Counter(re.findall(r'[a-z0-9]+', (t or '').lower())) for d, t in texts.items()}
+        n = len(texts)
+        lens = {d: sum(tf.values()) for d, tf in tfs.items()}
+        avgdl = sum(lens.values()) / n
+        for d, tf in tfs.items():
+            if not lens[d]:
+                assert np.isnan(out.loc[d, 'bm25'])
+                continue
+            s = 0.0
+            for t in terms:
+                if tf[t] == 0:
+                    continue
+                df = sum(1 for other in tfs.values() if other[t] > 0)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf[t] * 2.2 / (tf[t] + 1.2 * (0.25 + 0.75 * lens[d] / avgdl))
+            assert abs(out.loc[d, 'bm25'] - round(s + 1e-9, 6)) < 1e-9, d
+
+    def test_empty_query_rejected(self):
+        from auto_featurs_ray.datapipe.textstats import bm25_score
+        with pytest.raises(ValueError, match='query_terms'):
+            bm25_score(rd.from_arrow(doc_table()), text_column='text',
+                       id_column='doc_id', query_terms=[])
