@@ -1,0 +1,79 @@
+"""Categorical encodings over a Dataset: one-hot with an exact top-K
+vocabulary (engine extension; the reference has no categorical encoders —
+its nominal columns flow through aggregations only).
+
+Vocabulary selection is exact and deterministic: a value-keyed exchange
+counts each distinct category once, per-partition top-K partials merge on
+the driver (<= K x partitions tiny rows) with the (count desc, value asc)
+tie-break, and the final K-category list broadcasts to a single vectorized
+``map_batches`` that appends one int8 indicator column per kept category
+plus an ``_other`` column.  Nothing larger than K x partitions ever lands
+on the driver, so the op holds at any corpus size as long as K stays
+human-scale (one-hot beyond ~1000 columns is the wrong encoding — use the
+hashing trick or target encoding instead)."""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _safe(name: str) -> str:
+    return re.sub(r'[^A-Za-z0-9_]+', '_', name)
+
+
+def one_hot_encode(ds, *, column: str, max_categories: int = 16,
+                   num_partitions: int = 16, other_column: bool = True):
+    """Append int8 one-hot indicator columns for the ``max_categories`` most
+    frequent values of ``column`` (ties break value-ascending); remaining
+    non-null values set ``{column}_is_other`` when ``other_column``.  Null
+    category rows get null indicators (SQL ``CASE WHEN col = 'x'`` over a
+    NULL is NULL).
+    """
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+    import ray
+
+    if max_categories < 1:
+        raise ValueError(f'max_categories must be >= 1, got {max_categories}')
+
+    def count_partition(table: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'v': pa.array([], pa.string()), 'c': pa.array([], pa.int64())})
+        if table.num_rows == 0 or table.num_columns == 0:
+            return empty
+        col = table.column(column).cast(pa.string())
+        keep = pc.is_valid(col)
+        grouped = (pa.table({'v': col}).filter(keep)
+                   .group_by('v').aggregate([('v', 'count')]))
+        t = pa.table({'v': grouped.column('v'),
+                      'c': grouped.column('v_count').cast(pa.int64())})
+        # per-partition top-K with the merge's own tie-break
+        t = t.take(pc.sort_indices(t, sort_keys=[('c', 'descending'), ('v', 'ascending')]))
+        return t.slice(0, max_categories)
+
+    partials = shuffle_map_partitions(ds, [column], num_partitions, count_partition)
+    tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()), promote_options='permissive')
+    order = pc.sort_indices(tbl, sort_keys=[('c', 'descending'), ('v', 'ascending')])
+    cats = tbl.take(order).slice(0, max_categories).column('v').to_pylist()
+    cat_arr = pa.array(cats, pa.string())
+    handle = ray.put(cats)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        kept = ray.get(handle)
+        col = batch.column(column).cast(pa.string())
+        null_mask = np.asarray(pc.is_null(col).combine_chunks())
+        for cat in kept:
+            flag = pc.equal(col, cat).combine_chunks()
+            vals = np.asarray(pc.fill_null(flag, False)).astype(np.int8)
+            batch = batch.append_column(f'{column}_is_{_safe(cat)}',
+                                        pa.array(vals, mask=null_mask))
+        if other_column:
+            known = pc.fill_null(pc.is_in(col, value_set=cat_arr), False)
+            vals = (~np.asarray(known.combine_chunks()) & ~null_mask).astype(np.int8)
+            batch = batch.append_column(f'{column}_is_other', pa.array(vals, mask=null_mask))
+        return batch
+
+    return ds.map_batches(encode, batch_format='pyarrow', zero_copy_batch=True)

@@ -1658,6 +1658,37 @@ LEFT JOIN contrib c ON c.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# 24n. one-hot encoding with an exact top-K vocabulary — value-keyed
+# exchange for counts, <= K x partitions driver merge, broadcast indicator
+# pass (datapipe/encoding.py).  The lang column has a fixed 5-value set at
+# every sf, so max_categories=8 keeps the output schema static for the
+# oracle while still exercising the top-K machinery.
+# ---------------------------------------------------------------------------
+
+def q_one_hot_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.encoding import one_hot_encode
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'lang'])
+    out = one_hot_encode(docs, column='lang', max_categories=8,
+                         num_partitions=NUM_PARTITIONS)
+    keep = ['doc_id', 'lang_is_de', 'lang_is_en', 'lang_is_es', 'lang_is_fr',
+            'lang_is_zh', 'lang_is_other']
+    return _finish(out, keep)
+
+
+SQL_ONE_HOT_DOCUMENTS = """
+SELECT doc_id,
+       CAST(CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS TINYINT) AS lang_is_de,
+       CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS TINYINT) AS lang_is_en,
+       CAST(CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS TINYINT) AS lang_is_es,
+       CAST(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS TINYINT) AS lang_is_fr,
+       CAST(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS TINYINT) AS lang_is_zh,
+       CAST(0 AS TINYINT) AS lang_is_other
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3208,6 +3239,7 @@ QUERIES = {
     'tfidf_documents': q_tfidf_documents,
     'covariance_autocorr_events': q_covariance_autocorr_events,
     'bm25_documents': q_bm25_documents,
+    'one_hot_documents': q_one_hot_documents,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3283,6 +3315,7 @@ ORACLE_SQL = {
     'tfidf_documents': SQL_TFIDF_DOCUMENTS,
     'covariance_autocorr_events': SQL_COVARIANCE_AUTOCORR_EVENTS,
     'bm25_documents': SQL_BM25_DOCUMENTS,
+    'one_hot_documents': SQL_ONE_HOT_DOCUMENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

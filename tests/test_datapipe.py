@@ -597,3 +597,33 @@ class TestBm25:
         with pytest.raises(ValueError, match='query_terms'):
             bm25_score(rd.from_arrow(doc_table()), text_column='text',
                        id_column='doc_id', query_terms=[])
+
+
+class TestOneHotEncode:
+    def test_top_k_with_tie_break_and_other(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.encoding import one_hot_encode
+        t = pa.table({'id': list(range(7)),
+                      'cat': ['b', 'b', 'a', 'a', 'c', None, 'd']})
+        out = (one_hot_encode(rd.from_arrow(t), column='cat', max_categories=2,
+                              num_partitions=3)
+               .to_pandas().sort_values('id').reset_index(drop=True))
+        # counts: a=2, b=2, c=1, d=1 -> top-2 ties break value-asc: a, b
+        assert {'cat_is_a', 'cat_is_b', 'cat_is_other'} <= set(out.columns)
+        assert 'cat_is_c' not in out.columns
+        assert out['cat_is_a'].tolist()[:5] == [0, 0, 1, 1, 0]
+        assert out['cat_is_other'].tolist()[4] == 1      # c -> other
+        assert out['cat_is_other'].tolist()[6] == 1      # d -> other
+        assert pd.isna(out['cat_is_a'][5]) and pd.isna(out['cat_is_other'][5])
+
+    def test_int8_dtype_and_validation(self):
+        import pyarrow as _pa
+
+        from auto_featurs_ray.datapipe.encoding import one_hot_encode
+        t = pa.table({'id': [0], 'cat': ['x']})
+        ds = one_hot_encode(rd.from_arrow(t), column='cat', max_categories=1)
+        schema = ds.schema()
+        assert schema.types[schema.names.index('cat_is_x')] == _pa.int8()
+        with pytest.raises(ValueError, match='max_categories'):
+            one_hot_encode(rd.from_arrow(t), column='cat', max_categories=0)
