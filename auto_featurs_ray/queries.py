@@ -1689,6 +1689,50 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# 24o. seasonal extensions: day-of-month / ISO week / quarter / weekend flag
+# + an angular sin encoding (transformers/datetime.py engine extensions).
+# ---------------------------------------------------------------------------
+
+def q_seasonal_extras_orders(sf_dir: str):
+    schema = Schema([
+        CS.numeric(name='o_orderkey', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='o_orderdate', role=ColumnRole.TIME_INFO),
+    ])
+    ds = Dataset.from_parquet(os.path.join(sf_dir, 'orders.parquet'), schema,
+                              order_by=['o_orderkey'],
+                              columns=['o_orderkey', 'o_orderdate'])
+    p = (Pipeline(ds)
+         .with_seasonal('o_orderdate', operations=[SeasonalOperation.DAY_OF_MONTH,
+                                                   SeasonalOperation.WEEK_OF_YEAR,
+                                                   SeasonalOperation.QUARTER,
+                                                   SeasonalOperation.IS_WEEKEND])
+         .with_seasonal('o_orderdate', operations=[SeasonalOperation.MONTH_OF_YEAR],
+                        periodic=True))
+    keep = ['o_orderkey', 'o_orderdate_day_of_month', 'o_orderdate_week_of_year',
+            'o_orderdate_quarter', 'o_orderdate_is_weekend',
+            'o_orderdate_month_of_year_angular_sin', 'o_orderdate_month_of_year_angular_cos']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=['o_orderdate_month_of_year_angular_sin',
+                               'o_orderdate_month_of_year_angular_cos'],
+                   round_shift=1e-9)
+
+
+SQL_SEASONAL_EXTRAS_ORDERS = """
+SELECT o_orderkey,
+       EXTRACT(day FROM o_orderdate) AS o_orderdate_day_of_month,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS o_orderdate_week_of_year,
+       EXTRACT(quarter FROM o_orderdate) AS o_orderdate_quarter,
+       CAST(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS TINYINT)
+           AS o_orderdate_is_weekend,
+       round(sin((EXTRACT(month FROM o_orderdate) - 1.0) * 2 * pi() / 12.0) + 1e-9, 6)
+           AS o_orderdate_month_of_year_angular_sin,
+       round(cos((EXTRACT(month FROM o_orderdate) - 1.0) * 2 * pi() / 12.0) + 1e-9, 6)
+           AS o_orderdate_month_of_year_angular_cos
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3240,6 +3284,7 @@ QUERIES = {
     'covariance_autocorr_events': q_covariance_autocorr_events,
     'bm25_documents': q_bm25_documents,
     'one_hot_documents': q_one_hot_documents,
+    'seasonal_extras_orders': q_seasonal_extras_orders,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3316,6 +3361,7 @@ ORACLE_SQL = {
     'covariance_autocorr_events': SQL_COVARIANCE_AUTOCORR_EVENTS,
     'bm25_documents': SQL_BM25_DOCUMENTS,
     'one_hot_documents': SQL_ONE_HOT_DOCUMENTS,
+    'seasonal_extras_orders': SQL_SEASONAL_EXTRAS_ORDERS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -99,10 +99,64 @@ class MonthOfYearTransformer(SeasonalTransformer):
         return pc.month(column)
 
 
+class DayOfMonthTransformer(SeasonalTransformer):
+    """Day of month 1..31 (engine extension to the reference's seasonal trio)."""
+
+    _word = 'day_of_month'
+    _period = 31
+    _one_based = True
+
+    def _extract(self, column):
+        return pc.day(column)
+
+
+class WeekOfYearTransformer(SeasonalTransformer):
+    """ISO week number 1..53 (engine extension)."""
+
+    _word = 'week_of_year'
+    _period = 52
+    _one_based = True
+
+    def _extract(self, column):
+        return pc.iso_week(column)
+
+
+class QuarterTransformer(SeasonalTransformer):
+    """Calendar quarter 1..4 (engine extension)."""
+
+    _word = 'quarter'
+    _period = 4
+    _one_based = True
+
+    def _extract(self, column):
+        return pc.quarter(column)
+
+
+class IsWeekendTransformer(SeasonalTransformer):
+    """1 for Saturday/Sunday, else 0 (engine extension); angular modes are
+    meaningless for a binary flag and rejected."""
+
+    _word = 'is_weekend'
+
+    def __init__(self, column: ColumnNameOrSpec, angular: bool = False,
+                 gon_transformation: Optional[Literal['sin', 'cos']] = None) -> None:
+        if angular or gon_transformation is not None:
+            raise ValueError('is_weekend is a binary flag; angular encoding not supported')
+        super().__init__(column)
+
+    def _extract(self, column):
+        dow = pc.day_of_week(column, count_from_zero=False, week_start=1)
+        return pc.cast(pc.greater_equal(dow, 6), pa.int8())
+
+
 class SeasonalOperation(Enum):
     HOUR_OF_DAY = HourOfDayTransformer
     DAY_OF_WEEK = DayOfWeekTransformer
     MONTH_OF_YEAR = MonthOfYearTransformer
+    DAY_OF_MONTH = DayOfMonthTransformer
+    WEEK_OF_YEAR = WeekOfYearTransformer
+    QUARTER = QuarterTransformer
+    IS_WEEKEND = IsWeekendTransformer
 
 
 _UNIT_US = {'s': 1_000_000, 'h': 3_600_000_000, 'd': 86_400_000_000}

@@ -181,3 +181,35 @@ class TestTextSimilarity:
     def test_symmetric(self, ):
         close(run(DamerauLevenshteinSimilarityTransformer('TEXT_FEATURE_2', 'TEXT_FEATURE')),
               [1.0, 0.142857, 0.714286, 0.5, 0.428571, 0.875])
+
+
+class TestSeasonalExtras:
+    """DayOfMonth / WeekOfYear / Quarter / IsWeekend (engine extensions)."""
+
+    def test_extractions(self):
+        import pyarrow as pa
+        from datetime import datetime
+
+        from auto_featurs_ray.engine.aggframe import AggFrame  # noqa: F401 (parity import)
+        from auto_featurs_ray.transformers.datetime import (
+            DayOfMonthTransformer,
+            IsWeekendTransformer,
+            QuarterTransformer,
+            WeekOfYearTransformer,
+        )
+        # 2021-01-01 was a Friday; 2021-01-02 Saturday; 2021-01-03 Sunday
+        t = pa.table({'d': pa.array([datetime(2021, 1, 1), datetime(2021, 1, 2),
+                                     datetime(2021, 1, 3), datetime(2021, 7, 15)],
+                                    pa.timestamp('us'))})
+        assert DayOfMonthTransformer('d').apply(t).to_pylist() == [1, 2, 3, 15]
+        assert WeekOfYearTransformer('d').apply(t).to_pylist() == [53, 53, 53, 28]
+        assert QuarterTransformer('d').apply(t).to_pylist() == [1, 1, 1, 3]
+        assert IsWeekendTransformer('d').apply(t).to_pylist() == [0, 1, 1, 0]
+        assert IsWeekendTransformer('d').output_name == 'd_is_weekend'
+
+    def test_is_weekend_rejects_angular(self):
+        import pytest
+
+        from auto_featurs_ray.transformers.datetime import IsWeekendTransformer
+        with pytest.raises(ValueError, match='angular'):
+            IsWeekendTransformer('d', angular=True)
