@@ -402,6 +402,22 @@ class Pipeline:
             cumulative=cumulative, filtering_condition=filtering_condition, kw_params=kw_params)
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
+    def with_ntile(self, subset: ColumnSelection, num_buckets: Sequence[int] = (4,),
+                   over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                   time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                   filtering_condition: Optional[Expr] = None,
+                   auxiliary: bool = False) -> 'Pipeline':
+        """Rank-based equal-count buckets 1..k per group (engine extension,
+        SQL NTILE split with value-deterministic tie handling)."""
+        from auto_featurs_ray.transformers.aggregating import NtileTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=NtileTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            filtering_condition=filtering_condition,
+            kw_params={'num_buckets': [int(b) for b in num_buckets]})
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
     def with_argmin(self, value_subset: ColumnSelection, arg_subset: ColumnSelection,
                     over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
                     time_windows: Sequence = (), index_column_name: Optional[str] = None,

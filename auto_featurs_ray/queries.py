@@ -1733,6 +1733,58 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# 24p. rank / dense_rank / ntile (engine extensions): SQL window-rank
+# statistics per group + a rolling anchor-rank window.
+# ---------------------------------------------------------------------------
+
+def q_rank_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.RANK,
+                                                             ArithmeticAggregations.DENSE_RANK],
+                                      over_columns_combinations=[['user_id']])
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.RANK],
+                                      over_columns_combinations=[['user_id']],
+                                      time_windows=['6h'], index_column_name='ts')
+         .with_ntile('value', num_buckets=[4], over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'value_rank_over_user_id', 'value_dense_rank_over_user_id',
+            'value_rank_in_the_last_6h_over_user_id', 'value_ntile_4_over_user_id']
+    return _finish(p.collect_plan().data, keep)
+
+
+# The ntile mirror applies the engine's min-rank bucket formula (identical
+# to SQL NTILE whenever in-group values are tie-free, which (user_id, value)
+# effectively is for continuous doubles — but the formula stays correct and
+# matched under ties too).  The rolling rank ranks the window ANCHOR row:
+# min-rank = 1 + count of strictly smaller values in the trailing window.
+SQL_RANK_EVENTS = """
+WITH base AS (
+  SELECT event_id, user_id, value,
+         CAST(RANK() OVER (PARTITION BY user_id ORDER BY value) AS DOUBLE) AS rk,
+         CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS DOUBLE) AS drk,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+  FROM events
+), roll AS (
+  SELECT e.event_id,
+         CAST(1 + SUM(CASE WHEN w.value < e.value THEN 1 ELSE 0 END) AS DOUBLE) AS rrk
+  FROM events e JOIN events w
+    ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+  GROUP BY e.event_id, e.value
+)
+SELECT b.event_id,
+       b.rk AS value_rank_over_user_id,
+       b.drk AS value_dense_rank_over_user_id,
+       r.rrk AS value_rank_in_the_last_6h_over_user_id,
+       (CASE WHEN (b.rk - 1) < (b.n % 4) * (floor(b.n / 4) + 1)
+             THEN floor((b.rk - 1) / (floor(b.n / 4) + 1))
+             ELSE (b.n % 4) + floor(((b.rk - 1) - (b.n % 4) * (floor(b.n / 4) + 1))
+                                    / CASE WHEN floor(b.n / 4) < 1 THEN 1
+                                           ELSE floor(b.n / 4) END) END)
+       + 1.0 AS value_ntile_4_over_user_id
+FROM base b JOIN roll r ON r.event_id = b.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3285,6 +3337,7 @@ QUERIES = {
     'bm25_documents': q_bm25_documents,
     'one_hot_documents': q_one_hot_documents,
     'seasonal_extras_orders': q_seasonal_extras_orders,
+    'rank_events': q_rank_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3362,6 +3415,7 @@ ORACLE_SQL = {
     'bm25_documents': SQL_BM25_DOCUMENTS,
     'one_hot_documents': SQL_ONE_HOT_DOCUMENTS,
     'seasonal_extras_orders': SQL_SEASONAL_EXTRAS_ORDERS,
+    'rank_events': SQL_RANK_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

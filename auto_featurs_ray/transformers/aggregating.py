@@ -1221,6 +1221,115 @@ class PercentRankTransformer(ArithmeticAggregationTransformer):
         return self._finalize(rank, n)
 
 
+class _GroupedRankTransformer(ArithmeticAggregationTransformer, ABC):
+    """Shared base for SQL-style in-group rank statistics (engine
+    extensions): grouped NONE mode + rolling anchor-rank windows, expanding
+    modes rejected (a running rank is not combinable state).  NaN inputs
+    are excluded from both rank and count and rank as NaN themselves.
+    Like percent_rank, the ungrouped NONE form needs a global sort and runs
+    on the single-task fallback plan — group at scale."""
+
+    _method = 'min'
+
+    def __init__(self, column: ColumnNameOrSpec, cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if cumulative != CumulativeOptions.NONE:
+            raise ValueError(f'{self._aggregation_word()} supports only CumulativeOptions.NONE; '
+                             'use a rolling time window or the NONE mode')
+        super().__init__(column, cumulative, filtering_condition)
+
+    @classmethod
+    def _aggregation_word(cls) -> str:
+        return cls.__name__.replace('Transformer', '').lower()
+
+    @staticmethod
+    @abstractmethod
+    def _finalize_rank(rank: np.ndarray, n: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        masked = pd.Series(self._masked(frame))
+        grouped = masked.groupby(codes)
+        rank = grouped.rank(method=self._method).to_numpy(dtype=np.float64)
+        n = grouped.transform('count').to_numpy(dtype=np.float64)
+        return self._finalize_rank(rank, n)
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        rolling = pd.Series(self._masked(frame)).rolling(_BoundsIndexer(lo=lo, hi=hi),
+                                                         min_periods=1)
+        rank = rolling.rank(method=self._method).to_numpy(dtype=np.float64)
+        n = rolling.count().to_numpy(dtype=np.float64)
+        return self._finalize_rank(rank, n)
+
+
+class RankTransformer(_GroupedRankTransformer):
+    """SQL ``RANK() OVER (PARTITION BY g ORDER BY x)``: 1-based min-rank
+    with gaps after ties."""
+
+    @property
+    def _aggregation(self) -> str:
+        return 'rank'
+
+    @staticmethod
+    def _finalize_rank(rank: np.ndarray, n: np.ndarray) -> np.ndarray:
+        return rank
+
+
+class DenseRankTransformer(_GroupedRankTransformer):
+    """SQL ``DENSE_RANK()``: 1-based rank without gaps after ties."""
+
+    _method = 'dense'
+
+    @property
+    def _aggregation(self) -> str:
+        return 'dense_rank'
+
+    @staticmethod
+    def _finalize_rank(rank: np.ndarray, n: np.ndarray) -> np.ndarray:
+        return rank
+
+
+class NtileTransformer(_GroupedRankTransformer):
+    """Rank-based equal-count bucket 1..k with the SQL ``NTILE`` uneven
+    split (the first ``n mod k`` buckets get one extra row) — but ties on
+    the value share a bucket (the min-rank of the tie run decides), keeping
+    the output a deterministic function of (value, group) alone rather than
+    of an arbitrary within-tie ordering; the SQL mirror is NTILE over
+    ``ORDER BY x`` with ties broken arbitrarily ONLY when no ties exist, or
+    the same min-rank formula when they might."""
+
+    def __init__(self, column: ColumnNameOrSpec, num_buckets: int = 4,
+                 cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if num_buckets < 1:
+            raise ValueError(f'num_buckets must be >= 1, got {num_buckets}')
+        super().__init__(column, cumulative, filtering_condition)
+        self._num_buckets = int(num_buckets)
+
+    @property
+    def _aggregation(self) -> str:
+        return f'ntile_{self._num_buckets}'
+
+    def _finalize_rank(self, rank: np.ndarray, n: np.ndarray) -> np.ndarray:
+        k = self._num_buckets
+        # NTILE boundary layout: bucket b (1-based) covers positions
+        # [ (b-1)*floor(n/k) + min(b-1, n mod k), ... ); invert for a
+        # 0-based position p: big = n mod k, size = floor(n/k) + 1
+        with np.errstate(divide='ignore', invalid='ignore'):
+            p = rank - 1.0
+            base = np.floor(n / k)
+            big = np.mod(n, k)
+            cut = big * (base + 1.0)
+            bucket = np.where(p < cut,
+                              np.floor(p / np.maximum(base + 1.0, 1.0)),
+                              big + np.floor((p - cut) / np.maximum(base, 1.0)))
+            bucket = np.minimum(bucket, k - 1.0) + 1.0
+        return np.where(np.isnan(rank), np.nan, bucket)
+
+
 class _ShapeMomentTransformer(ArithmeticAggregationTransformer, ABC):
     """Shared plumbing for bias-corrected shape statistics (sample skewness
     G1 / excess kurtosis G2 — engine extensions with DuckDB
@@ -1731,6 +1840,8 @@ class ArithmeticAggregations(Enum):
     STD = StdTransformer
     ZSCORE = ZscoreTransformer
     PERCENT_RANK = PercentRankTransformer
+    RANK = RankTransformer
+    DENSE_RANK = DenseRankTransformer
     SKEW = SkewTransformer
     KURTOSIS = KurtosisTransformer
 

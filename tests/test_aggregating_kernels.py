@@ -34,6 +34,9 @@ from auto_featurs_ray.transformers.aggregating import (
     ModeTransformer,
     NumUniqueTransformer,
     PercentRankTransformer,
+    RankTransformer,
+    DenseRankTransformer,
+    NtileTransformer,
     KurtosisTransformer,
     PointwiseMutualInformationTransformer,
     EqualWidthBinTransformer,
@@ -664,3 +667,48 @@ class TestCovarianceAndAutocorr:
             AutocorrTransformer('X', 0)
         with pytest.raises(ValueError, match='NONE'):
             AutocorrTransformer('X', 1, cumulative=C.INCLUSIVE)
+
+
+class TestRankFamily:
+    """Rank / DenseRank / Ntile (engine extensions)."""
+
+    T = pa.table({'X': [10.0, 20.0, 20.0, 30.0, 5.0]})
+    CODES = np.array([0, 0, 0, 0, 1])
+
+    def _run(self, t):
+        return [_norm(v) for v in np.asarray(
+            t.compute(AggFrame(self.T), self.CODES), dtype=object)]
+
+    def test_rank_min_with_gaps(self):
+        close(self._run(RankTransformer('X')), [1.0, 2.0, 2.0, 4.0, 1.0])
+
+    def test_dense_rank_no_gaps(self):
+        close(self._run(DenseRankTransformer('X')), [1.0, 2.0, 2.0, 3.0, 1.0])
+
+    def test_ntile_even_and_uneven(self):
+        # group0 n=4, k=2 -> buckets 1,1,2,2 (ties 20,20 straddle? min-rank 2
+        # maps both to bucket 1's [0,2) ? p=1 < cut... n=4,k=2: base=2,big=0,
+        # cut=0 -> p>=cut: bucket=floor(p/2): p=0,1->1; p=1(tie shares
+        # min-rank 2 => p=1)->1; p=3->2
+        close(self._run(NtileTransformer('X', 2)), [1.0, 1.0, 1.0, 2.0, 1.0])
+
+    def test_ntile_more_buckets_than_rows(self):
+        t = pa.table({'X': [3.0, 1.0, 2.0]})
+        got = [_norm(v) for v in np.asarray(
+            NtileTransformer('X', 5).compute(AggFrame(t), None), dtype=object)]
+        close(got, [3.0, 1.0, 2.0])
+
+    def test_nan_rows_rank_nan(self):
+        t = pa.table({'X': [1.0, None, 2.0]})
+        got = [_norm(v) for v in np.asarray(
+            RankTransformer('X').compute(AggFrame(t), None), dtype=object)]
+        close(got, [1.0, None, 2.0])
+
+    def test_validation_and_names(self):
+        with pytest.raises(ValueError, match='NONE'):
+            RankTransformer('X', cumulative=C.INCLUSIVE)
+        with pytest.raises(ValueError, match='num_buckets'):
+            NtileTransformer('X', 0)
+        assert RankTransformer('X').output_name == 'X_rank'
+        assert DenseRankTransformer('X').output_name == 'X_dense_rank'
+        assert NtileTransformer('X', 4).output_name == 'X_ntile_4'
