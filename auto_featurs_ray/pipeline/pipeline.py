@@ -314,6 +314,22 @@ class Pipeline:
             kw_params={'alpha': list(alphas)})
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
+    def with_winsorize(self, subset: ColumnSelection,
+                       limits: Sequence[Sequence[float]] = ((0.05, 0.95),),
+                       over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                       auxiliary: bool = False) -> 'Pipeline':
+        """Clip numeric columns to per-group (or corpus, via mergeable
+        sketch states) interpolated-quantile limits (engine extension)."""
+        from auto_featurs_ray.transformers.aggregating import WinsorizeTransformer
+        pairs = [(float(lo), float(hi)) for lo, hi in limits]
+        transformers = []
+        for lo, hi in pairs:
+            transformers.extend(self._build_aggregated_transformers(
+                subset, transformer_factory=WinsorizeTransformer,
+                over_columns_combinations=over_columns_combinations,
+                kw_params={'lower_q': [lo], 'upper_q': [hi]}))
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
     def with_binning(self, subset: ColumnSelection, strategies: Sequence[Binning],
                      num_bins: Sequence[int] = (4,),
                      over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),

@@ -1785,6 +1785,36 @@ FROM base b JOIN roll r ON r.event_id = b.event_id
 
 
 # ---------------------------------------------------------------------------
+# 24q. winsorization: clip to global corpus quantiles (mergeable sketch)
+# and per-group quantiles (engine extension).
+# ---------------------------------------------------------------------------
+
+def q_winsorize_lineitem(sf_dir: str):
+    p = (Pipeline(_lineitem_dataset(sf_dir))
+         .with_winsorize('l_extendedprice', limits=[(0.05, 0.95)])
+         .with_winsorize('l_extendedprice', limits=[(0.1, 0.9)],
+                         over_columns_combinations=[['l_returnflag']]))
+    keep = ['l_orderkey', 'l_linenumber', 'l_extendedprice_winsor_5_95',
+            'l_extendedprice_winsor_10_90_over_l_returnflag']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[2:], round_shift=1e-9)
+
+
+SQL_WINSORIZE_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(LEAST(GREATEST(l_extendedprice, quantile_cont(l_extendedprice, 0.05) OVER ()),
+                   quantile_cont(l_extendedprice, 0.95) OVER ()) + 1e-9, 6)
+           AS l_extendedprice_winsor_5_95,
+       round(LEAST(GREATEST(l_extendedprice,
+                            quantile_cont(l_extendedprice, 0.1)
+                                OVER (PARTITION BY l_returnflag)),
+                   quantile_cont(l_extendedprice, 0.9) OVER (PARTITION BY l_returnflag))
+             + 1e-9, 6)
+           AS l_extendedprice_winsor_10_90_over_l_returnflag
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3338,6 +3368,7 @@ QUERIES = {
     'one_hot_documents': q_one_hot_documents,
     'seasonal_extras_orders': q_seasonal_extras_orders,
     'rank_events': q_rank_events,
+    'winsorize_lineitem': q_winsorize_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3416,6 +3447,7 @@ ORACLE_SQL = {
     'one_hot_documents': SQL_ONE_HOT_DOCUMENTS,
     'seasonal_extras_orders': SQL_SEASONAL_EXTRAS_ORDERS,
     'rank_events': SQL_RANK_EVENTS,
+    'winsorize_lineitem': SQL_WINSORIZE_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -2205,6 +2205,60 @@ class EqualWidthBinTransformer(_BinningTransformer):
         return self._assign(x, self._edges(lo, hi)[0])
 
 
+class WinsorizeTransformer(AggregatingTransformer):
+    """Clip values to the group's (or corpus's, via the mergeable quantile
+    sketch) ``[lower_q, upper_q]`` interpolated quantiles (engine extension)
+    — the standard outlier-robust pre-scaling step.  NaN inputs stay NaN."""
+
+    def __init__(self, column: ColumnNameOrSpec, lower_q: float = 0.05,
+                 upper_q: float = 0.95) -> None:
+        if not 0.0 <= lower_q < upper_q <= 1.0:
+            raise ValueError(f'need 0 <= lower_q < upper_q <= 1, got ({lower_q}, {upper_q})')
+        self._column = parse_column_name(column)
+        self._lower_q = float(lower_q)
+        self._upper_q = float(upper_q)
+        self._sketch = QuantileTransformer(column, 0.5)
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnType.NUMERIC.as_selector()
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        def pct(q: float) -> str:
+            return f'{q * 100:g}'.replace('.', 'p')
+        return f'{self._column}_winsor_{pct(self._lower_q)}_{pct(self._upper_q)}'
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = pd.Series(frame.numeric(self._column))
+        grouped = x.groupby(codes)
+        lo = grouped.transform('quantile', self._lower_q).to_numpy()
+        hi = grouped.transform('quantile', self._upper_q).to_numpy()
+        return np.clip(x.to_numpy(), lo, hi)
+
+    supports_global_two_pass = True
+
+    def global_partial(self, table: pa.Table):
+        return self._sketch.global_partial(table)
+
+    def global_combine(self, left, right):
+        return self._sketch.global_combine(left, right)
+
+    def global_finalize(self, state, table: pa.Table):
+        x = AggFrame(table).numeric(self._column)
+        if len(state['v']) == 0:
+            return x
+        lo = QuantileTransformer.state_quantile(state, self._lower_q)
+        hi = QuantileTransformer.state_quantile(state, self._upper_q)
+        return np.clip(x, lo, hi)
+
+
 class Scaling(Enum):
     STANDARD = StandardScaler
     MIN_MAX = MinMaxScaler

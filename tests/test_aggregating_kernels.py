@@ -49,6 +49,7 @@ from auto_featurs_ray.transformers.aggregating import (
     SkewTransformer,
     SumTransformer,
     TargetEncodingTransformer,
+    WinsorizeTransformer,
     ZscoreTransformer,
 )
 from auto_featurs_ray.transformers.base import CumulativeOptions as C
@@ -712,3 +713,35 @@ class TestRankFamily:
         assert RankTransformer('X').output_name == 'X_rank'
         assert DenseRankTransformer('X').output_name == 'X_dense_rank'
         assert NtileTransformer('X', 4).output_name == 'X_ntile_4'
+
+
+class TestWinsorize:
+    """WinsorizeTransformer (engine extension): quantile clipping."""
+
+    X = pd.Series([1.0, 2.0, 3.0, 4.0, 100.0])
+    T = pa.table({'X': X.tolist()})
+
+    def test_clips_to_group_quantiles(self):
+        lo, hi = self.X.quantile(.05), self.X.quantile(.95)
+        got = WinsorizeTransformer('X', 0.05, 0.95).compute(AggFrame(self.T), None)
+        np.testing.assert_allclose(np.asarray(got, dtype=np.float64),
+                                   np.clip(self.X.to_numpy(), lo, hi))
+
+    def test_two_pass_matches_compute(self):
+        t = WinsorizeTransformer('X', 0.1, 0.9)
+        state = t.global_combine(t.global_partial(self.T.slice(0, 2)),
+                                 t.global_partial(self.T.slice(2)))
+        direct = np.asarray(t.compute(AggFrame(self.T), None), dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(t.global_finalize(state, self.T)), direct)
+
+    def test_nan_stays_nan(self):
+        t = pa.table({'X': [1.0, None, 3.0]})
+        got = np.asarray(WinsorizeTransformer('X').compute(AggFrame(t), None),
+                         dtype=np.float64)
+        assert np.isnan(got[1]) and not np.isnan(got[0])
+
+    def test_validation_and_name(self):
+        with pytest.raises(ValueError, match='lower_q'):
+            WinsorizeTransformer('X', 0.9, 0.1)
+        assert WinsorizeTransformer('X', 0.05, 0.95).output_name == 'X_winsor_5_95'
+        assert WinsorizeTransformer('X', 0.025, 0.975).output_name == 'X_winsor_2p5_97p5'
