@@ -1,6 +1,6 @@
 """Distributed equi-join on the co-grouped task shuffle.
 
-General partitioned hash join (inner / left) between two
+General partitioned hash join (inner / left / semi / anti) between two
 ``ray.data.Dataset``s: both sides are hash-partitioned on the key with the
 same partitioner as every other engine exchange, and each co-located partition
 pair is joined with Arrow's native ``Table.join`` — vectorized, zero Python
@@ -24,19 +24,27 @@ def hash_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str
               how: str = 'inner', suffix: str = '_right', num_partitions: int = 64):
     """Join two datasets on equality keys; returns a ``ray.data.Dataset``.
 
-    ``how``: 'inner' or 'left' (left outer).  Right columns colliding with
-    left names receive ``suffix``; ``right_on`` keys are renamed to the left's.
+    ``how``: 'inner', 'left' (left outer), 'semi' (left rows WITH a key
+    match — the allowlist filter) or 'anti' (left rows WITHOUT one — the
+    blocklist / decontamination filter).  Semi/anti never multiply rows and
+    ship only the right side's KEY columns through the exchange.  Right
+    columns colliding with left names receive ``suffix``; ``right_on`` keys
+    are renamed to the left's.
     """
-    if how not in ('inner', 'left'):
+    type_map = {'inner': 'inner', 'left': 'left outer',
+                'semi': 'left semi', 'anti': 'left anti'}
+    if how not in type_map:
         raise ValueError(f'Unsupported join type: {how}')
     on = list(on)
     right_on = list(right_on or on)
-    join_type = 'inner' if how == 'inner' else 'left outer'
+    join_type = type_map[how]
 
     rename = dict(zip(right_on, on))
 
     def align(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns([rename.get(c, c) for c in batch.column_names])
+        if how in ('semi', 'anti'):
+            batch = batch.select(on)
         return _canonicalize_keys(batch)
 
     def _canonicalize_keys(batch: pa.Table) -> pa.Table:

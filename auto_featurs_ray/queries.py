@@ -1815,6 +1815,51 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# 24r. semi / anti hash join (engine/join.py): allowlist and blocklist
+# filters — the id-level decontamination primitive.  The right side ships
+# only its key column through the exchange.
+# ---------------------------------------------------------------------------
+
+def _customer_order_sides(sf_dir: str):
+    # the filter keeps the anti side non-empty at every sf: only customers
+    # with at least one >300k order pass the allowlist
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'user_id', 'value'])
+    orders = (ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                    columns=['o_custkey', 'o_totalprice'])
+              .filter(expr='o_totalprice > 300000')
+              .select_columns(['o_custkey']))
+    return events, orders
+
+
+def q_semi_join_events_orders(sf_dir: str):
+    from auto_featurs_ray.engine.join import hash_join
+    events, orders = _customer_order_sides(sf_dir)
+    out = hash_join(events, orders, on=['user_id'], right_on=['o_custkey'],
+                    how='semi', num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['event_id', 'user_id', 'value'], round_cols=['value'])
+
+
+def q_anti_join_events_orders(sf_dir: str):
+    from auto_featurs_ray.engine.join import hash_join
+    events, orders = _customer_order_sides(sf_dir)
+    out = hash_join(events, orders, on=['user_id'], right_on=['o_custkey'],
+                    how='anti', num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['event_id', 'user_id', 'value'], round_cols=['value'])
+
+
+SQL_SEMI_JOIN_EVENTS_ORDERS = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events WHERE user_id IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+SQL_ANTI_JOIN_EVENTS_ORDERS = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3369,6 +3414,8 @@ QUERIES = {
     'seasonal_extras_orders': q_seasonal_extras_orders,
     'rank_events': q_rank_events,
     'winsorize_lineitem': q_winsorize_lineitem,
+    'semi_join_events_orders': q_semi_join_events_orders,
+    'anti_join_events_orders': q_anti_join_events_orders,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3448,6 +3495,8 @@ ORACLE_SQL = {
     'seasonal_extras_orders': SQL_SEASONAL_EXTRAS_ORDERS,
     'rank_events': SQL_RANK_EVENTS,
     'winsorize_lineitem': SQL_WINSORIZE_LINEITEM,
+    'semi_join_events_orders': SQL_SEMI_JOIN_EVENTS_ORDERS,
+    'anti_join_events_orders': SQL_ANTI_JOIN_EVENTS_ORDERS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -245,6 +245,18 @@ class TestHashJoin:
         assert len(louter) == 5
         assert louter['b'].isna().sum() == 2
 
+    def test_semi_and_anti(self):
+        from auto_featurs_ray.engine.join import hash_join
+        left = pa.table({'k': [1, 2, 3, 2], 'v': ['a', 'b', 'c', 'd']})
+        right = pa.table({'k': [2, 2, 4], 'w': [10, 20, 30]})
+        semi = hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'],
+                         how='semi', num_partitions=2).to_pandas()
+        anti = hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'],
+                         how='anti', num_partitions=2).to_pandas()
+        assert sorted(semi['v']) == ['b', 'd']           # no row multiplication
+        assert sorted(anti['v']) == ['a', 'c']
+        assert 'w' not in semi.columns and 'w' not in anti.columns
+
     def test_invalid_how(self):
         from auto_featurs_ray.engine.join import hash_join
         with pytest.raises(ValueError):
