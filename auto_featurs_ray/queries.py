@@ -1860,6 +1860,46 @@ FROM events WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_totalpric
 
 
 # ---------------------------------------------------------------------------
+# 24s. group-statistic imputation (engine extension): nulls replaced by the
+# group's mean / median of valid values.
+# ---------------------------------------------------------------------------
+
+def q_impute_events(sf_dir: str):
+    base = _events_dataset(sf_dir)
+
+    def mask(batch: pa.Table) -> pa.Table:
+        masked = pc.if_else(pc.equal(batch.column('event_type'), 'click'),
+                            pa.nulls(batch.num_rows, pa.float64()),
+                            pc.cast(batch.column('value'), pa.float64()))
+        return batch.append_column('value_masked', masked)
+
+    ds = Dataset(base.data.map_batches(mask, batch_format='pyarrow', zero_copy_batch=True),
+                 base.schema + Schema([CS.numeric(name='value_masked')]),
+                 order_by=ORDER_EVENTS, num_partitions=NUM_PARTITIONS)
+    p = Pipeline(ds).with_fill('value_masked', strategies=[FillStrategy.MEAN,
+                                                           FillStrategy.MEDIAN],
+                               over_columns_combinations=[['user_id']])
+    keep = ['event_id', 'value_masked_mean_filled_over_user_id',
+            'value_masked_median_filled_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:], round_shift=1e-9)
+
+
+SQL_IMPUTE_EVENTS = """
+WITH m AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id,
+       round(COALESCE(v, AVG(v) OVER (PARTITION BY user_id)) + 1e-9, 6)
+           AS value_masked_mean_filled_over_user_id,
+       round(COALESCE(v, quantile_cont(v, 0.5) OVER (PARTITION BY user_id)) + 1e-9, 6)
+           AS value_masked_median_filled_over_user_id
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3416,6 +3456,7 @@ QUERIES = {
     'winsorize_lineitem': q_winsorize_lineitem,
     'semi_join_events_orders': q_semi_join_events_orders,
     'anti_join_events_orders': q_anti_join_events_orders,
+    'impute_events': q_impute_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3497,6 +3538,7 @@ ORACLE_SQL = {
     'winsorize_lineitem': SQL_WINSORIZE_LINEITEM,
     'semi_join_events_orders': SQL_SEMI_JOIN_EVENTS_ORDERS,
     'anti_join_events_orders': SQL_ANTI_JOIN_EVENTS_ORDERS,
+    'impute_events': SQL_IMPUTE_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

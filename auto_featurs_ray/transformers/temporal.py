@@ -99,10 +99,15 @@ class TimeSinceLastTransformer(AggregatingTransformer):
 class FillStrategy(Enum):
     FORWARD = 'forward'
     BACKWARD = 'backward'
+    MEAN = 'mean'
+    MEDIAN = 'median'
 
 
 class FillTransformer(AggregatingTransformer):
-    """Forward/backward fill of nulls within the ordered group.
+    """Forward/backward fill of nulls within the ordered group, or
+    group-statistic imputation (MEAN / MEDIAN of the group's valid values —
+    engine extension; both read the whole group, so like backward fill they
+    are offline-only).
 
     Forward fill is point-in-time safe (only past values propagate); backward
     fill reads future rows — use it only for offline imputation.
@@ -113,6 +118,8 @@ class FillTransformer(AggregatingTransformer):
         self._strategy = strategy
 
     def input_type(self) -> ColumnTypeSelector:
+        if self._strategy in (FillStrategy.MEAN, FillStrategy.MEDIAN):
+            return ColumnType.NUMERIC.as_selector()
         return ColumnTypeSelector.any()
 
     @classmethod
@@ -120,6 +127,8 @@ class FillTransformer(AggregatingTransformer):
         return True
 
     def _return_type(self) -> ColumnType:
+        if self._strategy in (FillStrategy.MEAN, FillStrategy.MEDIAN):
+            return ColumnType.NUMERIC
         return self._column.column_type
 
     def _output_name(self) -> str:
@@ -131,4 +140,8 @@ class FillTransformer(AggregatingTransformer):
         grouped = series.groupby(codes)
         if self._strategy == FillStrategy.FORWARD:
             return grouped.ffill()
-        return grouped.bfill()
+        if self._strategy == FillStrategy.BACKWARD:
+            return grouped.bfill()
+        stat = grouped.transform('mean' if self._strategy == FillStrategy.MEAN
+                                 else 'median')
+        return series.fillna(stat)

@@ -194,6 +194,21 @@ class TestTemporal:
         assert_column(df, 'x_backward_filled_over_user', [1.0, 3.0, 3.0, None, 6.0, 6.0])
 
 
+class TestGroupImputation:
+    def test_mean_and_median_fill(self):
+        from auto_featurs_ray.base.column_specification import ColumnSpecification as _CS
+        from auto_featurs_ray.engine.aggframe import AggFrame
+        from auto_featurs_ray.transformers.temporal import FillStrategy, FillTransformer
+        t = pa.table({'x': [1.0, None, 4.0, None, 10.0]})
+        codes = np.array([0, 0, 0, 1, 1])
+        spec = _CS.numeric(name='x')
+        mean = FillTransformer(spec, FillStrategy.MEAN).compute(AggFrame(t), codes)
+        med = FillTransformer(spec, FillStrategy.MEDIAN).compute(AggFrame(t), codes)
+        assert list(mean) == [1.0, 2.5, 4.0, 10.0, 10.0]
+        assert list(med) == [1.0, 2.5, 4.0, 10.0, 10.0]
+        assert FillTransformer(spec, FillStrategy.MEAN).output_name == 'x_mean_filled'
+
+
 class TestResumableWrite:
     def _make_ds(self):
         rng = np.random.default_rng(7)
