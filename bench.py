@@ -56,7 +56,10 @@ BENCH_QUERIES = [
     'ewm_events', 'shape_moments_events',
     # round-4 late additions
     'target_encoding_events', 'binning_lineitem', 'range_join_events',
-    'tfidf_documents', 'covariance_autocorr_events',
+    'tfidf_documents', 'covariance_autocorr_events', 'bm25_documents',
+    'one_hot_documents', 'seasonal_extras_orders', 'rank_events',
+    'winsorize_lineitem', 'semi_join_events_orders', 'anti_join_events_orders',
+    'impute_events',
 ]
 
 
