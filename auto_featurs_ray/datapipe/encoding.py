@@ -77,3 +77,38 @@ def one_hot_encode(ds, *, column: str, max_categories: int = 16,
         return batch
 
     return ds.map_batches(encode, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def hash_encode(ds, *, column: str, num_buckets: int = 64, signed: bool = False):
+    """Feature-hashing ("hashing trick") encoding: bucket =
+    ``FNV1a64(value) mod num_buckets`` as an int64 column
+    ``{column}_hashbucket_{D}``, plus (``signed=True``) a ±1 sign column
+    ``{column}_hashsign`` from the hash's top bit — the collision-debiasing
+    convention of Weinberger et al. (2009).
+
+    Unlike one-hot, needs NO vocabulary pass: a single stateless vectorized
+    ``map_batches``, so the op is embarrassingly parallel at any corpus
+    size and new categories at inference time hash consistently.  Values
+    are whitespace-normalized and lowercased exactly like the corpus
+    fingerprinter (``textstats.fnv1a64_batch``) so the same recursive-CTE
+    SQL replay certifies it.  Null values get null outputs.
+    """
+    from auto_featurs_ray.datapipe.textstats import fnv1a64_batch
+
+    if num_buckets < 1:
+        raise ValueError(f'num_buckets must be >= 1, got {num_buckets}')
+
+    def encode(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).cast(pa.string())
+        null_mask = np.asarray(pc.is_null(col).combine_chunks())
+        h = fnv1a64_batch(col.to_pylist()).view(np.uint64)
+        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        batch = batch.append_column(f'{column}_hashbucket_{num_buckets}',
+                                    pa.array(bucket, mask=null_mask))
+        if signed:
+            sign = np.where((h >> np.uint64(63)).astype(bool), -1, 1).astype(np.int64)
+            batch = batch.append_column(f'{column}_hashsign',
+                                        pa.array(sign, mask=null_mask))
+        return batch
+
+    return ds.map_batches(encode, batch_format='pyarrow', zero_copy_batch=True)

@@ -1900,6 +1900,39 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# 24t. feature-hashing encoding (datapipe/encoding.py hash_encode): FNV-1a
+# bucket + sign, stateless and vocabulary-free; SQL replays the hash with
+# the same recursive-CTE byte fold the fingerprint oracle uses (over the
+# DISTINCT category values only — a handful of rows).
+# ---------------------------------------------------------------------------
+
+def q_hash_encode_events(sf_dir: str):
+    from auto_featurs_ray.datapipe.encoding import hash_encode
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'event_type'])
+    out = hash_encode(events, column='event_type', num_buckets=16, signed=True)
+    return _finish(out, ['event_id', 'event_type_hashbucket_16', 'event_type_hashsign'])
+
+
+def _sql_hash_encode_events() -> str:
+    fold = _mulmod_sql('xor(h, ascii(substr(v, pos, 1))::HUGEINT)', 0x100000001b3)
+    return f"""
+WITH RECURSIVE vals AS (SELECT DISTINCT event_type AS v FROM events),
+fnv AS (
+  SELECT v, 1::BIGINT AS pos, 14695981039346656037::HUGEINT AS h FROM vals
+  UNION ALL
+  SELECT v, pos + 1, {fold} FROM fnv WHERE pos <= length(v)
+),
+hh AS (SELECT v, h FROM fnv WHERE pos = length(v) + 1)
+SELECT e.event_id,
+       CAST(hh.h % 16 AS BIGINT) AS event_type_hashbucket_16,
+       CAST(CASE WHEN hh.h >= 9223372036854775808::HUGEINT THEN -1 ELSE 1 END AS BIGINT)
+           AS event_type_hashsign
+FROM events e JOIN hh ON hh.v = e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3457,6 +3490,7 @@ QUERIES = {
     'semi_join_events_orders': q_semi_join_events_orders,
     'anti_join_events_orders': q_anti_join_events_orders,
     'impute_events': q_impute_events,
+    'hash_encode_events': q_hash_encode_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3539,6 +3573,7 @@ ORACLE_SQL = {
     'semi_join_events_orders': SQL_SEMI_JOIN_EVENTS_ORDERS,
     'anti_join_events_orders': SQL_ANTI_JOIN_EVENTS_ORDERS,
     'impute_events': SQL_IMPUTE_EVENTS,
+    'hash_encode_events': _sql_hash_encode_events(),
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -627,3 +627,22 @@ class TestOneHotEncode:
         assert schema.types[schema.names.index('cat_is_x')] == _pa.int8()
         with pytest.raises(ValueError, match='max_categories'):
             one_hot_encode(rd.from_arrow(t), column='cat', max_categories=0)
+
+
+class TestHashEncode:
+    def test_deterministic_and_signed(self):
+        from auto_featurs_ray.datapipe.encoding import hash_encode
+        from auto_featurs_ray.datapipe.textstats import fnv1a64_batch
+        t = pa.table({'id': [0, 1, 2], 'cat': ['click', 'view', None]})
+        out = (hash_encode(rd.from_arrow(t), column='cat', num_buckets=16, signed=True)
+               .to_pandas().sort_values('id').reset_index(drop=True))
+        h = fnv1a64_batch(['click', 'view']).view(np.uint64)
+        assert out['cat_hashbucket_16'].tolist()[:2] == list((h % 16).astype(int))
+        assert set(out['cat_hashsign'].dropna()) <= {-1, 1}
+        assert np.isnan(out['cat_hashbucket_16'][2]) and np.isnan(out['cat_hashsign'][2])
+
+    def test_validation(self):
+        from auto_featurs_ray.datapipe.encoding import hash_encode
+        t = pa.table({'cat': ['x']})
+        with pytest.raises(ValueError, match='num_buckets'):
+            hash_encode(rd.from_arrow(t), column='cat', num_buckets=0)
