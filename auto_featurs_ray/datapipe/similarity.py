@@ -265,3 +265,55 @@ def quantize_embeddings(ds, *, embedding_column: str = 'embedding',
                          'q': q_list})
 
     return ds.map_batches(quantize, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def truncate_normalize(ds, *, embedding_column: str = 'embedding',
+                       id_column: str = 'vec_id', dims: int = 16):
+    """Matryoshka-style truncation: keep the first ``dims`` dimensions and
+    L2-renormalize — the standard cheap-retrieval projection for
+    MRL-trained embeddings (Kusupati et al. 2022), also the honest baseline
+    for any dimensionality-reduction stage.
+
+    Per-row and stateless (one ``map_batches``, no shuffle).  Values widen
+    to float64 first and the squared-norm accumulates SEQUENTIALLY over the
+    kept dimensions (a Python-free loop of ``dims`` vectorized adds), so a
+    SQL oracle's left-fold ``list_sum`` replays the doubles bit-for-bit —
+    IEEE sqrt and divide are correctly rounded, making the whole output
+    bit-exact.  Vectors shorter than ``dims`` raise; zero-norm truncations
+    yield null components.
+
+    Output: ``(id_column, t: list<float64>)`` with ``len(t) == dims``.
+    """
+    if dims < 1:
+        raise ValueError(f'dims must be >= 1, got {dims}')
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column(embedding_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({id_column: batch.column(id_column),
+                             't': pa.array([], pa.list_(pa.float64()))})
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        if (counts < dims).any():
+            short = int((counts < dims).sum())
+            raise ValueError(f'{short} vectors shorter than dims={dims}')
+        base = offsets[0]
+        flat = col.values.to_numpy(zero_copy_only=False)[base:offsets[-1]].astype(np.float64)
+        starts = offsets[:-1] - base
+        m = flat[starts[:, None] + np.arange(dims)[None, :]]   # (n, dims) float64
+        sq = np.zeros(n, dtype=np.float64)
+        for j in range(dims):                                   # sequential fold = SQL list_sum
+            sq = sq + m[:, j] * m[:, j]
+        norm = np.sqrt(sq)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = m / norm[:, None]
+        mask = np.repeat(~(norm > 0), dims)
+        values = pa.array(out.ravel(), mask=mask)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * dims, dims, dtype=np.int32)), values)
+        return pa.table({id_column: batch.column(id_column), 't': lists})
+
+    return ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True)

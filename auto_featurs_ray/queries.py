@@ -1933,6 +1933,45 @@ FROM events e JOIN hh ON hh.v = e.event_type
 
 
 # ---------------------------------------------------------------------------
+# 24u. matryoshka truncate + L2 renormalize (datapipe/similarity.py
+# truncate_normalize): stateless per-row projection, BIT-EXACT vs SQL
+# (sequential norm fold + correctly-rounded IEEE sqrt/divide) — flattened
+# to (vec_id, pos, v) scalar rows for the hash gate, no rounding needed.
+# ---------------------------------------------------------------------------
+
+def q_truncate_embeddings(sf_dir: str):
+    from auto_featurs_ray.datapipe.similarity import truncate_normalize
+    ds = ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'),
+                               columns=['vec_id', 'embedding'])
+    out = truncate_normalize(ds, dims=16)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        t = batch.column('t')
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        n = len(t)
+        ids = np.repeat(batch.column('vec_id').to_numpy(zero_copy_only=False), 16)
+        pos = np.tile(np.arange(16, dtype=np.int64), n)
+        return pa.table({'vec_id': pa.array(ids), 'pos': pa.array(pos),
+                         'v': t.values})
+
+    return _finish(out.map_batches(flatten, batch_format='pyarrow'),
+                   ['vec_id', 'pos', 'v'])
+
+
+SQL_TRUNCATE_EMBEDDINGS = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM base
+)
+SELECT n.vec_id, p.pos, CASE WHEN n.nrm > 0 THEN n.e[p.pos + 1] / n.nrm END AS v
+FROM norms n CROSS JOIN (SELECT unnest(range(0, 16)) AS pos) p
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3491,6 +3530,7 @@ QUERIES = {
     'anti_join_events_orders': q_anti_join_events_orders,
     'impute_events': q_impute_events,
     'hash_encode_events': q_hash_encode_events,
+    'truncate_embeddings': q_truncate_embeddings,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3574,6 +3614,7 @@ ORACLE_SQL = {
     'anti_join_events_orders': SQL_ANTI_JOIN_EVENTS_ORDERS,
     'impute_events': SQL_IMPUTE_EVENTS,
     'hash_encode_events': _sql_hash_encode_events(),
+    'truncate_embeddings': SQL_TRUNCATE_EMBEDDINGS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

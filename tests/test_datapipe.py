@@ -646,3 +646,30 @@ class TestHashEncode:
         t = pa.table({'cat': ['x']})
         with pytest.raises(ValueError, match='num_buckets'):
             hash_encode(rd.from_arrow(t), column='cat', num_buckets=0)
+
+
+class TestTruncateNormalize:
+    def test_unit_norm_and_shape(self):
+        from auto_featurs_ray.datapipe.similarity import truncate_normalize
+        rng = np.random.default_rng(3)
+        vecs = [rng.normal(size=8).astype(np.float32).tolist() for _ in range(5)]
+        vecs.append([0.0] * 8)     # zero vector -> null components
+        t = pa.table({'vec_id': pa.array(range(6), pa.int64()),
+                      'embedding': pa.array(vecs, pa.list_(pa.float32()))})
+        out = (truncate_normalize(rd.from_arrow(t), dims=4)
+               .to_pandas().sort_values('vec_id').reset_index(drop=True))
+        for i in range(5):
+            v = np.asarray(out['t'][i], dtype=np.float64)
+            assert len(v) == 4
+            np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-12)
+            want = np.asarray(vecs[i][:4], dtype=np.float64)
+            np.testing.assert_allclose(v, want / np.linalg.norm(want), rtol=1e-12)
+        assert all(x is None or np.isnan(x) for x in out['t'][5])
+
+    def test_short_vector_raises(self):
+        from auto_featurs_ray.datapipe.similarity import truncate_normalize
+        t = pa.table({'vec_id': [0], 'embedding': pa.array([[1.0, 2.0]], pa.list_(pa.float32()))})
+        with pytest.raises(Exception, match='shorter'):
+            truncate_normalize(rd.from_arrow(t), dims=4).to_pandas()
+        with pytest.raises(ValueError, match='dims'):
+            truncate_normalize(rd.from_arrow(t), dims=0)
