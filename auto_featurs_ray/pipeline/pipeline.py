@@ -193,6 +193,47 @@ class Pipeline:
             kw_params={'lag': lags}, fill_value=fill_value)
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
+    def with_diff(self, subset: ColumnSelection, lags: Sequence[int] = (1,),
+                  over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                  filtering_condition: Optional[Expr] = None,
+                  auxiliary: bool = False) -> 'Pipeline':
+        """k-step differences ``x - x.shift(lag)`` within the ordered group
+        (engine extension); negative lags difference against future rows."""
+        from auto_featurs_ray.transformers.aggregating import DiffTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=DiffTransformer,
+            over_columns_combinations=over_columns_combinations,
+            filtering_condition=filtering_condition,
+            kw_params={'lag': [int(l) for l in lags]})
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_pct_change(self, subset: ColumnSelection, lags: Sequence[int] = (1,),
+                        over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                        filtering_condition: Optional[Expr] = None,
+                        auxiliary: bool = False) -> 'Pipeline':
+        """k-step relative changes ``x / x.shift(lag) - 1`` within the
+        ordered group (engine extension); zero denominators yield null."""
+        from auto_featurs_ray.transformers.aggregating import PctChangeTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=PctChangeTransformer,
+            over_columns_combinations=over_columns_combinations,
+            filtering_condition=filtering_condition,
+            kw_params={'lag': [int(l) for l in lags]})
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_streak(self, conditions: Sequence[Expr],
+                    over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                    auxiliary: bool = False) -> 'Pipeline':
+        """Current consecutive-run length of each boolean condition within
+        the ordered group (engine extension): 1, 2, 3... while it holds, 0
+        on false rows."""
+        from auto_featurs_ray.transformers.aggregating import StreakTransformer
+        transformers = self._build_aggregated_transformers(
+            transformer_factory=StreakTransformer,
+            over_columns_combinations=over_columns_combinations,
+            kw_params={'condition': list(conditions)})
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
     def with_first_value(self, subset: ColumnSelection,
                          over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
                          time_windows: Sequence = (), index_column_name: Optional[str] = None,

@@ -1972,6 +1972,49 @@ FROM norms n CROSS JOIN (SELECT unnest(range(0, 16)) AS pos) p
 
 
 # ---------------------------------------------------------------------------
+# 24v. k-step diff / pct_change and condition-streak length per ordered
+# group (engine extensions).
+# ---------------------------------------------------------------------------
+
+def q_diff_streak_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_diff('value', lags=[1, 2], over_columns_combinations=[['user_id']])
+         .with_pct_change('value', lags=[1], over_columns_combinations=[['user_id']])
+         .with_streak([(col('event_type') == 'click').alias('is_click')],
+                      over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'value_diff_1_over_user_id', 'value_diff_2_over_user_id',
+            'value_pct_change_1_over_user_id', 'streak_where_is_click_over_user_id']
+    return _finish(p.collect_plan().data, keep,
+                   round_cols=keep[1:4], nan_null_cols=keep[1:4], round_shift=1e-9)
+
+
+# The streak mirror is the classic gaps-and-islands identity: runs are keyed
+# by the running count of condition-FALSE rows, and the streak is the count
+# of true rows so far within the run (0 on false rows).
+SQL_DIFF_STREAK_EVENTS = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f
+  FROM events
+), runs AS (
+  SELECT event_id, user_id, ts, value, f,
+         SUM(1 - f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS brk
+  FROM base
+)
+SELECT event_id,
+       round(value - LAG(value, 1) OVER w + 1e-9, 6) AS value_diff_1_over_user_id,
+       round(value - LAG(value, 2) OVER w + 1e-9, 6) AS value_diff_2_over_user_id,
+       round(value / NULLIF(LAG(value, 1) OVER w, 0) - 1 + 1e-9, 6)
+           AS value_pct_change_1_over_user_id,
+       CAST(SUM(f) OVER (PARTITION BY user_id, brk ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS streak_where_is_click_over_user_id
+FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3531,6 +3574,7 @@ QUERIES = {
     'impute_events': q_impute_events,
     'hash_encode_events': q_hash_encode_events,
     'truncate_embeddings': q_truncate_embeddings,
+    'diff_streak_events': q_diff_streak_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3615,6 +3659,7 @@ ORACLE_SQL = {
     'impute_events': SQL_IMPUTE_EVENTS,
     'hash_encode_events': _sql_hash_encode_events(),
     'truncate_embeddings': SQL_TRUNCATE_EMBEDDINGS,
+    'diff_streak_events': SQL_DIFF_STREAK_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -181,6 +181,102 @@ class LaggedTransformer(AggregatingTransformer):
         return _gshift(frame.series(self._column.name), codes, self._lag, self._fill_value)
 
 
+class DiffTransformer(AggregatingTransformer):
+    """``x - x.shift(lag)`` within the ordered group (engine extension):
+    the first difference / k-step change.  Negative lags difference against
+    the FUTURE row — offline-only, like lead."""
+
+    def __init__(self, column: ColumnNameOrSpec, lag: int = 1,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if lag == 0:
+            raise ValueError('diff lag must be non-zero')
+        self._column = parse_column_name(column)
+        self._lag = int(lag)
+        self.filtering_condition = default_true_filtering_condition(filtering_condition)
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnTypeSelector(frozenset((ColumnType.NUMERIC, ColumnType.BOOLEAN)))
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return (f'{self._column}_diff_{self._lag}'
+                + filtering_condition_to_string(self.filtering_condition))
+
+    def _shifted_pair(self, frame: AggFrame, codes: np.ndarray):
+        x = frame.numeric(self._column)
+        cond = frame.cond_mask(self.filtering_condition)
+        if cond is not None:
+            x = np.where(cond, x, np.nan)
+        prev = _gshift(pd.Series(x), codes, self._lag).to_numpy(dtype=np.float64)
+        return x, prev
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x, prev = self._shifted_pair(frame, codes)
+        return x - prev
+
+
+class PctChangeTransformer(DiffTransformer):
+    """``x / x.shift(lag) - 1`` within the ordered group (engine
+    extension): the k-step relative change; division by zero yields ±inf
+    like SQL ``x / 0`` does NOT — a zero denominator emits NaN = SQL NULL
+    (DuckDB raises on integer /0 and returns inf on float; the oracle
+    guards with NULLIF, matching this NaN)."""
+
+    def _output_name(self) -> str:
+        return (f'{self._column}_pct_change_{self._lag}'
+                + filtering_condition_to_string(self.filtering_condition))
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x, prev = self._shifted_pair(frame, codes)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = x / prev - 1.0
+        return np.where(prev != 0, out, np.nan)
+
+
+class StreakTransformer(AggregatingTransformer):
+    """Length of the CURRENT consecutive run of condition-true rows, per
+    ordered group (engine extension): 1, 2, 3... while the condition holds,
+    0 on condition-false rows — e.g. the user's current streak of
+    ``event_type == 'error'`` events.  Null condition rows count as false
+    (break the streak)."""
+
+    def __init__(self, condition: Expr) -> None:
+        if condition is None:
+            raise ValueError('streak needs a boolean condition expression')
+        self._condition = condition
+
+    def input_type(self):
+        return ()  # condition-driven, like CountTransformer: no column subset
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return f'streak{filtering_condition_to_string(self._condition)}'
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        mask = self._condition.evaluate(frame.table)
+        flags = pc.fill_null(mask, False).to_numpy(zero_copy_only=False).astype(bool)
+        s = pd.Series(flags.astype(np.int64))
+        # within each (group, run) block, cumsum of flags; runs keyed by the
+        # cumulative count of falses so a false row resets the counter
+        breaks = pd.Series((~flags).astype(np.int64)).groupby(codes).cumsum()
+        return s.groupby([np.asarray(codes), breaks.to_numpy()]).cumsum().to_numpy()
+
+
 class FirstValueTransformer(AggregatingTransformer):
     """First value satisfying the condition, broadcast to the group (ref :95-114)."""
 

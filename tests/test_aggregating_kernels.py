@@ -22,6 +22,7 @@ from auto_featurs_ray.transformers.aggregating import (
     CovarianceTransformer,
     ArgMinTransformer,
     CountTransformer,
+    DiffTransformer,
     EntityEntropyTransformer,
     EwmMeanTransformer,
     FirstValueTransformer,
@@ -38,7 +39,9 @@ from auto_featurs_ray.transformers.aggregating import (
     DenseRankTransformer,
     NtileTransformer,
     KurtosisTransformer,
+    PctChangeTransformer,
     PointwiseMutualInformationTransformer,
+    StreakTransformer,
     EqualWidthBinTransformer,
     QuantileBinTransformer,
     RegressionInterceptTransformer,
@@ -745,3 +748,39 @@ class TestWinsorize:
             WinsorizeTransformer('X', 0.9, 0.1)
         assert WinsorizeTransformer('X', 0.05, 0.95).output_name == 'X_winsor_5_95'
         assert WinsorizeTransformer('X', 0.025, 0.975).output_name == 'X_winsor_2p5_97p5'
+
+
+class TestDiffPctStreak:
+    """Diff / PctChange / Streak (engine extensions)."""
+
+    def test_diff_and_pct_change(self):
+        t = pa.table({'X': [1.0, 2.0, 4.0, 3.0]})
+        codes = np.array([0, 0, 0, 1])
+        d = np.asarray(DiffTransformer('X', 1).compute(AggFrame(t), codes), dtype=np.float64)
+        close([_norm(v) for v in d.astype(object)], [None, 1.0, 2.0, None])
+        p = np.asarray(PctChangeTransformer('X', 1).compute(AggFrame(t), codes),
+                       dtype=np.float64)
+        close([_norm(v) for v in p.astype(object)], [None, 1.0, 1.0, None])
+
+    def test_pct_change_zero_denominator_is_nan(self):
+        t = pa.table({'X': [0.0, 5.0]})
+        p = np.asarray(PctChangeTransformer('X', 1).compute(AggFrame(t), None),
+                       dtype=np.float64)
+        assert np.isnan(p).all()
+
+    def test_streak_resets_on_false_and_null(self):
+        t = pa.table({'B': [True, True, False, True, None, True]})
+        got = StreakTransformer(col('B')).compute(AggFrame(t), None)
+        assert list(got) == [1, 2, 0, 1, 0, 1]
+
+    def test_streak_grouped(self):
+        t = pa.table({'B': [True, True, True, True]})
+        codes = np.array([0, 0, 1, 1])
+        got = StreakTransformer(col('B')).compute(AggFrame(t), codes)
+        assert list(got) == [1, 2, 1, 2]
+
+    def test_validation_and_names(self):
+        with pytest.raises(ValueError, match='non-zero'):
+            DiffTransformer('X', 0)
+        assert DiffTransformer('X', 2).output_name == 'X_diff_2'
+        assert PctChangeTransformer('X', 1).output_name == 'X_pct_change_1'
