@@ -521,6 +521,17 @@ class Pipeline:
             over_columns_combinations=over_columns_combinations)
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
+    def with_time_to_next(self, subset: ColumnSelection,
+                          over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                          auxiliary: bool = False) -> 'Pipeline':
+        """Seconds until the group's next row (engine extension): the
+        forward-recency / inactivity-label counterpart of time_since_last."""
+        from auto_featurs_ray.transformers.temporal import TimeToNextTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=TimeToNextTransformer,
+            over_columns_combinations=over_columns_combinations)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
     def with_fill(self, subset: ColumnSelection, strategies: Sequence,
                   over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
                   auxiliary: bool = False) -> 'Pipeline':

@@ -2015,6 +2015,26 @@ FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 # ---------------------------------------------------------------------------
+# 24w. forward recency: seconds until the group's next row (engine
+# extension; the inactivity-label counterpart of time_since_last).
+# ---------------------------------------------------------------------------
+
+def q_time_to_next_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_time_to_next('ts', over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'ts_seconds_to_next_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:])
+
+
+SQL_TIME_TO_NEXT_EVENTS = """
+SELECT event_id,
+       round(CAST(epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  - ts) AS DOUBLE) / 1000000.0, 6) AS ts_seconds_to_next_over_user_id
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3575,6 +3595,7 @@ QUERIES = {
     'hash_encode_events': q_hash_encode_events,
     'truncate_embeddings': q_truncate_embeddings,
     'diff_streak_events': q_diff_streak_events,
+    'time_to_next_events': q_time_to_next_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3660,6 +3681,7 @@ ORACLE_SQL = {
     'hash_encode_events': _sql_hash_encode_events(),
     'truncate_embeddings': SQL_TRUNCATE_EMBEDDINGS,
     'diff_streak_events': SQL_DIFF_STREAK_EVENTS,
+    'time_to_next_events': SQL_TIME_TO_NEXT_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

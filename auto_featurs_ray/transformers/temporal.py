@@ -96,6 +96,37 @@ class TimeSinceLastTransformer(AggregatingTransformer):
         return (ts - prev) / 1_000_000.0
 
 
+class TimeToNextTransformer(AggregatingTransformer):
+    """Seconds until the NEXT row of the ordered group (null at the group
+    end) — the forward-recency / inactivity-label counterpart of
+    TimeSinceLast (engine extension; reads one future row, offline-only)."""
+
+    def __init__(self, column: ColumnSpecification) -> None:
+        if column.column_type != ColumnType.DATETIME:
+            raise ValueError(f'TimeToNext requires a DATETIME column, got {column.column_type} for {column.name}.')
+        self._column = column
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnType.DATETIME.as_selector()
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return f'{self._column.name}_seconds_to_next'
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        n = frame.num_rows
+        codes = _codes_or_zeros(codes, n)
+        ts = frame.timestamps_us(self._column.name)
+        nxt = _gshift(pd.Series(ts), codes, -1).to_numpy()
+        return (nxt - ts) / 1_000_000.0
+
+
 class FillStrategy(Enum):
     FORWARD = 'forward'
     BACKWARD = 'backward'

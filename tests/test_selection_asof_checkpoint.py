@@ -194,6 +194,22 @@ class TestTemporal:
         assert_column(df, 'x_backward_filled_over_user', [1.0, 3.0, 3.0, None, 6.0, 6.0])
 
 
+class TestTimeToNext:
+    def test_forward_recency(self):
+        from datetime import datetime
+
+        from auto_featurs_ray.base.column_specification import ColumnSpecification as _CS
+        from auto_featurs_ray.engine.aggframe import AggFrame
+        from auto_featurs_ray.transformers.temporal import TimeToNextTransformer
+        t = pa.table({'ts': pa.array([datetime(2020, 1, 1, 0, 0, 0),
+                                      datetime(2020, 1, 1, 0, 0, 30),
+                                      datetime(2020, 1, 1, 1, 0, 0)], pa.timestamp('us'))})
+        codes = np.array([0, 0, 1])
+        got = TimeToNextTransformer(_CS.datetime(name='ts')).compute(AggFrame(t), codes)
+        vals = np.asarray(got, dtype=np.float64)
+        assert vals[0] == 30.0 and np.isnan(vals[1]) and np.isnan(vals[2])
+
+
 class TestGroupImputation:
     def test_mean_and_median_fill(self):
         from auto_featurs_ray.base.column_specification import ColumnSpecification as _CS
