@@ -59,7 +59,8 @@ BENCH_QUERIES = [
     'tfidf_documents', 'covariance_autocorr_events', 'bm25_documents',
     'one_hot_documents', 'seasonal_extras_orders', 'rank_events',
     'winsorize_lineitem', 'semi_join_events_orders', 'anti_join_events_orders',
-    'impute_events',
+    'impute_events', 'hash_encode_events', 'truncate_embeddings',
+    'diff_streak_events', 'time_to_next_events',
 ]
 
 
