@@ -168,3 +168,52 @@ def test_rolling_suite_matches_window_slices(case):
                                rtol=1e-9, atol=1e-9, equal_nan=True)
     np.testing.assert_allclose(got_min, np.asarray(exp_min)[np.argsort(ref['row_id'].to_numpy())],
                                rtol=1e-12, equal_nan=True)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+@given(frames())
+def test_round4_feature_suite_matches_pandas(case):
+    """Target encoding / binning / rank family / diff / winsorize on random
+    frames and physical layouts vs a driver-side pandas oracle."""
+    table, num_blocks, num_partitions = case
+    schema = Schema([
+        CS.numeric(name='row_id', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='ts', role=ColumnRole.TIME_INFO),
+        CS.nominal(name='g', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='x'),
+    ])
+    from auto_featurs_ray.transformers.aggregating import Binning
+    ds = Dataset.from_arrow(table, schema, order_by=['ts', 'row_id'],
+                            num_blocks=num_blocks, num_partitions=num_partitions)
+    got = (Pipeline(ds)
+           .with_target_encoding('x', over_columns_combinations=[['g']], smoothing=5.0)
+           .with_arithmetic_aggregation('x', aggregations=[ArithmeticAggregations.RANK],
+                                        over_columns_combinations=[['g']])
+           .with_binning('x', [Binning.QUANTILE], num_bins=[4],
+                         over_columns_combinations=[['g']])
+           .with_diff('x', lags=[1], over_columns_combinations=[['g']])
+           .with_winsorize('x', limits=[(0.1, 0.9)], over_columns_combinations=[['g']])
+           .collect()).sort_values('row_id').reset_index(drop=True)
+
+    ref = table.to_pandas().sort_values(['ts', 'row_id']).reset_index(drop=True)
+    grouped = ref.groupby('g', sort=False)['x']
+    prior = ref['x'].sum() / len(ref)  # engine mean counts null rows (reference quirk)
+    te = (grouped.transform('sum').fillna(0.0) + 5.0 * prior) / (grouped.transform('count') + 5.0)
+    rank = grouped.rank(method='min')
+    edges = grouped.transform('quantile', 0.25), grouped.transform('quantile', 0.5), \
+        grouped.transform('quantile', 0.75)
+    qbin = sum((ref['x'] > np.round(e, 6)).astype(float) for e in edges)
+    qbin = qbin.where(~ref['x'].isna(), np.nan)
+    diff = ref['x'] - grouped.shift(1)
+    lo, hi = grouped.transform('quantile', 0.1), grouped.transform('quantile', 0.9)
+    winsor = ref['x'].clip(lo, hi)
+
+    order = np.argsort(ref['row_id'].to_numpy())
+    for col_name, exp in [('x_target_enc_s5_over_g', te), ('x_rank_over_g', rank),
+                          ('x_qbin_4_over_g', qbin), ('x_diff_1_over_g', diff),
+                          ('x_winsor_10_90_over_g', winsor)]:
+        np.testing.assert_allclose(
+            got[col_name].to_numpy(dtype=float),
+            exp.to_numpy(dtype=float)[order],
+            rtol=1e-9, equal_nan=True, err_msg=col_name)
