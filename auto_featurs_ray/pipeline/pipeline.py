@@ -338,6 +338,39 @@ class Pipeline:
             kw_params={'lag': [int(l) for l in lags]})
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
+    def with_weighted_mean(self, value_subset: ColumnSelection,
+                           weight_subset: ColumnSelection,
+                           over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                           time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                           cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                           filtering_condition: Optional[Expr] = None,
+                           auxiliary: bool = False) -> 'Pipeline':
+        """Weight-weighted mean ``sum(x*w)/sum(w)`` features (engine
+        extension): per-group, running, or rolling."""
+        from auto_featurs_ray.transformers.aggregating import WeightedMeanTransformer
+        transformers = self._build_aggregated_transformers(
+            value_subset, weight_subset, transformer_factory=WeightedMeanTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            cumulative=cumulative, filtering_condition=filtering_condition)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
+    def with_share(self, subset: ColumnSelection,
+                   over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
+                   time_windows: Sequence = (), index_column_name: Optional[str] = None,
+                   cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                   filtering_condition: Optional[Expr] = None,
+                   auxiliary: bool = False) -> 'Pipeline':
+        """Row's share of the group / running / rolling valid-value total
+        (engine extension): the contribution-fraction feature."""
+        from auto_featurs_ray.transformers.aggregating import ShareTransformer
+        transformers = self._build_aggregated_transformers(
+            subset, transformer_factory=ShareTransformer,
+            over_columns_combinations=over_columns_combinations,
+            time_windows=time_windows, index_column_name=index_column_name,
+            cumulative=cumulative, filtering_condition=filtering_condition)
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
     def with_ewm(self, subset: ColumnSelection, alphas: Sequence[float],
                  over_columns_combinations: Sequence[Sequence[ColumnNameOrSpec]] = (),
                  time_windows: Sequence = (), index_column_name: Optional[str] = None,

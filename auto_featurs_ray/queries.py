@@ -2035,6 +2035,70 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# 24x. weighted mean + share-of-total features (engine extensions): grouped
+# and rolling weighted means, grouped and leakage-free running shares.
+# ---------------------------------------------------------------------------
+
+def q_weighted_share_lineitem(sf_dir: str):
+    schema = Schema([
+        CS.numeric(name='l_orderkey', role=ColumnRole.IDENTIFIER),
+        CS.numeric(name='l_linenumber', role=ColumnRole.IDENTIFIER),
+        CS.nominal(name='l_suppkey', role=ColumnRole.IDENTIFIER),
+        CS.datetime(name='l_shipdate', role=ColumnRole.TIME_INFO),
+        CS.numeric(name='l_quantity'),
+        CS.numeric(name='l_extendedprice'),
+    ])
+    ds = Dataset.from_parquet(os.path.join(sf_dir, 'lineitem.parquet'), schema,
+                              order_by=['l_shipdate', 'l_orderkey', 'l_linenumber'],
+                              num_partitions=NUM_PARTITIONS,
+                              columns=['l_orderkey', 'l_linenumber', 'l_suppkey',
+                                       'l_shipdate', 'l_quantity', 'l_extendedprice'])
+    p = (Pipeline(ds)
+         .with_weighted_mean(['l_extendedprice'], ['l_quantity'],
+                             over_columns_combinations=[['l_suppkey']])
+         .with_weighted_mean(['l_extendedprice'], ['l_quantity'],
+                             over_columns_combinations=[['l_suppkey']],
+                             time_windows=['30d'], index_column_name='l_shipdate')
+         .with_share('l_extendedprice', over_columns_combinations=[['l_suppkey']])
+         .with_share('l_extendedprice', over_columns_combinations=[['l_suppkey']],
+                     cumulative=CumulativeOptions.INCLUSIVE))
+    keep = ['l_orderkey', 'l_linenumber',
+            'l_extendedprice_l_quantity_wmean_over_l_suppkey',
+            'l_extendedprice_l_quantity_wmean_in_the_last_30d_over_l_suppkey',
+            'l_extendedprice_share_over_l_suppkey',
+            'l_extendedprice_inclusive_cum_share_over_l_suppkey']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[2:], nan_null_cols=keep[2:],
+                   round_shift=1e-9)
+
+
+# needs l_suppkey + l_shipdate on the lineitem view, so the engine half uses
+# the correlation query's dataset shape; rolling mirror = the engine's shared
+# per-timestamp-run anchor via the RANGE frame with the 1-microsecond shave.
+SQL_WEIGHTED_SHARE_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(SUM(l_extendedprice * l_quantity) OVER (PARTITION BY l_suppkey)
+             / SUM(l_quantity) OVER (PARTITION BY l_suppkey) + 1e-9, 6)
+           AS l_extendedprice_l_quantity_wmean_over_l_suppkey,
+       round(SUM(l_extendedprice * l_quantity) OVER (
+                 PARTITION BY l_suppkey ORDER BY l_shipdate
+                 RANGE BETWEEN INTERVAL 30 DAY - INTERVAL 1 MICROSECOND PRECEDING
+                       AND CURRENT ROW)
+             / SUM(l_quantity) OVER (
+                 PARTITION BY l_suppkey ORDER BY l_shipdate
+                 RANGE BETWEEN INTERVAL 30 DAY - INTERVAL 1 MICROSECOND PRECEDING
+                       AND CURRENT ROW) + 1e-9, 6)
+           AS l_extendedprice_l_quantity_wmean_in_the_last_30d_over_l_suppkey,
+       round(l_extendedprice / SUM(l_extendedprice) OVER (PARTITION BY l_suppkey) + 1e-9, 6)
+           AS l_extendedprice_share_over_l_suppkey,
+       round(l_extendedprice / SUM(l_extendedprice) OVER (
+                 PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6)
+           AS l_extendedprice_inclusive_cum_share_over_l_suppkey
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3596,6 +3660,7 @@ QUERIES = {
     'truncate_embeddings': q_truncate_embeddings,
     'diff_streak_events': q_diff_streak_events,
     'time_to_next_events': q_time_to_next_events,
+    'weighted_share_lineitem': q_weighted_share_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3682,6 +3747,7 @@ ORACLE_SQL = {
     'truncate_embeddings': SQL_TRUNCATE_EMBEDDINGS,
     'diff_streak_events': SQL_DIFF_STREAK_EVENTS,
     'time_to_next_events': SQL_TIME_TO_NEXT_EVENTS,
+    'weighted_share_lineitem': SQL_WEIGHTED_SHARE_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

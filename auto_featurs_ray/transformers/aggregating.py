@@ -1718,6 +1718,57 @@ class CorrelationTransformer(_PairMomentTransformer):
     _r = _stat
 
 
+class WeightedMeanTransformer(_PairMomentTransformer):
+    """Weight-weighted mean ``sum(x*w) / sum(w)`` over pairwise-valid rows
+    (engine extension; DuckDB mirror ``SUM(x*w)/SUM(w)``): NaN when the
+    window's weight sum is not positive.  First column is the value,
+    second the weight; grouped / running / rolling all fall out of the
+    shared six-moment scan (``sxy`` = sum of x*w, ``sy`` = sum of w)."""
+
+    @property
+    def _aggregation(self) -> str:
+        return 'wmean'
+
+    @staticmethod
+    def _stat(m: np.ndarray):
+        n, sx, sy, sxx, syy, sxy = (m[..., i] for i in range(6))
+        with np.errstate(divide='ignore', invalid='ignore'):
+            return np.where(sy > 0, sxy / sy, np.nan)
+
+
+class ShareTransformer(ArithmeticAggregationTransformer):
+    """Each row's share of its group's (or running / rolling window's)
+    valid-value total: ``x_i / sum_g(x)`` (engine extension) — the
+    contribution-fraction feature.  NaN inputs and zero denominators yield
+    NaN = SQL NULL; EXCLUSIVE divides by the strictly-preceding running
+    total (point-in-time safe)."""
+
+    @property
+    def _aggregation(self) -> str:
+        return 'share'
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = self._masked(frame)
+        valid = ~np.isnan(x)
+        xz = np.where(valid, x, 0.0)
+        inc, exc, totals = _grouped_moment_scan(xz[:, None], codes)
+        sel = {CumulativeOptions.NONE: totals, CumulativeOptions.INCLUSIVE: inc,
+               CumulativeOptions.EXCLUSIVE: exc}[self.cumulative][:, 0]
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = x / sel
+        return np.where(sel != 0, out, np.nan)
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        x = self._masked(frame)
+        s, _, _ = self._window_prefix_stats(frame, lo, hi)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = x / s
+        return np.where(s != 0, out, np.nan)
+
+
 class CovarianceTransformer(_PairMomentTransformer):
     """Pairwise-valid sample covariance (DuckDB ``covar_samp()`` semantics):
     NaN for fewer than two valid pairs."""

@@ -47,11 +47,13 @@ from auto_featurs_ray.transformers.aggregating import (
     RegressionInterceptTransformer,
     RegressionSlopeTransformer,
     RobustScaler,
+    ShareTransformer,
     StandardScaler,
     StdTransformer,
     SkewTransformer,
     SumTransformer,
     TargetEncodingTransformer,
+    WeightedMeanTransformer,
     WinsorizeTransformer,
     ZscoreTransformer,
 )
@@ -784,3 +786,36 @@ class TestDiffPctStreak:
             DiffTransformer('X', 0)
         assert DiffTransformer('X', 2).output_name == 'X_diff_2'
         assert PctChangeTransformer('X', 1).output_name == 'X_pct_change_1'
+
+
+class TestWeightedMeanAndShare:
+    """WeightedMean / Share (engine extensions)."""
+
+    T = pa.table({'X': [10.0, 20.0, 30.0], 'W': [1.0, 3.0, 0.0]})
+
+    def test_weighted_mean(self):
+        got = WeightedMeanTransformer('X', 'W').compute(AggFrame(self.T), None)
+        close([_norm(v) for v in np.asarray(got, dtype=object)], [70 / 4] * 3)
+        assert WeightedMeanTransformer('X', 'W').output_name == 'X_W_wmean'
+
+    def test_weighted_mean_zero_weight_sum_is_nan(self):
+        t = pa.table({'X': [1.0], 'W': [0.0]})
+        got = np.asarray(WeightedMeanTransformer('X', 'W').compute(AggFrame(t), None),
+                         dtype=np.float64)
+        assert np.isnan(got).all()
+
+    def test_share_modes(self):
+        t = pa.table({'X': [1.0, 3.0, 4.0]})
+        got = ShareTransformer('X').compute(AggFrame(t), None)
+        close([_norm(v) for v in np.asarray(got, dtype=object)], [1 / 8, 3 / 8, 4 / 8])
+        ex = ShareTransformer('X', C.EXCLUSIVE).compute(AggFrame(t), None)
+        close([_norm(v) for v in np.asarray(ex, dtype=object)], [None, 3.0, 1.0])
+        inc = ShareTransformer('X', C.INCLUSIVE).compute(AggFrame(t), None)
+        close([_norm(v) for v in np.asarray(inc, dtype=object)], [1.0, 0.75, 0.5])
+
+    def test_share_windowed(self):
+        t = pa.table({'X': [2.0, 2.0, 6.0]})
+        lo = np.array([0, 0, 1])
+        hi = np.array([1, 2, 3])
+        got = ShareTransformer('X').compute_windowed(AggFrame(t), lo, hi)
+        close([_norm(v) for v in np.asarray(got, dtype=object)], [1.0, 0.5, 0.75])
