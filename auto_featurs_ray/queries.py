@@ -2099,6 +2099,56 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# 24y. geometric / harmonic means over positive values (engine extensions):
+# grouped, running, and rolling via prefix sums of ln(x) / 1/x.
+# ---------------------------------------------------------------------------
+
+def q_geo_harmonic_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_arithmetic_aggregation('value',
+                                      aggregations=[ArithmeticAggregations.GEOMETRIC_MEAN,
+                                                    ArithmeticAggregations.HARMONIC_MEAN],
+                                      over_columns_combinations=[['user_id']])
+         .with_arithmetic_aggregation('value',
+                                      aggregations=[ArithmeticAggregations.GEOMETRIC_MEAN],
+                                      over_columns_combinations=[['user_id']],
+                                      cumulative=CumulativeOptions.INCLUSIVE)
+         .with_arithmetic_aggregation('value',
+                                      aggregations=[ArithmeticAggregations.HARMONIC_MEAN],
+                                      over_columns_combinations=[['user_id']],
+                                      time_windows=['6h'], index_column_name='ts'))
+    keep = ['event_id', 'value_geo_mean_over_user_id', 'value_harmonic_mean_over_user_id',
+            'value_inclusive_cum_geo_mean_over_user_id',
+            'value_harmonic_mean_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:], nan_null_cols=keep[1:],
+                   round_shift=1e-9)
+
+
+SQL_GEO_HARMONIC_EVENTS = """
+WITH roll AS (
+  SELECT e.event_id,
+         COUNT(CASE WHEN w.value > 0 THEN 1 END) * 1.0
+             / SUM(CASE WHEN w.value > 0 THEN 1.0 / w.value END) AS hm
+  FROM events e JOIN events w
+    ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+  GROUP BY e.event_id
+)
+SELECT e.event_id,
+       round(exp(AVG(CASE WHEN e.value > 0 THEN ln(e.value) END)
+                 OVER (PARTITION BY e.user_id)) + 1e-9, 6) AS value_geo_mean_over_user_id,
+       round(COUNT(CASE WHEN e.value > 0 THEN 1 END) OVER (PARTITION BY e.user_id) * 1.0
+             / SUM(CASE WHEN e.value > 0 THEN 1.0 / e.value END) OVER (PARTITION BY e.user_id)
+             + 1e-9, 6) AS value_harmonic_mean_over_user_id,
+       round(exp(AVG(CASE WHEN e.value > 0 THEN ln(e.value) END) OVER (
+                 PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 1e-9, 6)
+           AS value_inclusive_cum_geo_mean_over_user_id,
+       round(r.hm + 1e-9, 6) AS value_harmonic_mean_in_the_last_6h_over_user_id
+FROM events e JOIN roll r ON r.event_id = e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3661,6 +3711,7 @@ QUERIES = {
     'diff_streak_events': q_diff_streak_events,
     'time_to_next_events': q_time_to_next_events,
     'weighted_share_lineitem': q_weighted_share_lineitem,
+    'geo_harmonic_events': q_geo_harmonic_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3748,6 +3799,7 @@ ORACLE_SQL = {
     'diff_streak_events': SQL_DIFF_STREAK_EVENTS,
     'time_to_next_events': SQL_TIME_TO_NEXT_EVENTS,
     'weighted_share_lineitem': SQL_WEIGHTED_SHARE_LINEITEM,
+    'geo_harmonic_events': SQL_GEO_HARMONIC_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -1167,6 +1167,96 @@ class MeanTransformer(ArithmeticAggregationTransformer):
         return np.full(table.num_rows, value)
 
 
+class _PositiveContributionTransformer(ArithmeticAggregationTransformer, ABC):
+    """Shared base for aggregates defined over the STRICTLY POSITIVE valid
+    values of the column (geometric / harmonic mean): non-positive and null
+    rows are excluded like nulls, all expanding modes and rolling windows
+    fall out of prefix sums of a per-row contribution."""
+
+    @staticmethod
+    @abstractmethod
+    def _contribution(x: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    @staticmethod
+    @abstractmethod
+    def _finalize_stat(n: np.ndarray, s: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def _masked_positive(self, frame: AggFrame):
+        x = self._masked(frame)
+        with np.errstate(invalid='ignore'):
+            valid = ~np.isnan(x) & (x > 0)
+        contrib = np.where(valid, self._contribution(np.where(valid, x, 1.0)), 0.0)
+        return valid, contrib
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        valid, contrib = self._masked_positive(frame)
+        inc, exc, totals = _grouped_moment_scan(
+            np.column_stack([valid.astype(np.float64), contrib]), codes)
+        sel = {CumulativeOptions.NONE: totals, CumulativeOptions.INCLUSIVE: inc,
+               CumulativeOptions.EXCLUSIVE: exc}[self.cumulative]
+        return self._finalize_stat(sel[:, 0], sel[:, 1])
+
+    def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
+        if self.cumulative != CumulativeOptions.NONE:
+            return None
+        valid, contrib = self._masked_positive(frame)
+        pn = np.concatenate(([0.0], np.cumsum(valid.astype(np.float64))))
+        ps = np.concatenate(([0.0], np.cumsum(contrib)))
+        return self._finalize_stat(pn[hi] - pn[lo], ps[hi] - ps[lo])
+
+    supports_global_two_pass = True
+
+    def global_partial(self, table: pa.Table):
+        valid, contrib = self._masked_positive(AggFrame(table))
+        return (float(valid.sum()), float(contrib.sum()))
+
+    def global_combine(self, left, right):
+        return (left[0] + right[0], left[1] + right[1])
+
+    def global_finalize(self, state, table: pa.Table):
+        n, s = state
+        return np.full(table.num_rows,
+                       float(self._finalize_stat(np.array([n]), np.array([s]))[0]))
+
+
+class GeometricMeanTransformer(_PositiveContributionTransformer):
+    """``exp(mean(ln x))`` over positive valid values (DuckDB mirror
+    ``exp(AVG(CASE WHEN x > 0 THEN ln(x) END))``); NaN when none."""
+
+    @property
+    def _aggregation(self) -> str:
+        return 'geo_mean'
+
+    @staticmethod
+    def _contribution(x: np.ndarray) -> np.ndarray:
+        return np.log(x)
+
+    @staticmethod
+    def _finalize_stat(n: np.ndarray, s: np.ndarray) -> np.ndarray:
+        with np.errstate(divide='ignore', invalid='ignore'):
+            return np.where(n > 0, np.exp(s / n), np.nan)
+
+
+class HarmonicMeanTransformer(_PositiveContributionTransformer):
+    """``n / sum(1/x)`` over positive valid values; NaN when none."""
+
+    @property
+    def _aggregation(self) -> str:
+        return 'harmonic_mean'
+
+    @staticmethod
+    def _contribution(x: np.ndarray) -> np.ndarray:
+        return 1.0 / x
+
+    @staticmethod
+    def _finalize_stat(n: np.ndarray, s: np.ndarray) -> np.ndarray:
+        with np.errstate(divide='ignore', invalid='ignore'):
+            return np.where(n > 0, n / s, np.nan)
+
+
 class StdTransformer(ArithmeticAggregationTransformer):
     """NONE: sample std (ddof=1).  Cumulative: the reference's non-standard
     ``sqrt(cumsum((x_i - running_mean_i)^2))`` (ref :390-397)."""
@@ -1989,6 +2079,8 @@ class ArithmeticAggregations(Enum):
     PERCENT_RANK = PercentRankTransformer
     RANK = RankTransformer
     DENSE_RANK = DenseRankTransformer
+    GEOMETRIC_MEAN = GeometricMeanTransformer
+    HARMONIC_MEAN = HarmonicMeanTransformer
     SKEW = SkewTransformer
     KURTOSIS = KurtosisTransformer
 

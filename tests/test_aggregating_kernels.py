@@ -26,6 +26,8 @@ from auto_featurs_ray.transformers.aggregating import (
     EntityEntropyTransformer,
     EwmMeanTransformer,
     FirstValueTransformer,
+    GeometricMeanTransformer,
+    HarmonicMeanTransformer,
     LaggedTransformer,
     MaxTransformer,
     MeanTransformer,
@@ -819,3 +821,44 @@ class TestWeightedMeanAndShare:
         hi = np.array([1, 2, 3])
         got = ShareTransformer('X').compute_windowed(AggFrame(t), lo, hi)
         close([_norm(v) for v in np.asarray(got, dtype=object)], [1.0, 0.5, 0.75])
+
+
+class TestGeoHarmonicMeans:
+    """GeometricMean / HarmonicMean (positive-value aggregates)."""
+
+    T = pa.table({'X': [1.0, 4.0, 16.0, -5.0, None]})
+
+    def _run(self, t):
+        return [_norm(v) for v in np.asarray(t.compute(AggFrame(self.T), None), dtype=object)]
+
+    def test_geometric(self):
+        want = float(np.exp(np.mean(np.log([1.0, 4.0, 16.0]))))
+        close(self._run(GeometricMeanTransformer('X')), [want] * 5)
+
+    def test_harmonic(self):
+        want = 3.0 / (1.0 + 0.25 + 1 / 16)
+        close(self._run(HarmonicMeanTransformer('X')), [want] * 5)
+
+    def test_cumulative_exclusive(self):
+        got = self._run(GeometricMeanTransformer('X', C.EXCLUSIVE))
+        assert got[0] is None and abs(got[1] - 1.0) < 1e-9 and abs(got[2] - 2.0) < 1e-9
+        # non-positive row keeps the previous prefix value
+        assert abs(got[3] - got[4 - 1]) < 1e-9 if got[3] is not None else True
+
+    def test_windowed(self):
+        t = GeometricMeanTransformer('X')
+        lo = np.array([0, 0, 2, 3, 3])
+        hi = np.array([1, 2, 3, 4, 5])
+        got = t.compute_windowed(AggFrame(self.T), lo, hi)
+        out = [_norm(v) for v in np.asarray(got, dtype=object)]
+        assert abs(out[0] - 1.0) < 1e-9 and abs(out[1] - 2.0) < 1e-9
+        assert abs(out[2] - 16.0) < 1e-9 and out[3] is None and out[4] is None
+
+    def test_two_pass_matches_compute(self):
+        for cls in (GeometricMeanTransformer, HarmonicMeanTransformer):
+            t = cls('X')
+            state = t.global_combine(t.global_partial(self.T.slice(0, 2)),
+                                     t.global_partial(self.T.slice(2)))
+            direct = np.asarray(t.compute(AggFrame(self.T), None), dtype=np.float64)
+            np.testing.assert_allclose(np.asarray(t.global_finalize(state, self.T)),
+                                       direct, rtol=1e-12)
