@@ -65,3 +65,56 @@ def hash_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str
                            right_suffix=suffix, use_threads=False)
 
     return cogroup_map_partitions(left, right, on, num_partitions, join_partition)
+
+
+def broadcast_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str]] = None,
+                   how: str = 'left', suffix: str = '_right',
+                   max_rows: int = 5_000_000):
+    """Broadcast-hash join for a SMALL right side: the dimension table is
+    collected once, shipped to the object store once (``ray.put``) and
+    joined against every left batch with Arrow's native join — ZERO
+    shuffle, the pattern the flagship pipeline uses for per-source lookups,
+    exposed as a first-class operator.
+
+    All supported join types (``left`` / ``inner`` / ``semi`` / ``anti``)
+    are per-left-row decisions, so joining batch-by-batch is exact.  The
+    right side must fit on the driver: rows are counted first and anything
+    above ``max_rows`` raises, pointing at :func:`hash_join` — the
+    documented scale boundary between broadcast and exchange joins.
+    """
+    import numpy as np
+    import ray
+
+    type_map = {'inner': 'inner', 'left': 'left outer',
+                'semi': 'left semi', 'anti': 'left anti'}
+    if how not in type_map:
+        raise ValueError(f'Unsupported join type: {how}')
+    on = list(on)
+    right_on = list(right_on or on)
+    rename = dict(zip(right_on, on))
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        for key in on:
+            canonical = _canonical_key_array(batch.column(key))
+            if canonical.type != batch.column(key).type:
+                batch = batch.set_column(batch.column_names.index(key), key, canonical)
+        return batch
+
+    n_right = right.count()
+    if n_right > max_rows:
+        raise ValueError(
+            f'broadcast_join right side has {n_right} rows > max_rows={max_rows}; '
+            'a side this large should go through hash_join (co-group exchange) instead')
+    tbl = pa.concat_tables(ray.get(right.to_arrow_refs()), promote_options='permissive')
+    tbl = tbl.rename_columns([rename.get(c, c) for c in tbl.column_names])
+    if how in ('semi', 'anti'):
+        tbl = tbl.select(on)
+    tbl = _canon(tbl.combine_chunks())
+    handle = ray.put(tbl)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        right_t = ray.get(handle)
+        return _canon(batch).join(right_t, keys=on, join_type=type_map[how],
+                                  right_suffix=suffix, use_threads=False)
+
+    return left.map_batches(join_batch, batch_format='pyarrow', zero_copy_batch=True)

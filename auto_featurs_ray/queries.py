@@ -2149,6 +2149,30 @@ FROM events e JOIN roll r ON r.event_id = e.event_id
 
 
 # ---------------------------------------------------------------------------
+# 24z. broadcast dimension join (engine/join.py broadcast_join): the
+# zero-shuffle small-side lookup, exposed as an operator with an explicit
+# scale boundary (row guard -> hash_join above it).
+# ---------------------------------------------------------------------------
+
+def q_broadcast_join_events_customer(sf_dir: str):
+    from auto_featurs_ray.engine.join import broadcast_join
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'user_id'])
+    customer = ray.data.read_parquet(os.path.join(sf_dir, 'customer.parquet'),
+                                     columns=['c_custkey', 'c_mktsegment', 'c_acctbal'])
+    out = broadcast_join(events, customer, on=['user_id'], right_on=['c_custkey'],
+                         how='left')
+    return _finish(out, ['event_id', 'user_id', 'c_mktsegment', 'c_acctbal'],
+                   round_cols=['c_acctbal'])
+
+
+SQL_BROADCAST_JOIN_EVENTS_CUSTOMER = """
+SELECT e.event_id, e.user_id, c.c_mktsegment, round(c.c_acctbal, 6) AS c_acctbal
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3712,6 +3736,7 @@ QUERIES = {
     'time_to_next_events': q_time_to_next_events,
     'weighted_share_lineitem': q_weighted_share_lineitem,
     'geo_harmonic_events': q_geo_harmonic_events,
+    'broadcast_join_events_customer': q_broadcast_join_events_customer,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3800,6 +3825,7 @@ ORACLE_SQL = {
     'time_to_next_events': SQL_TIME_TO_NEXT_EVENTS,
     'weighted_share_lineitem': SQL_WEIGHTED_SHARE_LINEITEM,
     'geo_harmonic_events': SQL_GEO_HARMONIC_EVENTS,
+    'broadcast_join_events_customer': SQL_BROADCAST_JOIN_EVENTS_CUSTOMER,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

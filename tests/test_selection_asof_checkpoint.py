@@ -288,6 +288,27 @@ class TestHashJoin:
         assert sorted(anti['v']) == ['a', 'c']
         assert 'w' not in semi.columns and 'w' not in anti.columns
 
+    def test_broadcast_join_matches_hash_join(self):
+        from auto_featurs_ray.engine.join import broadcast_join, hash_join
+        left = pa.table({'k': [1, 2, 3, 2], 'v': ['a', 'b', 'c', 'd']})
+        right = pa.table({'k': [2, 4], 'w': [10.0, 30.0]})
+        for how in ('left', 'inner', 'semi', 'anti'):
+            b = (broadcast_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'], how=how)
+                 .to_pandas().sort_values('v').reset_index(drop=True))
+            h = (hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'], how=how,
+                           num_partitions=2)
+                 .to_pandas().sort_values('v').reset_index(drop=True))
+            assert b['v'].tolist() == h['v'].tolist(), how
+            if 'w' in b.columns:
+                np.testing.assert_allclose(b['w'].to_numpy(dtype=float),
+                                           h['w'].to_numpy(dtype=float), equal_nan=True)
+
+    def test_broadcast_join_row_guard(self):
+        from auto_featurs_ray.engine.join import broadcast_join
+        t = pa.table({'k': [1, 2, 3]})
+        with pytest.raises(ValueError, match='hash_join'):
+            broadcast_join(rd.from_arrow(t), rd.from_arrow(t), on=['k'], max_rows=2)
+
     def test_invalid_how(self):
         from auto_featurs_ray.engine.join import hash_join
         with pytest.raises(ValueError):
