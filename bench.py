@@ -60,7 +60,8 @@ BENCH_QUERIES = [
     'one_hot_documents', 'seasonal_extras_orders', 'rank_events',
     'winsorize_lineitem', 'semi_join_events_orders', 'anti_join_events_orders',
     'impute_events', 'hash_encode_events', 'truncate_embeddings',
-    'diff_streak_events', 'time_to_next_events',
+    'diff_streak_events', 'time_to_next_events', 'weighted_share_lineitem',
+    'geo_harmonic_events', 'broadcast_join_events_customer',
 ]
 
 
