@@ -2173,6 +2173,47 @@ FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
 
 
 # ---------------------------------------------------------------------------
+# 24aa. session-grain summary (datapipe/sessions.py session_summary): the
+# event log reduced to one row per (entity, session) in ONE entity-keyed
+# exchange — sessions are contiguous runs after the partition sort, so all
+# aggregates reduce with reduceat.
+# ---------------------------------------------------------------------------
+
+def q_session_summary_events(sf_dir: str):
+    from auto_featurs_ray.datapipe.sessions import session_summary
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['event_id', 'user_id', 'ts', 'value'])
+    out = session_summary(ev, by=['user_id'], ts_column='ts', gap_s=6 * 3600,
+                          tiebreak_columns=['event_id'], value_column='value',
+                          num_partitions=NUM_PARTITIONS)
+    keep = ['user_id', 'session_id', 'n_events', 'start_ts', 'end_ts',
+            'duration_s', 'value_sum', 'value_mean']
+    return _finish(out, keep, round_cols=['duration_s', 'value_sum', 'value_mean'],
+                   round_shift=1e-9)
+
+
+SQL_SESSION_SUMMARY_EVENTS = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 6 HOUR THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       round(CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS DOUBLE) / 1000000.0
+             + 1e-9, 6) AS duration_s,
+       round(SUM(value) + 1e-9, 6) AS value_sum,
+       round(AVG(value) + 1e-9, 6) AS value_mean
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3737,6 +3778,7 @@ QUERIES = {
     'weighted_share_lineitem': q_weighted_share_lineitem,
     'geo_harmonic_events': q_geo_harmonic_events,
     'broadcast_join_events_customer': q_broadcast_join_events_customer,
+    'session_summary_events': q_session_summary_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3826,6 +3868,7 @@ ORACLE_SQL = {
     'weighted_share_lineitem': SQL_WEIGHTED_SHARE_LINEITEM,
     'geo_harmonic_events': SQL_GEO_HARMONIC_EVENTS,
     'broadcast_join_events_customer': SQL_BROADCAST_JOIN_EVENTS_CUSTOMER,
+    'session_summary_events': SQL_SESSION_SUMMARY_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -673,3 +673,35 @@ class TestTruncateNormalize:
             truncate_normalize(rd.from_arrow(t), dims=4).to_pandas()
         with pytest.raises(ValueError, match='dims'):
             truncate_normalize(rd.from_arrow(t), dims=0)
+
+
+class TestSessionSummary:
+    def test_sessions_and_aggregates(self):
+        from datetime import datetime
+
+        from auto_featurs_ray.datapipe.sessions import session_summary
+        H = 3600 * 1_000_000
+        base = np.datetime64('2024-01-01T00:00:00', 'us').astype(np.int64)
+        ts = np.array([base, base + H, base + 10 * H, base + 11 * H, base],
+                      dtype=np.int64).view('datetime64[us]')
+        t = pa.table({'u': ['a', 'a', 'a', 'a', 'b'],
+                      'eid': pa.array(range(5), pa.int64()),
+                      'ts': pa.array(ts),
+                      'v': [1.0, 2.0, None, 4.0, 5.0]})
+        out = (session_summary(rd.from_arrow(t), by=['u'], ts_column='ts', gap_s=2 * 3600,
+                               tiebreak_columns=['eid'], value_column='v',
+                               num_partitions=3)
+               .to_pandas().sort_values(['u', 'session_id']).reset_index(drop=True))
+        # a: sessions [0h,1h] and [10h,11h]; b: single event
+        assert out['session_id'].tolist() == [1, 2, 1]
+        assert out['n_events'].tolist() == [2, 2, 1]
+        assert out['duration_s'].tolist() == [3600.0, 3600.0, 0.0]
+        assert out['v_sum'].tolist()[0] == 3.0
+        assert out['v_mean'].tolist()[1] == 4.0     # null value excluded
+        assert out['v_sum'].tolist()[2] == 5.0
+
+    def test_gap_validation(self):
+        from auto_featurs_ray.datapipe.sessions import session_summary
+        t = pa.table({'u': ['a'], 'ts': pa.array([0], pa.int64())})
+        with pytest.raises(ValueError, match='gap_s'):
+            session_summary(rd.from_arrow(t), by=['u'], ts_column='ts', gap_s=0)
