@@ -96,6 +96,25 @@ class Pipeline:
         )
         return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
 
+    def with_columns(self, expressions: Sequence[Expr],
+                     column_types: Optional[Sequence] = None,
+                     auxiliary: bool = False) -> 'Pipeline':
+        """Arbitrary aliased expression columns (engine extension): each
+        :class:`Expr` combinator tree becomes a vectorized row-local kernel
+        fused into the layer's single map_batches stage.  ``column_types``
+        declares output types positionally (NUMERIC default — pass BOOLEAN
+        for comparisons)."""
+        from auto_featurs_ray.base.column_specification import ColumnType
+        from auto_featurs_ray.transformers.numeric import ExpressionTransformer
+        expressions = list(expressions)
+        types = list(column_types) if column_types is not None             else [ColumnType.NUMERIC] * len(expressions)
+        if len(types) != len(expressions):
+            raise ValueError(f'{len(expressions)} expressions but {len(types)} column_types')
+        transformers = [ExpressionTransformer(e, t) for e, t in zip(expressions, types)]
+        for t in transformers:
+            self._validator.validate_transformer_against_input_columns(t, ())
+        return self._with_added_to_current_layer(transformers, auxiliary=auxiliary)
+
     def with_time_diff(self, left_subset: ColumnSelection, right_subset: ColumnSelection,
                        unit: Literal['s', 'h', 'd'] = 'd', auxiliary: bool = False) -> 'Pipeline':
         input_columns = self._dataset.get_combinations_from_selections(left_subset, right_subset)

@@ -2214,6 +2214,36 @@ FROM s GROUP BY user_id, sid
 
 
 # ---------------------------------------------------------------------------
+# 24ab. expression columns (Pipeline.with_columns / ExpressionTransformer):
+# TPC-H Q1-style derived columns as fused row-local kernels.
+# ---------------------------------------------------------------------------
+
+def q_expression_columns_lineitem(sf_dir: str):
+    from auto_featurs_ray.base.column_specification import ColumnType
+    disc_price = (col('l_extendedprice') * (col('l_discount') * -1.0 + 1.0)).alias('disc_price')
+    charge = ((col('l_extendedprice') * (col('l_discount') * -1.0 + 1.0))
+              * (col('l_tax') + 1.0)).alias('charge')
+    bulk = (col('l_quantity') > 25.0).alias('is_bulk')
+    p = (Pipeline(_lineitem_dataset(sf_dir))
+         .with_columns([disc_price, charge, bulk],
+                       column_types=[ColumnType.NUMERIC, ColumnType.NUMERIC,
+                                     ColumnType.BOOLEAN]))
+    keep = ['l_orderkey', 'l_linenumber', 'disc_price', 'charge', 'is_bulk']
+    return _finish(p.collect_plan().data, keep, round_cols=['disc_price', 'charge'],
+                   round_shift=1e-9)
+
+
+SQL_EXPRESSION_COLUMNS_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (l_discount * -1.0 + 1.0) + 1e-9, 6) AS disc_price,
+       round((l_extendedprice * (l_discount * -1.0 + 1.0)) * (l_tax + 1.0) + 1e-9, 6)
+           AS charge,
+       l_quantity > 25.0 AS is_bulk
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3779,6 +3809,7 @@ QUERIES = {
     'geo_harmonic_events': q_geo_harmonic_events,
     'broadcast_join_events_customer': q_broadcast_join_events_customer,
     'session_summary_events': q_session_summary_events,
+    'expression_columns_lineitem': q_expression_columns_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3869,6 +3900,7 @@ ORACLE_SQL = {
     'geo_harmonic_events': SQL_GEO_HARMONIC_EVENTS,
     'broadcast_join_events_customer': SQL_BROADCAST_JOIN_EVENTS_CUSTOMER,
     'session_summary_events': SQL_SESSION_SUMMARY_EVENTS,
+    'expression_columns_lineitem': SQL_EXPRESSION_COLUMNS_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -175,3 +175,38 @@ class ArithmeticOperation(Enum):
     SUBTRACT = SubtractTransformer
     MULTIPLY = MultiplyTransformer
     DIVIDE = DivideTransformer
+
+
+class ExpressionTransformer(RowLocalTransformer):
+    """First-class expression column (engine extension): evaluates an
+    aliased :class:`~auto_featurs_ray.expressions.Expr` combinator tree as a
+    vectorized row-local kernel, fused into the layer's single
+    ``map_batches`` stage like every other row-local — the
+    ``with_columns``-style derived-column surface.
+
+    The output column type cannot be inferred before execution, so the
+    caller declares it (NUMERIC default; pass BOOLEAN for comparisons)."""
+
+    def __init__(self, expression, column_type: ColumnType = ColumnType.NUMERIC) -> None:
+        from auto_featurs_ray.expressions import Expr
+        if not isinstance(expression, Expr):
+            raise TypeError(f'expected an Expr, got {type(expression).__name__}')
+        self._expression = expression
+        self._column_type = column_type
+        self._expression.output_name  # raises if un-aliased
+
+    def input_type(self):
+        return ()  # expression-driven: no declared column subset
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return self._column_type
+
+    def _output_name(self) -> str:
+        return self._expression.output_name
+
+    def apply(self, table):
+        return self._expression.evaluate(table)

@@ -213,3 +213,26 @@ class TestSeasonalExtras:
         from auto_featurs_ray.transformers.datetime import IsWeekendTransformer
         with pytest.raises(ValueError, match='angular'):
             IsWeekendTransformer('d', angular=True)
+
+
+class TestExpressionColumns:
+    def test_apply_and_name(self):
+        import pyarrow as pa
+
+        from auto_featurs_ray.expressions import col
+        from auto_featurs_ray.transformers.numeric import ExpressionTransformer
+        t = pa.table({'a': [1.0, 2.0], 'b': [10.0, 20.0]})
+        e = ExpressionTransformer((col('a') * col('b')).alias('ab'))
+        assert e.output_name == 'ab'
+        assert e.apply(t).to_pylist() == [10.0, 40.0]
+
+    def test_non_expr_rejected_and_name_propagates(self):
+        import pytest
+
+        from auto_featurs_ray.expressions import col
+        from auto_featurs_ray.transformers.numeric import ExpressionTransformer
+        with pytest.raises(TypeError, match='Expr'):
+            ExpressionTransformer('not an expr')
+        # a bare combinator inherits the source column's name; alias overrides
+        assert ExpressionTransformer(col('a') * 2.0).output_name == 'a'
+        assert ExpressionTransformer((col('a') * 2.0).alias('a2')).output_name == 'a2'
