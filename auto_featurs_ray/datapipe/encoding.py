@@ -112,3 +112,78 @@ def hash_encode(ds, *, column: str, num_buckets: int = 64, signed: bool = False)
         return batch
 
     return ds.map_batches(encode, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def pivot_aggregate(ds, *, by: Sequence[str], category_column: str,
+                    categories: Sequence[str], value_column: str = None,
+                    aggs: Sequence[str] = ('count',), num_partitions: int = 16,
+                    other_bucket: bool = True):
+    """Wide per-category aggregation (pivot): one output row per ``by``
+    entity with a ``{category_column}_{cat}_count`` (and, with
+    ``value_column``, ``{value_column}_{cat}_sum``) column per declared
+    category — the aggregate cross-tab feature block.
+
+    ``categories`` must be DECLARED so the output schema is static on any
+    cluster shape (auto-discovery would make the schema data-dependent);
+    undeclared values fold into ``_other`` columns when ``other_bucket``.
+    One entity-keyed exchange; each reduce task factorizes its entities
+    once and fills every cell with ``np.bincount`` — no Python per row.
+    Null categories count as undeclared.
+    """
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    cats = list(dict.fromkeys(categories))
+    if not cats:
+        raise ValueError('categories must be non-empty')
+    unknown = [a for a in aggs if a not in ('count', 'sum')]
+    if unknown:
+        raise ValueError(f'unsupported pivot aggs {unknown}; supported: count/sum')
+    if 'sum' in aggs and value_column is None:
+        raise ValueError("agg 'sum' needs value_column")
+    by = list(by)
+
+    def colname(agg: str, cat: str) -> str:
+        src = category_column if agg == 'count' else value_column
+        return f'{src}_{_safe(cat)}_{agg}' if agg == 'count' \
+            else f'{value_column}_{_safe(cat)}_{agg}'
+
+    def pivot(table: pa.Table, _pid: int) -> pa.Table:
+        import pandas as pd
+        names = cats + (['other'] if other_bucket else [])
+        if table.num_rows == 0 or table.num_columns == 0:
+            empty = {k: pa.array([], pa.int64()) for k in by}
+            for a in aggs:
+                for c in names:
+                    empty[colname(a, c)] = pa.array(
+                        [], pa.int64() if a == 'count' else pa.float64())
+            return pa.table(empty)
+        key_frame = pd.DataFrame({k: table.column(k).to_pandas() for k in by})
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(key_frame)
+                                      if len(by) > 1 else key_frame[by[0]],
+                                      use_na_sentinel=False)
+        n_ent = len(uniques)
+        cat_col = table.column(category_column).cast(pa.string())
+        cat_codes = pc.index_in(cat_col, value_set=pa.array(cats, pa.string()))
+        cat_np = cat_codes.to_numpy(zero_copy_only=False).astype(np.float64)
+        cat_np = np.where(np.isnan(cat_np), len(cats), cat_np).astype(np.int64)
+        vals = None
+        if value_column is not None:
+            v = table.column(value_column).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            vals = np.where(np.isnan(v), 0.0, v)
+        if len(by) > 1:
+            out = {k: pa.array([u[i] for u in uniques]) for i, k in enumerate(by)}
+        else:
+            out = {by[0]: pa.array(pd.Series(uniques))}
+        for ci, cname in enumerate(names):
+            if not other_bucket and ci >= len(cats):
+                break
+            mask = cat_np == ci
+            if 'count' in aggs:
+                out[colname('count', cname)] = pa.array(
+                    np.bincount(codes[mask], minlength=n_ent).astype(np.int64))
+            if 'sum' in aggs:
+                out[colname('sum', cname)] = pa.array(
+                    np.bincount(codes[mask], weights=vals[mask], minlength=n_ent))
+        return pa.table(out)
+
+    return shuffle_map_partitions(ds, by, num_partitions, pivot)

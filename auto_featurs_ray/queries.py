@@ -2244,6 +2244,51 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# 24ac. pivot cross-tab (datapipe/encoding.py pivot_aggregate): one row per
+# entity, count + value-sum per declared event_type — bincount-filled cells
+# behind one entity-keyed exchange.
+# ---------------------------------------------------------------------------
+
+def q_pivot_events(sf_dir: str):
+    from auto_featurs_ray.datapipe.encoding import pivot_aggregate
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['user_id', 'event_type', 'value'])
+    out = pivot_aggregate(ev, by=['user_id'], category_column='event_type',
+                          categories=['click', 'view', 'purchase'],
+                          value_column='value', aggs=['count', 'sum'],
+                          num_partitions=NUM_PARTITIONS)
+    keep = ['user_id',
+            'event_type_click_count', 'event_type_view_count',
+            'event_type_purchase_count', 'event_type_other_count',
+            'value_click_sum', 'value_view_sum', 'value_purchase_sum', 'value_other_sum']
+    return _finish(out, keep,
+                   round_cols=['value_click_sum', 'value_view_sum',
+                               'value_purchase_sum', 'value_other_sum'],
+                   round_shift=1e-9)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS event_type_click_count,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS event_type_view_count,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS event_type_purchase_count,
+       SUM(CASE WHEN event_type NOT IN ('click', 'view', 'purchase')
+                  OR event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS event_type_other_count,
+       round(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0) + 1e-9, 6)
+           AS value_click_sum,
+       round(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0) + 1e-9, 6)
+           AS value_view_sum,
+       round(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0) + 1e-9, 6)
+           AS value_purchase_sum,
+       round(COALESCE(SUM(CASE WHEN event_type NOT IN ('click', 'view', 'purchase')
+                               OR event_type IS NULL THEN value END), 0) + 1e-9, 6)
+           AS value_other_sum
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3810,6 +3855,7 @@ QUERIES = {
     'broadcast_join_events_customer': q_broadcast_join_events_customer,
     'session_summary_events': q_session_summary_events,
     'expression_columns_lineitem': q_expression_columns_lineitem,
+    'pivot_events': q_pivot_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3901,6 +3947,7 @@ ORACLE_SQL = {
     'broadcast_join_events_customer': SQL_BROADCAST_JOIN_EVENTS_CUSTOMER,
     'session_summary_events': SQL_SESSION_SUMMARY_EVENTS,
     'expression_columns_lineitem': SQL_EXPRESSION_COLUMNS_LINEITEM,
+    'pivot_events': SQL_PIVOT_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -705,3 +705,33 @@ class TestSessionSummary:
         t = pa.table({'u': ['a'], 'ts': pa.array([0], pa.int64())})
         with pytest.raises(ValueError, match='gap_s'):
             session_summary(rd.from_arrow(t), by=['u'], ts_column='ts', gap_s=0)
+
+
+class TestPivotAggregate:
+    def test_counts_sums_and_other(self):
+        from auto_featurs_ray.datapipe.encoding import pivot_aggregate
+        t = pa.table({'u': ['a', 'a', 'a', 'b', 'b'],
+                      'c': ['x', 'y', 'z', 'x', None],
+                      'v': [1.0, 2.0, 4.0, 8.0, 16.0]})
+        out = (pivot_aggregate(rd.from_arrow(t), by=['u'], category_column='c',
+                               categories=['x', 'y'], value_column='v',
+                               aggs=['count', 'sum'], num_partitions=3)
+               .to_pandas().sort_values('u').reset_index(drop=True))
+        assert out['c_x_count'].tolist() == [1, 1]
+        assert out['c_y_count'].tolist() == [1, 0]
+        assert out['c_other_count'].tolist() == [1, 1]   # 'z' and null fold to other
+        assert out['v_x_sum'].tolist() == [1.0, 8.0]
+        assert out['v_other_sum'].tolist() == [4.0, 16.0]
+
+    def test_validation(self):
+        from auto_featurs_ray.datapipe.encoding import pivot_aggregate
+        t = pa.table({'u': ['a'], 'c': ['x']})
+        ds = rd.from_arrow(t)
+        with pytest.raises(ValueError, match='categories'):
+            pivot_aggregate(ds, by=['u'], category_column='c', categories=[])
+        with pytest.raises(ValueError, match='value_column'):
+            pivot_aggregate(ds, by=['u'], category_column='c', categories=['x'],
+                            aggs=['sum'])
+        with pytest.raises(ValueError, match='unsupported'):
+            pivot_aggregate(ds, by=['u'], category_column='c', categories=['x'],
+                            aggs=['max'])
