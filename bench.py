@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     'impute_events', 'hash_encode_events', 'truncate_embeddings',
     'diff_streak_events', 'time_to_next_events', 'weighted_share_lineitem',
     'geo_harmonic_events', 'broadcast_join_events_customer',
-    'session_summary_events',
+    'session_summary_events', 'expression_columns_lineitem', 'pivot_events',
 ]
 
 
