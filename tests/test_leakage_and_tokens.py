@@ -104,3 +104,64 @@ class TestLeakage:
             a = out_base.loc[mask, col].to_numpy(dtype=float)
             b = out_pert.loc[mask, col].to_numpy(dtype=float)
             assert np.allclose(a, b, equal_nan=True), f'{col}: future perturbation leaked into the past'
+
+
+class TestRound4Leakage:
+    """Zero-leakage invariants for the round-4 point-in-time modes: the
+    EXCLUSIVE target encoding and share at row i must be invariant to any
+    perturbation of strictly later rows of the same entity."""
+
+    def test_exclusive_target_encoding_and_share_are_leak_free(self):
+        import pandas as pd
+
+        from auto_featurs_ray.base.column_specification import ColumnRole
+        from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+        from auto_featurs_ray.base.schema import Schema
+        from auto_featurs_ray.dataset.dataset import Dataset
+        from auto_featurs_ray.pipeline.pipeline import Pipeline
+        from auto_featurs_ray.transformers.base import CumulativeOptions
+
+        rng = np.random.default_rng(13)
+        n = 200
+        base = pa.table({
+            'rid': pa.array(np.arange(n), pa.int64()),
+            'ts': pa.array(np.datetime64('2024-01-01', 'us')
+                           + np.sort(rng.integers(0, 10**6, n)) * np.timedelta64(1, 's')),
+            'g': pa.array(rng.choice(['a', 'b', 'c'], n)),
+            # positive values keep exclusive-share denominators away from 0,
+            # so the check tests SEMANTIC leakage rather than the (documented)
+            # longdouble cancellation residue of the cross-group prefix scan
+            'x': pa.array(rng.lognormal(size=n)),
+        })
+        df = base.to_pandas().sort_values(['ts', 'rid']).reset_index(drop=True)
+        last_idx = df.groupby('g').tail(5).index
+        pert = df.copy()
+        pert.loc[last_idx, 'x'] = pert.loc[last_idx, 'x'] * 7.0 + 3.0
+
+        schema = Schema([
+            CS.numeric(name='rid', role=ColumnRole.IDENTIFIER),
+            CS.datetime(name='ts', role=ColumnRole.TIME_INFO),
+            CS.nominal(name='g', role=ColumnRole.IDENTIFIER),
+            CS.numeric(name='x'),
+        ])
+
+        def run(frame):
+            ds = Dataset.from_arrow(pa.Table.from_pandas(frame, preserve_index=False),
+                                    schema, order_by=['ts', 'rid'], num_blocks=3,
+                                    num_partitions=4)
+            # NOTE: the smoothing prior is a corpus-level mean, which future
+            # rows DO move — zero-leakage TE is the unsmoothed EXCLUSIVE form
+            p = (Pipeline(ds)
+                 .with_target_encoding('x', over_columns_combinations=[['g']],
+                                       cumulative=CumulativeOptions.EXCLUSIVE)
+                 .with_share('x', over_columns_combinations=[['g']],
+                             cumulative=CumulativeOptions.EXCLUSIVE))
+            return p.collect().sort_values('rid').reset_index(drop=True)
+
+        a, b = run(df), run(pert)
+        mask = ~a['rid'].isin(df.loc[last_idx, 'rid'])
+        for colname in ['x_exclusive_cum_target_enc_over_g', 'x_exclusive_cum_share_over_g']:
+            av = a.loc[mask, colname].to_numpy(dtype=float)
+            bv = b.loc[mask, colname].to_numpy(dtype=float)
+            assert np.allclose(av, bv, rtol=1e-9, equal_nan=True), \
+                f'{colname}: future perturbation leaked into the past'
