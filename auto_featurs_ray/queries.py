@@ -2289,6 +2289,42 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# 24ad. two-phase GROUP BY aggregate table (datapipe/relational.py
+# groupby_aggregate): map-side partial aggregation so the only exchange
+# moves partial states bounded by keys x blocks, never input rows.
+# ---------------------------------------------------------------------------
+
+def q_groupby_aggregate_lineitem(sf_dir: str):
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+    li = ray.data.read_parquet(os.path.join(sf_dir, 'lineitem.parquet'),
+                               columns=['l_returnflag', 'l_linestatus',
+                                        'l_quantity', 'l_extendedprice'])
+    out = groupby_aggregate(li, by=['l_returnflag', 'l_linestatus'],
+                            aggs={'l_quantity': ['count', 'sum', 'mean', 'min', 'max'],
+                                  'l_extendedprice': ['sum'], '*': ['count']},
+                            num_partitions=NUM_PARTITIONS)
+    keep = ['l_returnflag', 'l_linestatus', 'l_quantity_count', 'l_quantity_sum',
+            'l_quantity_mean', 'l_quantity_min', 'l_quantity_max',
+            'l_extendedprice_sum', 'n_rows']
+    return _finish(out, keep,
+                   round_cols=['l_quantity_sum', 'l_quantity_mean', 'l_extendedprice_sum'],
+                   round_shift=1e-9)
+
+
+SQL_GROUPBY_AGGREGATE_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(l_quantity) AS l_quantity_count,
+       round(SUM(l_quantity)::DOUBLE + 1e-9, 6) AS l_quantity_sum,
+       round(AVG(l_quantity) + 1e-9, 6) AS l_quantity_mean,
+       MIN(l_quantity) AS l_quantity_min,
+       MAX(l_quantity) AS l_quantity_max,
+       round(SUM(l_extendedprice)::DOUBLE + 1e-9, 6) AS l_extendedprice_sum,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3856,6 +3892,7 @@ QUERIES = {
     'session_summary_events': q_session_summary_events,
     'expression_columns_lineitem': q_expression_columns_lineitem,
     'pivot_events': q_pivot_events,
+    'groupby_aggregate_lineitem': q_groupby_aggregate_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3948,6 +3985,7 @@ ORACLE_SQL = {
     'session_summary_events': SQL_SESSION_SUMMARY_EVENTS,
     'expression_columns_lineitem': SQL_EXPRESSION_COLUMNS_LINEITEM,
     'pivot_events': SQL_PIVOT_EVENTS,
+    'groupby_aggregate_lineitem': SQL_GROUPBY_AGGREGATE_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

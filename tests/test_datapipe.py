@@ -735,3 +735,32 @@ class TestPivotAggregate:
         with pytest.raises(ValueError, match='unsupported'):
             pivot_aggregate(ds, by=['u'], category_column='c', categories=['x'],
                             aggs=['max'])
+
+
+class TestGroupbyAggregate:
+    def test_two_phase_matches_single_table(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.relational import groupby_aggregate
+        t = pa.table({'g': ['a', 'a', 'b', 'b', 'b'],
+                      'v': [1.0, None, 3.0, 5.0, 7.0]})
+        # many blocks -> the map-side partial path is actually exercised
+        ds = rd.from_arrow([t.slice(i, 1) for i in range(5)])
+        out = (groupby_aggregate(ds, by=['g'],
+                                 aggs={'v': ['count', 'sum', 'mean', 'min', 'max'],
+                                       '*': ['count']}, num_partitions=3)
+               .to_pandas().sort_values('g').reset_index(drop=True))
+        assert out['v_count'].tolist() == [1, 3]        # nulls excluded
+        assert out['n_rows'].tolist() == [2, 3]         # nulls included
+        assert out['v_sum'].tolist() == [1.0, 15.0]
+        assert out['v_mean'].tolist() == [1.0, 5.0]
+        assert out['v_min'].tolist() == [1.0, 3.0]
+        assert out['v_max'].tolist() == [1.0, 7.0]
+
+    def test_validation(self):
+        from auto_featurs_ray.datapipe.relational import groupby_aggregate
+        ds = rd.from_arrow(pa.table({'g': ['a'], 'v': [1.0]}))
+        with pytest.raises(ValueError, match='unsupported'):
+            groupby_aggregate(ds, by=['g'], aggs={'v': ['median']})
+        with pytest.raises(ValueError, match='at least one'):
+            groupby_aggregate(ds, by=['g'], aggs={})
