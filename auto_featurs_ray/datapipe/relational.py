@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_COMBINABLE = ('count', 'sum', 'mean', 'min', 'max')
+_COMBINABLE = ('count', 'sum', 'mean', 'min', 'max', 'count_distinct')
 
 
 def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]],
@@ -24,11 +24,16 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     """``SELECT by..., aggs... GROUP BY by`` as an aggregate table.
 
     ``aggs`` maps value columns to aggregate names from
-    ``count/sum/mean/min/max`` (SQL semantics: nulls excluded; empty-group
-    sum/mean/min/max are impossible — a key only exists with rows).  The
-    special key ``'*'`` with ``['count']`` adds a ``n_rows`` total row
-    count.  Output columns: ``{col}_{agg}`` (count as int64, sum/mean as
-    float64, min/max in the input type).
+    ``count/sum/mean/min/max/count_distinct`` (SQL semantics: nulls
+    excluded; empty-group sum/mean/min/max are impossible — a key only
+    exists with rows).  The special key ``'*'`` with ``['count']`` adds a
+    ``n_rows`` total row count.  Output columns: ``{col}_{agg}`` (count /
+    count_distinct as int64, sum/mean as float64, min/max in the input
+    type).  ``count_distinct`` is EXACT: partials carry each batch's
+    per-key distinct-value list (bounded by per-key cardinality, not row
+    count) and the reduce deduplicates the union — for web-scale unique
+    counting where the per-key value sets themselves are huge, use
+    ``ApproxNumUniqueTransformer`` instead.
     """
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
 
@@ -44,10 +49,8 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
 
     # partial-state plan: which arrow aggregations each phase needs
     partial_spec = []
+    distinct_cols = []
     for c, al in plain.items():
-        needs = set(al)
-        if 'mean' in needs:
-            needs |= {'sum', 'count'}
         if 'count' in al or 'mean' in al:
             partial_spec.append((c, 'count'))
         if 'sum' in al or 'mean' in al:
@@ -56,6 +59,9 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             partial_spec.append((c, 'min'))
         if 'max' in al:
             partial_spec.append((c, 'max'))
+        if 'count_distinct' in al:
+            partial_spec.append((c, 'distinct'))
+            distinct_cols.append(c)
     partial_spec = list(dict.fromkeys(partial_spec))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -81,6 +87,8 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             return pa.table(cols)
         respec = []
         for c, a in partial_spec:
+            if a == 'distinct':
+                continue
             col = f'{c}_{a}'
             re_agg = 'sum' if a in ('count', 'sum') else a
             respec.append((col, re_agg))
@@ -88,6 +96,21 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
         if want_count_all:
             respec.append(('count_all', 'sum'))
         grouped = table.group_by(by).aggregate(respec)
+        for c in distinct_cols:
+            # explode each partial's distinct list, dedupe the union per key
+            lists = table.column(f'{c}_distinct')
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            row_of = np.repeat(np.arange(table.num_rows), np.diff(offsets))
+            pairs = {k: table.column(k).take(pa.array(row_of)) for k in by}
+            pairs[c] = lists.values
+            pairs_t = pa.table(pairs)
+            pairs_t = pairs_t.filter(pc.is_valid(pairs_t.column(c)))
+            dcount = pairs_t.group_by(by).aggregate([(c, 'count_distinct')])
+            dcount = dcount.rename_columns(
+                [n if n != f'{c}_count_distinct' else f'__dc_{c}' for n in dcount.column_names])
+            grouped = grouped.join(dcount, keys=by, join_type='left outer', use_threads=False)
         cols = {k: grouped.column(k) for k in by}
         for c, al in plain.items():
             for a in al:
@@ -97,6 +120,9 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
                     cols[f'{c}_mean'] = pc.divide(s, n)
                 elif a == 'count':
                     cols[f'{c}_count'] = grouped.column(names[(c, a)]).cast(pa.int64())
+                elif a == 'count_distinct':
+                    cols[f'{c}_count_distinct'] = pc.fill_null(
+                        grouped.column(f'__dc_{c}'), 0).cast(pa.int64())
                 elif a == 'sum':
                     cols[f'{c}_sum'] = grouped.column(names[(c, a)]).cast(pa.float64())
                 else:

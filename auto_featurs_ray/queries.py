@@ -2300,12 +2300,13 @@ def q_groupby_aggregate_lineitem(sf_dir: str):
                                columns=['l_returnflag', 'l_linestatus',
                                         'l_quantity', 'l_extendedprice'])
     out = groupby_aggregate(li, by=['l_returnflag', 'l_linestatus'],
-                            aggs={'l_quantity': ['count', 'sum', 'mean', 'min', 'max'],
+                            aggs={'l_quantity': ['count', 'sum', 'mean', 'min', 'max',
+                                                 'count_distinct'],
                                   'l_extendedprice': ['sum'], '*': ['count']},
                             num_partitions=NUM_PARTITIONS)
     keep = ['l_returnflag', 'l_linestatus', 'l_quantity_count', 'l_quantity_sum',
             'l_quantity_mean', 'l_quantity_min', 'l_quantity_max',
-            'l_extendedprice_sum', 'n_rows']
+            'l_quantity_count_distinct', 'l_extendedprice_sum', 'n_rows']
     return _finish(out, keep,
                    round_cols=['l_quantity_sum', 'l_quantity_mean', 'l_extendedprice_sum'],
                    round_shift=1e-9)
@@ -2318,6 +2319,7 @@ SELECT l_returnflag, l_linestatus,
        round(AVG(l_quantity) + 1e-9, 6) AS l_quantity_mean,
        MIN(l_quantity) AS l_quantity_min,
        MAX(l_quantity) AS l_quantity_max,
+       COUNT(DISTINCT l_quantity) AS l_quantity_count_distinct,
        round(SUM(l_extendedprice)::DOUBLE + 1e-9, 6) AS l_extendedprice_sum,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus

@@ -757,6 +757,16 @@ class TestGroupbyAggregate:
         assert out['v_min'].tolist() == [1.0, 3.0]
         assert out['v_max'].tolist() == [1.0, 7.0]
 
+    def test_exact_count_distinct_across_blocks(self):
+        from auto_featurs_ray.datapipe.relational import groupby_aggregate
+        t = pa.table({'g': ['a', 'a', 'a', 'b', 'b'],
+                      'v': [1.0, 1.0, None, 2.0, 3.0]})
+        ds = rd.from_arrow([t.slice(i, 1) for i in range(5)])  # dupes cross blocks
+        out = (groupby_aggregate(ds, by=['g'], aggs={'v': ['count_distinct']},
+                                 num_partitions=3)
+               .to_pandas().sort_values('g').reset_index(drop=True))
+        assert out['v_count_distinct'].tolist() == [1, 2]      # null excluded
+
     def test_validation(self):
         from auto_featurs_ray.datapipe.relational import groupby_aggregate
         ds = rd.from_arrow(pa.table({'g': ['a'], 'v': [1.0]}))
