@@ -67,6 +67,42 @@ class Dataset:
                    drop_columns_outside_schema=drop_columns_outside_schema)
 
     @classmethod
+    def from_csv(cls, path: Union[str, Path], schema: Schema, *,
+                 order_by: Optional[Sequence[str]] = None,
+                 num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                 broadcast_agg_keys: Optional[Sequence[str]] = None,
+                 drop_columns_outside_schema: bool = False,
+                 columns: Optional[Sequence[str]] = None,
+                 **read_csv_kwargs) -> 'Dataset':
+        """CSV source (engine extension; the reference ships only a stub CSV
+        example fetcher).  Column pruning happens right after the scan —
+        CSV cannot push projections into the read itself; prefer parquet for
+        wide tables at scale."""
+        data = ray.data.read_csv(str(path), **read_csv_kwargs)
+        if columns:
+            data = data.select_columns(list(columns))
+        return cls(data, schema, order_by=order_by, num_partitions=num_partitions,
+                   broadcast_agg_keys=broadcast_agg_keys,
+                   drop_columns_outside_schema=drop_columns_outside_schema)
+
+    @classmethod
+    def from_json(cls, path: Union[str, Path], schema: Schema, *,
+                  order_by: Optional[Sequence[str]] = None,
+                  num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                  broadcast_agg_keys: Optional[Sequence[str]] = None,
+                  drop_columns_outside_schema: bool = False,
+                  columns: Optional[Sequence[str]] = None,
+                  **read_json_kwargs) -> 'Dataset':
+        """JSON-lines source (engine extension) — the lingua franca of text
+        corpora.  Same post-scan pruning caveat as :meth:`from_csv`."""
+        data = ray.data.read_json(str(path), **read_json_kwargs)
+        if columns:
+            data = data.select_columns(list(columns))
+        return cls(data, schema, order_by=order_by, num_partitions=num_partitions,
+                   broadcast_agg_keys=broadcast_agg_keys,
+                   drop_columns_outside_schema=drop_columns_outside_schema)
+
+    @classmethod
     def from_arrow(cls, table: pa.Table, schema: Schema, *,
                    order_by: Optional[Sequence[str]] = None,
                    num_partitions: int = DEFAULT_NUM_PARTITIONS,

@@ -120,3 +120,28 @@ class TestValidator:
         with pytest.raises(ValueError, match='DATETIME'):
             Validator.validate_time_window_index_column(['1d'], NUM)
         Validator.validate_time_window_index_column(['1d'], TS)
+
+
+class TestCsvJsonSources:
+    def test_csv_and_jsonl_round_trip(self, tmp_path):
+        import json as _json
+
+        import pandas as pd
+
+        from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+        from auto_featurs_ray.base.schema import Schema
+        from auto_featurs_ray.dataset.dataset import Dataset
+        from auto_featurs_ray.pipeline.pipeline import Pipeline
+
+        df = pd.DataFrame({'x': [1.0, 2.0, 3.0]})
+        csv_path = tmp_path / 'd.csv'
+        df.to_csv(csv_path, index=False)
+        jsonl_path = tmp_path / 'd.json'
+        with open(jsonl_path, 'w') as f:
+            for _, r in df.iterrows():
+                f.write(_json.dumps({'x': r.x}) + '\n')
+        schema = Schema([CS.numeric(name='x')])
+        for ds in (Dataset.from_csv(csv_path, schema, order_by=[]),
+                   Dataset.from_json(jsonl_path, schema, order_by=[])):
+            out = Pipeline(ds).with_polynomial('x', degrees=[2]).collect()
+            assert sorted(out['x_pow_2'].tolist()) == [1.0, 4.0, 9.0]
