@@ -133,3 +133,35 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
 
     partials = ds.map_batches(partial, batch_format='pyarrow')
     return shuffle_map_partitions(partials, by, num_partitions, combine)
+
+
+def drop_duplicates(ds, *, subset: Sequence[str], keep_order_by: Sequence[str] = (),
+                    num_partitions: int = 16):
+    """Relational dedup: keep ONE row per distinct ``subset`` key — the row
+    that sorts first under ``keep_order_by`` (ties then resolve by the full
+    sort's stability; pass a unique tiebreak column for total determinism).
+    Null keys form their own group (SQL ``IS NOT DISTINCT FROM`` semantics,
+    like the engine's as-of dedup helper).
+
+    One key-hashed exchange; each reduce sorts its partition once and keeps
+    run heads with a vectorized null-safe run filter — no per-row Python.
+    """
+    from auto_featurs_ray.engine.asof import _null_safe_run_diff
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    subset = list(subset)
+    keep_order_by = list(keep_order_by)
+    if not subset:
+        raise ValueError('subset must name at least one key column')
+
+    def keep_first(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return table
+        keys = [(k, 'ascending') for k in subset] + [(c, 'ascending') for c in keep_order_by]
+        table = table.take(pc.sort_indices(table, sort_keys=keys))
+        if table.num_rows <= 1:
+            return table
+        diff = _null_safe_run_diff(table, subset)
+        return table.filter(pa.array(np.concatenate(([True], diff))))
+
+    return shuffle_map_partitions(ds, subset, num_partitions, keep_first)

@@ -2327,6 +2327,30 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
+# 24ae. relational drop_duplicates (datapipe/relational.py): one row per
+# key, earliest by the keep order — QUALIFY ROW_NUMBER() = 1 semantics.
+# ---------------------------------------------------------------------------
+
+def q_drop_duplicates_events(sf_dir: str):
+    from auto_featurs_ray.datapipe.relational import drop_duplicates
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['event_id', 'user_id', 'event_type', 'ts', 'value'])
+    out = drop_duplicates(ev, subset=['user_id', 'event_type'],
+                          keep_order_by=['ts', 'event_id'],
+                          num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['event_id', 'user_id', 'event_type', 'value'],
+                   round_cols=['value'])
+
+
+SQL_DROP_DUPLICATES_EVENTS = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3895,6 +3919,7 @@ QUERIES = {
     'expression_columns_lineitem': q_expression_columns_lineitem,
     'pivot_events': q_pivot_events,
     'groupby_aggregate_lineitem': q_groupby_aggregate_lineitem,
+    'drop_duplicates_events': q_drop_duplicates_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -3988,6 +4013,7 @@ ORACLE_SQL = {
     'expression_columns_lineitem': SQL_EXPRESSION_COLUMNS_LINEITEM,
     'pivot_events': SQL_PIVOT_EVENTS,
     'groupby_aggregate_lineitem': SQL_GROUPBY_AGGREGATE_LINEITEM,
+    'drop_duplicates_events': SQL_DROP_DUPLICATES_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

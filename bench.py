@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     'diff_streak_events', 'time_to_next_events', 'weighted_share_lineitem',
     'geo_harmonic_events', 'broadcast_join_events_customer',
     'session_summary_events', 'expression_columns_lineitem', 'pivot_events',
-    'groupby_aggregate_lineitem',
+    'groupby_aggregate_lineitem', 'drop_duplicates_events',
 ]
 
 

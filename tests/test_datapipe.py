@@ -774,3 +774,15 @@ class TestGroupbyAggregate:
             groupby_aggregate(ds, by=['g'], aggs={'v': ['median']})
         with pytest.raises(ValueError, match='at least one'):
             groupby_aggregate(ds, by=['g'], aggs={})
+
+    def test_drop_duplicates_keeps_first_by_order(self):
+        from auto_featurs_ray.datapipe.relational import drop_duplicates
+        t = pa.table({'k': ['a', 'a', 'b', None, None], 'o': [2, 1, 5, 9, 3],
+                      'v': [10, 20, 30, 40, 50]})
+        out = (drop_duplicates(rd.from_arrow([t.slice(i, 1) for i in range(5)]),
+                               subset=['k'], keep_order_by=['o'], num_partitions=3)
+               .to_pandas().sort_values('o').reset_index(drop=True))
+        assert sorted(out['v']) == [20, 30, 50]   # min-o per key; nulls one group
+        from auto_featurs_ray.datapipe.relational import drop_duplicates as dd
+        with pytest.raises(ValueError, match='subset'):
+            dd(rd.from_arrow(t), subset=[])
