@@ -206,3 +206,87 @@ class SequencePacker:
             'boundaries': pa.array([b.tolist() for b in bounds], pa.list_(pa.int32())),
             'fill_ratio': pa.array(tokens_per_pack / self.context_len, pa.float64()),
         })
+
+
+def concat_chunk_tokens(ds, *, tokens_column: str = 'tokens', id_column: str = 'doc_id',
+                        context_len: int = 2048, eod_token: int = -1,
+                        num_parts: int = 8, num_partitions: int = 16):
+    """GPT-style concat-and-chunk packing: documents are deterministically
+    assigned to ``num_parts`` streams (``id % num_parts`` — an EXPLICIT,
+    SQL-replayable rule rather than the engine's siphash partitioner,
+    because chunk contents depend on the assignment), each stream
+    concatenates its docs in id order with ``eod_token`` appended after
+    every document, and the concatenation slices into fixed
+    ``context_len`` chunks; each stream's tail remainder (< context_len
+    tokens) is dropped — the standard LM pre-training trade.  Identical
+    output on any cluster shape or block layout.
+
+    Contrast with :class:`SequencePacker` (first-fit whole-document bin
+    packing, no document splits): concat-chunk splits documents across
+    chunk boundaries but wastes zero tokens except the per-stream tail.
+
+    Returns ``(part, chunk_id, tokens: list<int32>, n_tok)`` where every
+    ``n_tok == context_len``.
+    """
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    if context_len < 1:
+        raise ValueError(f'context_len must be >= 1, got {context_len}')
+    if num_parts < 1:
+        raise ValueError(f'num_parts must be >= 1, got {num_parts}')
+
+    def assign(batch: pa.Table) -> pa.Table:
+        part = pc.cast(pc.bit_wise_and(
+            pc.cast(batch.column(id_column), pa.int64()),
+            np.int64(2**63 - 1)), pa.int64())
+        # id % num_parts for non-negative ids (mask keeps negatives defined)
+        part = pa.array(part.to_numpy(zero_copy_only=False) % num_parts)
+        return batch.append_column('part', part)
+
+    def chunk(table: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({'part': pa.array([], pa.int64()),
+                          'chunk_id': pa.array([], pa.int64()),
+                          'tokens': pa.array([], pa.list_(pa.int32())),
+                          'n_tok': pa.array([], pa.int32())})
+        if table.num_rows == 0 or table.num_columns == 0:
+            return empty
+        table = table.take(pc.sort_indices(table, sort_keys=[('part', 'ascending'),
+                                                             (id_column, 'ascending')]))
+        col = table.column(tokens_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        flat = col.values.to_numpy(zero_copy_only=False)[base:offsets[-1]].astype(np.int32)
+        lens = np.diff(offsets)
+        # EOD after each doc: insert before each doc-end position
+        flat = np.insert(flat, (offsets[1:] - base), np.int32(eod_token))
+        lens_e = lens + 1
+        parts = table.column('part').to_numpy(zero_copy_only=False)
+        run_start = np.r_[True, parts[1:] != parts[:-1]]
+        doc_starts = np.flatnonzero(run_start)
+        part_vals = parts[doc_starts]
+        tok_counts = np.add.reduceat(lens_e, doc_starts)
+        tok_starts = np.r_[0, np.cumsum(tok_counts)[:-1]]
+        n_chunks = tok_counts // context_len
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return empty
+        # gather indices: for each part, tok_starts[p] + arange(n_chunks[p]*CL)
+        chunk_part = np.repeat(part_vals, n_chunks)
+        chunk_id = np.concatenate([np.arange(k, dtype=np.int64) for k in n_chunks if k > 0])
+        spans = np.repeat(tok_starts, n_chunks * context_len)
+        within = np.concatenate([np.arange(k * context_len, dtype=np.int64)
+                                 for k in n_chunks if k > 0])
+        gathered = flat[spans + within]
+        list_offsets = np.arange(0, (total_chunks + 1) * context_len, context_len,
+                                 dtype=np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(list_offsets),
+                                          pa.array(gathered, pa.int32()))
+        return pa.table({'part': pa.array(chunk_part.astype(np.int64)),
+                         'chunk_id': pa.array(chunk_id),
+                         'tokens': tokens,
+                         'n_tok': pa.array(np.full(total_chunks, context_len, np.int32))})
+
+    assigned = ds.map_batches(assign, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(assigned, ['part'], num_partitions, chunk)

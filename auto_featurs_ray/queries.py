@@ -2351,6 +2351,79 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
 
 
 # ---------------------------------------------------------------------------
+# 24af. GPT-style concat-and-chunk token packing (datapipe/tokens.py
+# concat_chunk_tokens): id%P stream assignment (explicit + SQL-replayable),
+# EOD-joined concatenation, fixed-length slices; the oracle rebuilds every
+# chunk cell in SQL and compares per-chunk content summaries.
+# ---------------------------------------------------------------------------
+
+def q_concat_chunk_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.tokens import concat_chunk_tokens
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        chunks = [np.frombuffer((t or '').encode('utf-8'), np.uint8).astype(np.int32)
+                  for t in batch.column('text').to_pylist()]
+        lens = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=len(chunks))
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          pa.array(flat, pa.int32()))
+        return pa.table({'doc_id': batch.column('doc_id'), 'tokens': tokens})
+
+    ds = docs.map_batches(tokenize, batch_format='pyarrow')
+    out = concat_chunk_tokens(ds, context_len=512, eod_token=-1, num_parts=8,
+                              num_partitions=NUM_PARTITIONS)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = batch.column('tokens')
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(toks)
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        m = flat.reshape(n, 512) if n else flat.reshape(0, 512)
+        # position-weighted sum makes the summary order-sensitive: a cell
+        # permutation inside a chunk cannot cancel
+        w = np.arange(1, 513, dtype=np.int64)
+        return pa.table({'part': batch.column('part'),
+                         'chunk_id': batch.column('chunk_id'),
+                         'tok_sum': pa.array(m.astype(np.int64).sum(axis=1)),
+                         'tok_wsum': pa.array((m.astype(np.int64) * w[None, :]).sum(axis=1)),
+                         'first_tok': pa.array(m[:, 0].astype(np.int64)) if n else pa.array([], pa.int64()),
+                         'last_tok': pa.array(m[:, -1].astype(np.int64)) if n else pa.array([], pa.int64())})
+
+    return _finish(out.map_batches(summarize, batch_format='pyarrow'),
+                   ['part', 'chunk_id', 'tok_sum', 'tok_wsum', 'first_tok', 'last_tok'])
+
+
+SQL_CONCAT_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS part, i AS pos,
+         ascii(substr(text, CAST(i AS INT), 1)) AS tok
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) t
+  UNION ALL
+  SELECT doc_id, doc_id % 8, length(text) + 1, -1 FROM documents
+), ordered AS (
+  SELECT part, tok,
+         ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id, pos) - 1 AS gpos
+  FROM toks
+), cells AS (
+  SELECT part, tok, CAST(gpos // 512 AS BIGINT) AS chunk_id, gpos % 512 AS cpos,
+         COUNT(*) OVER (PARTITION BY part, gpos // 512) AS csize
+  FROM ordered
+)
+SELECT part, chunk_id,
+       SUM(tok)::BIGINT AS tok_sum,
+       SUM(tok * (cpos + 1))::BIGINT AS tok_wsum,
+       MAX(CASE WHEN cpos = 0 THEN tok END)::BIGINT AS first_tok,
+       MAX(CASE WHEN cpos = 511 THEN tok END)::BIGINT AS last_tok
+FROM cells WHERE csize = 512
+GROUP BY part, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3920,6 +3993,7 @@ QUERIES = {
     'pivot_events': q_pivot_events,
     'groupby_aggregate_lineitem': q_groupby_aggregate_lineitem,
     'drop_duplicates_events': q_drop_duplicates_events,
+    'concat_chunk_documents': q_concat_chunk_documents,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -4014,6 +4088,7 @@ ORACLE_SQL = {
     'pivot_events': SQL_PIVOT_EVENTS,
     'groupby_aggregate_lineitem': SQL_GROUPBY_AGGREGATE_LINEITEM,
     'drop_duplicates_events': SQL_DROP_DUPLICATES_EVENTS,
+    'concat_chunk_documents': SQL_CONCAT_CHUNK_DOCUMENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -90,3 +90,35 @@ class TestSequencePacker:
             assert packed[doc] == seq, doc
         # packs respect context_len
         assert all(len(list(r.tokens)) <= 6 for r in out.itertuples())
+
+
+class TestConcatChunk:
+    def test_chunks_are_deterministic_and_exact(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.tokens import concat_chunk_tokens
+        # 3 docs in one stream (ids 0,2,4 % 2 == 0), 1 doc in the other
+        toks = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+        ids = [0, 2, 4, 1]
+        t = pa.table({'doc_id': pa.array(ids, pa.int64()),
+                      'tokens': pa.array(toks, pa.list_(pa.int32()))})
+        out = (concat_chunk_tokens(rd.from_arrow([t.slice(i, 1) for i in range(4)]),
+                                   context_len=4, eod_token=-1, num_parts=2,
+                                   num_partitions=3)
+               .to_pandas().sort_values(['part', 'chunk_id']).reset_index(drop=True))
+        # stream 0 concat: 1 2 3 -1 | 4 5 -1 | 6 7 8 9 -1 -> 12 tokens -> 3 chunks
+        assert out['part'].tolist() == [0, 0, 0]          # stream 1 has 2 tokens -> dropped
+        assert [list(x) for x in out['tokens']] == [
+            [1, 2, 3, -1], [4, 5, -1, 6], [7, 8, 9, -1]]
+        assert (out['n_tok'] == 4).all()
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.tokens import concat_chunk_tokens
+        t = pa.table({'doc_id': pa.array([0], pa.int64()),
+                      'tokens': pa.array([[1]], pa.list_(pa.int32()))})
+        with pytest.raises(ValueError, match='context_len'):
+            concat_chunk_tokens(rd.from_arrow(t), context_len=0)
+        with pytest.raises(ValueError, match='num_parts'):
+            concat_chunk_tokens(rd.from_arrow(t), num_parts=0)
