@@ -165,3 +165,83 @@ def drop_duplicates(ds, *, subset: Sequence[str], keep_order_by: Sequence[str] =
         return table.filter(pa.array(np.concatenate(([True], diff))))
 
     return shuffle_map_partitions(ds, subset, num_partitions, keep_first)
+
+
+def melt(ds, *, id_columns: Sequence[str], value_columns: Sequence[str],
+         variable_name: str = 'variable', value_name: str = 'value'):
+    """Wide -> long unpivot: one output row per (input row x value column),
+    with the source column's name in ``variable_name`` and its value cast
+    to float64 in ``value_name``.  Stateless per batch (the inverse of
+    ``pivot_aggregate`` at row grain) — no shuffle, embarrassingly
+    parallel."""
+    id_columns = list(id_columns)
+    value_columns = list(value_columns)
+    if not value_columns:
+        raise ValueError('value_columns must be non-empty')
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(value_columns)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out = {c: batch.column(c).take(idx) for c in id_columns}
+        out[variable_name] = pa.array(np.tile(np.asarray(value_columns, dtype=object), n))
+        vals = [batch.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+                for c in value_columns]
+        stacked = np.column_stack(vals).ravel() if n else np.empty(0, np.float64)
+        out[value_name] = pa.array(stacked, mask=np.isnan(stacked) if n else None)
+        return pa.table(out)
+
+    return ds.map_batches(unpivot, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def profile_columns(ds, *, columns: Sequence[str], num_partitions: int = 1):
+    """Data-quality profile: one output row per listed column with
+    ``n_rows``, ``n_null``, ``n_distinct`` (exact), ``min`` / ``max`` /
+    ``mean`` over valid values cast to float64 — the schema-drift /
+    ingestion-sanity table.
+
+    Per-batch partials (count/null/sum/min/max + the batch's distinct-value
+    list) reduce on the driver; distinct-set sizes are bounded by column
+    cardinality.  For truly high-cardinality columns profile a sample or
+    use the HLL transformer instead.
+    """
+    columns = list(columns)
+    if not columns:
+        raise ValueError('columns must be non-empty')
+    import pickle
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        states = []
+        for c in columns:
+            col = batch.column(c)
+            valid = int(pc.count(col).as_py() or 0)
+            n = len(col)
+            fcol = col.cast(pa.float64())
+            arr = fcol.to_numpy(zero_copy_only=False)
+            vv = arr[~np.isnan(arr)]
+            mn = float(vv.min()) if len(vv) else np.nan
+            mx = float(vv.max()) if len(vv) else np.nan
+            s = float(vv.sum())
+            distinct = set(pc.unique(fcol.drop_null()).to_pylist())
+            states.append((n, n - valid, s, mn, mx, distinct))
+        return pa.table({'state': [pickle.dumps(states)]})
+
+    rows = ds.map_batches(partial, batch_format='pyarrow').take_all()
+    agg = [(0, 0, 0.0, np.nan, np.nan, set()) for _ in columns]
+    for r in rows:
+        for i, (n, nn, s, mn, mx, d) in enumerate(pickle.loads(r['state'])):
+            an, ann, as_, amn, amx, ad = agg[i]
+            agg[i] = (an + n, ann + nn, as_ + s,
+                      np.nanmin([amn, mn]), np.nanmax([amx, mx]), ad | d)
+    out = {'column': pa.array(columns),
+           'n_rows': pa.array([a[0] for a in agg], pa.int64()),
+           'n_null': pa.array([a[1] for a in agg], pa.int64()),
+           'n_distinct': pa.array([len(a[5]) for a in agg], pa.int64()),
+           'min': pa.array([a[3] for a in agg], pa.float64()),
+           'max': pa.array([a[4] for a in agg], pa.float64()),
+           'mean': pa.array([a[2] / (a[0] - a[1]) if a[0] - a[1] else np.nan
+                             for a in agg], pa.float64())}
+    import ray.data as rd
+    return rd.from_arrow(pa.table(out))

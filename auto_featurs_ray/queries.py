@@ -2424,6 +2424,63 @@ GROUP BY part, chunk_id
 
 
 # ---------------------------------------------------------------------------
+# 24ag. wide->long melt + per-column data-quality profile
+# (datapipe/relational.py): ingestion-sanity surfaces.
+# ---------------------------------------------------------------------------
+
+def q_melt_lineitem(sf_dir: str):
+    from auto_featurs_ray.datapipe.relational import melt
+    li = ray.data.read_parquet(os.path.join(sf_dir, 'lineitem.parquet'),
+                               columns=['l_orderkey', 'l_linenumber', 'l_quantity',
+                                        'l_extendedprice', 'l_tax'])
+    out = melt(li, id_columns=['l_orderkey', 'l_linenumber'],
+               value_columns=['l_quantity', 'l_extendedprice', 'l_tax'])
+    return _finish(out, ['l_orderkey', 'l_linenumber', 'variable', 'value'],
+                   round_cols=['value'])
+
+
+SQL_MELT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+       round(CAST(l_quantity AS DOUBLE), 6) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(CAST(l_extendedprice AS DOUBLE), 6)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', round(CAST(l_tax AS DOUBLE), 6) FROM lineitem
+"""
+
+
+def q_profile_lineitem(sf_dir: str):
+    from auto_featurs_ray.datapipe.relational import profile_columns
+    li = ray.data.read_parquet(os.path.join(sf_dir, 'lineitem.parquet'),
+                               columns=['l_quantity', 'l_extendedprice', 'l_discount'])
+    out = profile_columns(li, columns=['l_quantity', 'l_extendedprice', 'l_discount'])
+    return _finish(out, ['column', 'n_rows', 'n_null', 'n_distinct', 'min', 'max', 'mean'],
+                   round_cols=['min', 'max', 'mean'], round_shift=1e-9)
+
+
+SQL_PROFILE_LINEITEM = """
+SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(l_quantity) AS n_null,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       round(MIN(l_quantity)::DOUBLE + 1e-9, 6) AS min,
+       round(MAX(l_quantity)::DOUBLE + 1e-9, 6) AS max,
+       round(AVG(l_quantity) + 1e-9, 6) AS mean
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+       COUNT(DISTINCT l_extendedprice), round(MIN(l_extendedprice)::DOUBLE + 1e-9, 6),
+       round(MAX(l_extendedprice)::DOUBLE + 1e-9, 6), round(AVG(l_extendedprice) + 1e-9, 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+       COUNT(DISTINCT l_discount), round(MIN(l_discount)::DOUBLE + 1e-9, 6),
+       round(MAX(l_discount)::DOUBLE + 1e-9, 6), round(AVG(l_discount) + 1e-9, 6)
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -3994,6 +4051,8 @@ QUERIES = {
     'groupby_aggregate_lineitem': q_groupby_aggregate_lineitem,
     'drop_duplicates_events': q_drop_duplicates_events,
     'concat_chunk_documents': q_concat_chunk_documents,
+    'melt_lineitem': q_melt_lineitem,
+    'profile_lineitem': q_profile_lineitem,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -4089,6 +4148,8 @@ ORACLE_SQL = {
     'groupby_aggregate_lineitem': SQL_GROUPBY_AGGREGATE_LINEITEM,
     'drop_duplicates_events': SQL_DROP_DUPLICATES_EVENTS,
     'concat_chunk_documents': SQL_CONCAT_CHUNK_DOCUMENTS,
+    'melt_lineitem': SQL_MELT_LINEITEM,
+    'profile_lineitem': SQL_PROFILE_LINEITEM,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

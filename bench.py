@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     'geo_harmonic_events', 'broadcast_join_events_customer',
     'session_summary_events', 'expression_columns_lineitem', 'pivot_events',
     'groupby_aggregate_lineitem', 'drop_duplicates_events',
-    'concat_chunk_documents',
+    'concat_chunk_documents', 'melt_lineitem', 'profile_lineitem',
 ]
 
 

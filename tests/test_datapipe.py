@@ -786,3 +786,27 @@ class TestGroupbyAggregate:
         from auto_featurs_ray.datapipe.relational import drop_duplicates as dd
         with pytest.raises(ValueError, match='subset'):
             dd(rd.from_arrow(t), subset=[])
+
+
+class TestMeltAndProfile:
+    def test_melt_long_form(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.relational import melt
+        t = pa.table({'id': [1, 2], 'a': [1.0, None], 'b': [3.0, 4.0]})
+        out = (melt(rd.from_arrow(t), id_columns=['id'], value_columns=['a', 'b'])
+               .to_pandas().sort_values(['id', 'variable']).reset_index(drop=True))
+        assert len(out) == 4
+        assert out['variable'].tolist() == ['a', 'b', 'a', 'b']
+        assert out['value'].tolist()[0] == 1.0 and pd.isna(out['value'].tolist()[2])
+
+    def test_profile_stats(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.relational import profile_columns
+        t = pa.table({'x': [1.0, 1.0, None, 3.0]})
+        ds = rd.from_arrow([t.slice(i, 2) for i in (0, 2)])
+        out = profile_columns(ds, columns=['x']).to_pandas()
+        r = out.iloc[0]
+        assert r['n_rows'] == 4 and r['n_null'] == 1 and r['n_distinct'] == 2
+        assert r['min'] == 1.0 and r['max'] == 3.0 and abs(r['mean'] - 5 / 3) < 1e-12
