@@ -245,3 +245,42 @@ def profile_columns(ds, *, columns: Sequence[str], num_partitions: int = 1):
                              for a in agg], pa.float64())}
     import ray.data as rd
     return rd.from_arrow(pa.table(out))
+
+
+def top_n_per_group(ds, *, by: Sequence[str], order_by: Sequence[str], n: int,
+                    descending: bool = False, num_partitions: int = 16):
+    """Keep the first ``n`` rows of every ``by`` group under the
+    ``order_by`` sort (``descending=True`` for best-N-by-score) — the
+    per-domain curation cut (e.g. N highest-quality documents per source).
+    SQL ``QUALIFY ROW_NUMBER() <= n`` semantics; pass a unique tiebreak
+    column in ``order_by`` for total determinism.
+
+    One key-hashed exchange; each reduce sorts once and keeps run heads by
+    offset arithmetic — no per-row Python, no per-group loop.
+    """
+    from auto_featurs_ray.engine.asof import _null_safe_run_diff
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    by = list(by)
+    order_by = list(order_by)
+    if not by or not order_by:
+        raise ValueError('by and order_by must each name at least one column')
+    if n < 1:
+        raise ValueError(f'n must be >= 1, got {n}')
+    direction = 'descending' if descending else 'ascending'
+
+    def keep_heads(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return table
+        keys = [(k, 'ascending') for k in by] + [(c, direction) for c in order_by]
+        table = table.take(pc.sort_indices(table, sort_keys=keys))
+        m = table.num_rows
+        if m <= 1:
+            return table
+        diff = _null_safe_run_diff(table, by)
+        starts = np.r_[0, np.flatnonzero(diff) + 1]
+        lengths = np.diff(np.r_[starts, m])
+        rank = np.arange(m) - np.repeat(starts, lengths)
+        return table.filter(pa.array(rank < n))
+
+    return shuffle_map_partitions(ds, by, num_partitions, keep_heads)

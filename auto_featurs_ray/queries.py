@@ -2481,6 +2481,30 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# 24ah. per-group top-N curation cut (datapipe/relational.py
+# top_n_per_group): best 5 documents per source by length, id tiebreak.
+# ---------------------------------------------------------------------------
+
+def q_top_n_per_source_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.relational import top_n_per_group
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'source', 'n_chars'])
+    out = top_n_per_group(docs, by=['source'], order_by=['n_chars', 'doc_id'],
+                          n=5, descending=True, num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['doc_id', 'source', 'n_chars'])
+
+
+# descending on BOTH order columns (the engine applies one direction to the
+# whole order_by list), so the SQL mirror is (n_chars DESC, doc_id DESC)
+SQL_TOP_N_PER_SOURCE_DOCUMENTS = """
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id DESC) <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -4053,6 +4077,7 @@ QUERIES = {
     'concat_chunk_documents': q_concat_chunk_documents,
     'melt_lineitem': q_melt_lineitem,
     'profile_lineitem': q_profile_lineitem,
+    'top_n_per_source_documents': q_top_n_per_source_documents,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -4150,6 +4175,7 @@ ORACLE_SQL = {
     'concat_chunk_documents': SQL_CONCAT_CHUNK_DOCUMENTS,
     'melt_lineitem': SQL_MELT_LINEITEM,
     'profile_lineitem': SQL_PROFILE_LINEITEM,
+    'top_n_per_source_documents': SQL_TOP_N_PER_SOURCE_DOCUMENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

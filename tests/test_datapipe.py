@@ -788,6 +788,28 @@ class TestGroupbyAggregate:
             dd(rd.from_arrow(t), subset=[])
 
 
+class TestTopNPerGroup:
+    def test_best_n_with_tiebreak(self):
+        from auto_featurs_ray.datapipe.relational import top_n_per_group
+        t = pa.table({'g': ['a'] * 4 + ['b'], 's': [3, 1, 3, 2, 9],
+                      'id': [10, 11, 12, 13, 14]})
+        out = (top_n_per_group(rd.from_arrow([t.slice(i, 1) for i in range(5)]),
+                               by=['g'], order_by=['s', 'id'], n=2, descending=True,
+                               num_partitions=3)
+               .to_pandas().sort_values(['g', 'id']).reset_index(drop=True))
+        # a: scores 3,3,2,1 -> keep both 3s; desc id tiebreak orders (12, 10)
+        assert out[out.g == 'a']['id'].tolist() == [10, 12]
+        assert out[out.g == 'b']['id'].tolist() == [14]
+
+    def test_validation(self):
+        from auto_featurs_ray.datapipe.relational import top_n_per_group
+        ds = rd.from_arrow(pa.table({'g': ['a'], 's': [1]}))
+        with pytest.raises(ValueError, match='n must'):
+            top_n_per_group(ds, by=['g'], order_by=['s'], n=0)
+        with pytest.raises(ValueError, match='order_by'):
+            top_n_per_group(ds, by=['g'], order_by=[], n=1)
+
+
 class TestMeltAndProfile:
     def test_melt_long_form(self):
         import pandas as pd
