@@ -204,3 +204,26 @@ def mixture_resample(ds, *, group_column: str, key_column: str, weight_column: s
         return batch.filter(pa.array(u < r))
 
     return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def weighted_sample(ds, *, key_column: str, prob_column: str, seed: int = 0,
+                    scale: float = 1.0):
+    """Quality-weighted deterministic Bernoulli sample: keep each row iff
+    ``hash(key, seed) / 2^64 < clip(prob * scale, 0, 1)`` — the per-row
+    probability comes from a COLUMN (e.g. a quality score in [0, 1]), so
+    high-quality documents survive preferentially while membership stays a
+    pure function of (key, seed) — identical on any cluster shape, and the
+    exact-integer splitmix64 inequality is SQL-replayable.  Null
+    probabilities drop the row."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        u = _keyed_hash(batch.column(key_column), seed).view(np.uint64) / float(2 ** 64)
+        p = batch.column(prob_column).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid='ignore'):
+            p = np.clip(p * scale, 0.0, 1.0)
+        mask = u < np.where(np.isnan(p), 0.0, p)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format='pyarrow', zero_copy_batch=True)

@@ -2505,6 +2505,38 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY source
 
 
 # ---------------------------------------------------------------------------
+# 24ai. quality-weighted deterministic sampling (datapipe/sampling.py
+# weighted_sample): per-row keep probability from a score column, membership
+# a pure function of (doc_id, seed) — exact splitmix64 replay in SQL.
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample_documents(sf_dir: str):
+    from auto_featurs_ray.datapipe.sampling import weighted_sample
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'source', 'n_chars'])
+
+    def score(batch: pa.Table) -> pa.Table:
+        p = pc.divide(pc.cast(pc.subtract(batch.column('n_chars'),
+                                          pc.multiply(pc.divide(batch.column('n_chars'), 100),
+                                                      100)), pa.float64()), 100.0)
+        return batch.append_column('quality', p)
+
+    out = weighted_sample(docs.map_batches(score, batch_format='pyarrow'),
+                          key_column='doc_id', prob_column='quality', seed=23)
+    return _finish(out, ['doc_id', 'source', 'n_chars', 'quality'],
+                   round_cols=['quality'])
+
+
+def _weighted_sample_sql(seed: int = 23) -> str:
+    return f"""
+WITH {_keyed_hash_u_sql(seed=seed)}
+SELECT doc_id, source, n_chars,
+       round((n_chars % 100) / 100.0, 6) AS quality
+FROM s4 WHERE u < (n_chars % 100) / 100.0
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -4078,6 +4110,7 @@ QUERIES = {
     'melt_lineitem': q_melt_lineitem,
     'profile_lineitem': q_profile_lineitem,
     'top_n_per_source_documents': q_top_n_per_source_documents,
+    'weighted_sample_documents': q_weighted_sample_documents,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -4176,6 +4209,7 @@ ORACLE_SQL = {
     'melt_lineitem': SQL_MELT_LINEITEM,
     'profile_lineitem': SQL_PROFILE_LINEITEM,
     'top_n_per_source_documents': SQL_TOP_N_PER_SOURCE_DOCUMENTS,
+    'weighted_sample_documents': _weighted_sample_sql(),
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     'session_summary_events', 'expression_columns_lineitem', 'pivot_events',
     'groupby_aggregate_lineitem', 'drop_duplicates_events',
     'concat_chunk_documents', 'melt_lineitem', 'profile_lineitem',
-    'top_n_per_source_documents',
+    'top_n_per_source_documents', 'weighted_sample_documents',
 ]
 
 

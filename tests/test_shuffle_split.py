@@ -147,3 +147,44 @@ class TestTopKAndSampling:
         ds = rd.from_arrow(pa.table({'id': pa.array([1], pa.int64())}))
         with _pytest.raises(ValueError):
             deterministic_sample(ds, key_column='id', rate=1.5)
+
+
+class TestWeightedSample:
+    def test_probability_column_drives_membership(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import weighted_sample
+        n = 2000
+        t = pa.table({'doc_id': pa.array(range(n), pa.int64()),
+                      'p': pa.array([0.0] * (n // 2) + [1.0] * (n // 2))})
+        out = weighted_sample(rd.from_arrow(t), key_column='doc_id',
+                              prob_column='p', seed=5).to_pandas()
+        # p=0 rows never survive, p=1 rows always do
+        assert (out['p'] == 1.0).all() and len(out) == n // 2
+
+    def test_membership_is_layout_invariant_and_seeded(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import weighted_sample
+        n = 500
+        t = pa.table({'doc_id': pa.array(range(n), pa.int64()),
+                      'p': pa.array([0.5] * n)})
+        a = weighted_sample(rd.from_arrow(t), key_column='doc_id',
+                            prob_column='p', seed=5).to_pandas()
+        b = weighted_sample(rd.from_arrow([t.slice(i, 100) for i in range(0, n, 100)]),
+                            key_column='doc_id', prob_column='p', seed=5).to_pandas()
+        c = weighted_sample(rd.from_arrow(t), key_column='doc_id',
+                            prob_column='p', seed=6).to_pandas()
+        assert sorted(a['doc_id']) == sorted(b['doc_id'])
+        assert sorted(a['doc_id']) != sorted(c['doc_id'])
+        assert 150 < len(a) < 350   # ~half survive
+
+    def test_null_probability_drops(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.sampling import weighted_sample
+        t = pa.table({'doc_id': pa.array([1, 2], pa.int64()),
+                      'p': pa.array([None, 1.0], pa.float64())})
+        out = weighted_sample(rd.from_arrow(t), key_column='doc_id',
+                              prob_column='p').to_pandas()
+        assert out['doc_id'].tolist() == [2]
