@@ -16,11 +16,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_COMBINABLE = ('count', 'sum', 'mean', 'min', 'max', 'count_distinct')
+_COMBINABLE = ('count', 'sum', 'mean', 'min', 'max', 'count_distinct',
+               'approx_count_distinct')
 
 
 def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]],
-                      num_partitions: int = 16, count_all_column: str = 'n_rows'):
+                      num_partitions: int = 16, count_all_column: str = 'n_rows',
+                      kmv_k: int = 64):
     """``SELECT by..., aggs... GROUP BY by`` as an aggregate table.
 
     ``aggs`` maps value columns to aggregate names from
@@ -31,9 +33,12 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     count_distinct as int64, sum/mean as float64, min/max in the input
     type).  ``count_distinct`` is EXACT: partials carry each batch's
     per-key distinct-value list (bounded by per-key cardinality, not row
-    count) and the reduce deduplicates the union — for web-scale unique
-    counting where the per-key value sets themselves are huge, use
-    ``ApproxNumUniqueTransformer`` instead.
+    count) and the reduce deduplicates the union.  ``approx_count_distinct``
+    is the scale path: a per-key KMV (k-minimum-values) sketch of
+    ``kmv_k`` 64-bit hashes — partial size is bounded by k per key
+    regardless of cardinality; exact below k distinct values, and for
+    int64 columns the pandas hash IS the splitmix64 finalizer, so a SQL
+    oracle replays the estimate bit-for-bit.
     """
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
 
@@ -50,6 +55,7 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     # partial-state plan: which arrow aggregations each phase needs
     partial_spec = []
     distinct_cols = []
+    kmv_cols = []
     for c, al in plain.items():
         if 'count' in al or 'mean' in al:
             partial_spec.append((c, 'count'))
@@ -62,13 +68,54 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
         if 'count_distinct' in al:
             partial_spec.append((c, 'distinct'))
             distinct_cols.append(c)
+        if 'approx_count_distinct' in al:
+            kmv_cols.append(c)
     partial_spec = list(dict.fromkeys(partial_spec))
+
+    def _kmv_lists(batch: pa.Table, keys: pa.Table, c: str):
+        """Per-key list of the k smallest distinct value hashes, aligned
+        with ``keys`` (the batch's grouped key table)."""
+        import pandas as pd
+        kf = pd.DataFrame({k: batch.column(k).to_pandas() for k in by})
+        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(kf) if len(by) > 1
+                                      else kf[by[0]], use_na_sentinel=False)
+        col = batch.column(c)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy().astype(np.uint64)
+        codes_v, h_v = codes[valid], h[valid]
+        order = np.lexsort((h_v, codes_v))
+        codes_s, h_s = codes_v[order], h_v[order]
+        keep = np.r_[True, (codes_s[1:] != codes_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        codes_s, h_s = codes_s[keep], h_s[keep]
+        starts = np.r_[0, np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1]
+        lengths = np.diff(np.r_[starts, len(codes_s)])
+        rank = np.arange(len(codes_s)) - np.repeat(starts, lengths)
+        sel = rank < kmv_k
+        codes_s, h_s = codes_s[sel], h_s[sel]
+        # align to the grouped key table's row order: map each grouped row's
+        # key tuple back to its factorize code
+        gk = pd.DataFrame({k: keys.column(k).to_pandas() for k in by})
+        gidx = (pd.MultiIndex.from_frame(gk) if len(by) > 1 else gk[by[0]])
+        lookup = {u: i for i, u in enumerate(uniques)}
+        want_codes = np.asarray([lookup[u] for u in gidx], dtype=np.int64)
+        counts = np.bincount(codes_s, minlength=len(uniques))
+        offs = np.r_[0, np.cumsum(counts)]
+        out_offsets = [0]
+        out_values = []
+        for wc in want_codes:
+            out_values.append(h_s[offs[wc]:offs[wc + 1]])
+            out_offsets.append(out_offsets[-1] + counts[wc])
+        flat = np.concatenate(out_values) if out_values else np.empty(0, np.uint64)
+        return pa.ListArray.from_arrays(pa.array(np.asarray(out_offsets, np.int32)),
+                                        pa.array(flat.view(np.int64), pa.int64()))
 
     def partial(batch: pa.Table) -> pa.Table:
         spec = [(c, a) for c, a in partial_spec]
         if want_count_all:
             spec.append(([], 'count_all'))
         grouped = batch.group_by(by).aggregate(spec)
+        for c in kmv_cols:
+            grouped = grouped.append_column(f'{c}_kmv', _kmv_lists(batch, grouped, c))
         return grouped
 
     def combine(table: pa.Table, _pid: int) -> pa.Table:
@@ -96,6 +143,39 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
         if want_count_all:
             respec.append(('count_all', 'sum'))
         grouped = table.group_by(by).aggregate(respec)
+        for c in kmv_cols:
+            lists = table.column(f'{c}_kmv')
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            row_of = np.repeat(np.arange(table.num_rows), np.diff(offsets))
+            pairs = {k: table.column(k).take(pa.array(row_of)) for k in by}
+            pairs['__h'] = lists.values
+            pt = pa.table(pairs)
+            import pandas as pd
+            pf = pd.DataFrame({k: pt.column(k).to_pandas() for k in by})
+            pcode, puniq = pd.factorize(pd.MultiIndex.from_frame(pf) if len(by) > 1
+                                        else pf[by[0]], use_na_sentinel=False)
+            hv = pt.column('__h').to_numpy(zero_copy_only=False).view(np.uint64)
+            order = np.lexsort((hv, pcode))
+            cs, hs = pcode[order], hv[order]
+            keep = np.r_[True, (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1])]
+            cs, hs = cs[keep], hs[keep]
+            starts = np.r_[0, np.flatnonzero(cs[1:] != cs[:-1]) + 1]
+            lengths = np.diff(np.r_[starts, len(cs)])
+            rank = np.arange(len(cs)) - np.repeat(starts, lengths)
+            est = np.empty(len(starts), dtype=np.float64)
+            for i, (s, l) in enumerate(zip(starts, lengths)):
+                if l < kmv_k:
+                    est[i] = float(l)
+                else:
+                    kth = hs[s + kmv_k - 1] / float(2 ** 64)
+                    est[i] = (kmv_k - 1) / kth
+            gk = pd.DataFrame({k: grouped.column(k).to_pandas() for k in by})
+            gidx = (pd.MultiIndex.from_frame(gk) if len(by) > 1 else gk[by[0]])
+            lookup = {u: i for i, u in enumerate(puniq)}
+            aligned = np.asarray([est[lookup[u]] for u in gidx], dtype=np.float64)
+            grouped = grouped.append_column(f'__kmv_{c}', pa.array(aligned))
         for c in distinct_cols:
             # explode each partial's distinct list, dedupe the union per key
             lists = table.column(f'{c}_distinct')
@@ -123,6 +203,8 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
                 elif a == 'count_distinct':
                     cols[f'{c}_count_distinct'] = pc.fill_null(
                         grouped.column(f'__dc_{c}'), 0).cast(pa.int64())
+                elif a == 'approx_count_distinct':
+                    cols[f'{c}_approx_count_distinct'] = grouped.column(f'__kmv_{c}')
                 elif a == 'sum':
                     cols[f'{c}_sum'] = grouped.column(names[(c, a)]).cast(pa.float64())
                 else:

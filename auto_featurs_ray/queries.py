@@ -2537,6 +2537,46 @@ FROM s4 WHERE u < (n_chars % 100) / 100.0
 
 
 # ---------------------------------------------------------------------------
+# 24aj. KMV approx distinct per group (groupby_aggregate scale path):
+# distinct users per event_type with a 64-hash sketch — pandas' int64 hash
+# IS the splitmix64 finalizer, so SQL replays the estimate bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q_approx_group_distinct_events(sf_dir: str):
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['event_type', 'user_id'])
+    out = groupby_aggregate(ev, by=['event_type'],
+                            aggs={'user_id': ['count_distinct', 'approx_count_distinct']},
+                            num_partitions=NUM_PARTITIONS, kmv_k=64)
+    keep = ['event_type', 'user_id_count_distinct', 'user_id_approx_count_distinct']
+    return _finish(out, keep, round_cols=['user_id_approx_count_distinct'],
+                   round_shift=1e-9)
+
+
+def _approx_group_distinct_sql() -> str:
+    fin = _splitmix_fin_sql('x')
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, {fin} AS h
+  FROM (SELECT event_type, user_id::HUGEINT AS x FROM events)
+), ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM hv
+)
+SELECT event_type,
+       MAX(nd)::BIGINT AS user_id_count_distinct,
+       round(CASE WHEN MAX(nd) < 64 THEN MAX(nd)::DOUBLE
+                  ELSE 63.0 / (MAX(CASE WHEN r = 64 THEN h END)::DOUBLE
+                               / 18446744073709551616.0) END + 1e-9, 6)
+           AS user_id_approx_count_distinct
+FROM ranked GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -4111,6 +4151,7 @@ QUERIES = {
     'profile_lineitem': q_profile_lineitem,
     'top_n_per_source_documents': q_top_n_per_source_documents,
     'weighted_sample_documents': q_weighted_sample_documents,
+    'approx_group_distinct_events': q_approx_group_distinct_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -4210,6 +4251,7 @@ ORACLE_SQL = {
     'profile_lineitem': SQL_PROFILE_LINEITEM,
     'top_n_per_source_documents': SQL_TOP_N_PER_SOURCE_DOCUMENTS,
     'weighted_sample_documents': _weighted_sample_sql(),
+    'approx_group_distinct_events': _approx_group_distinct_sql(),
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

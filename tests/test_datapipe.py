@@ -775,6 +775,29 @@ class TestGroupbyAggregate:
         with pytest.raises(ValueError, match='at least one'):
             groupby_aggregate(ds, by=['g'], aggs={})
 
+    def test_kmv_approx_count_distinct(self):
+        import pandas as pd
+
+        from auto_featurs_ray.datapipe.relational import groupby_aggregate
+        rng = np.random.default_rng(1)
+        n = 4000
+        t = pa.table({'g': pa.array(rng.choice(['a', 'b'], n)),
+                      'v': pa.array(rng.integers(0, 500, n), pa.int64())})
+        ds = rd.from_arrow([t.slice(i, 400) for i in range(0, n, 400)])
+        out = (groupby_aggregate(ds, by=['g'],
+                                 aggs={'v': ['count_distinct', 'approx_count_distinct']},
+                                 num_partitions=3, kmv_k=64)
+               .to_pandas().sort_values('g').reset_index(drop=True))
+        err = (out['v_approx_count_distinct'] - out['v_count_distinct']).abs() \
+            / out['v_count_distinct']
+        assert (err < 0.3).all()
+        # below-k groups are exact
+        small = pa.table({'g': ['a'] * 5, 'v': pa.array([1, 2, 2, 3, 1], pa.int64())})
+        o2 = (groupby_aggregate(rd.from_arrow(small), by=['g'],
+                                aggs={'v': ['approx_count_distinct']}, kmv_k=64)
+              .to_pandas())
+        assert o2['v_approx_count_distinct'].tolist() == [3.0]
+
     def test_drop_duplicates_keeps_first_by_order(self):
         from auto_featurs_ray.datapipe.relational import drop_duplicates
         t = pa.table({'k': ['a', 'a', 'b', None, None], 'o': [2, 1, 5, 9, 3],
