@@ -2577,6 +2577,36 @@ FROM ranked GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# 24ak. median/MAD robust z-score per group (engine extension): the
+# outlier-immune normalization.
+# ---------------------------------------------------------------------------
+
+def q_robust_zscore_events(sf_dir: str):
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_arithmetic_aggregation('value',
+                                      aggregations=[ArithmeticAggregations.ROBUST_ZSCORE],
+                                      over_columns_combinations=[['user_id']]))
+    keep = ['event_id', 'value_robust_zscore_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:], nan_null_cols=keep[1:],
+                   round_shift=1e-9)
+
+
+SQL_ROBUST_ZSCORE_EVENTS = """
+WITH med AS (
+  SELECT event_id, user_id, value,
+         quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS m
+  FROM events
+), mad AS (
+  SELECT user_id, quantile_cont(abs(value - m), 0.5) AS d FROM med GROUP BY user_id
+)
+SELECT e.event_id,
+       round(CASE WHEN a.d > 0 THEN (e.value - e.m) / a.d END + 1e-9, 6)
+           AS value_robust_zscore_over_user_id
+FROM med e JOIN mad a ON a.user_id = e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible pipelines (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
@@ -4152,6 +4182,7 @@ QUERIES = {
     'top_n_per_source_documents': q_top_n_per_source_documents,
     'weighted_sample_documents': q_weighted_sample_documents,
     'approx_group_distinct_events': q_approx_group_distinct_events,
+    'robust_zscore_events': q_robust_zscore_events,
     'minhash_dedup_documents': q_minhash_dedup_documents,
     'contamination_documents': q_contamination_documents,
     'repetition_documents': q_repetition_documents,
@@ -4252,6 +4283,7 @@ ORACLE_SQL = {
     'top_n_per_source_documents': SQL_TOP_N_PER_SOURCE_DOCUMENTS,
     'weighted_sample_documents': _weighted_sample_sql(),
     'approx_group_distinct_events': _approx_group_distinct_sql(),
+    'robust_zscore_events': SQL_ROBUST_ZSCORE_EVENTS,
     'approx_distinct_events': SQL_APPROX_DISTINCT_EVENTS,
     'langid_quality_documents': SQL_LANGID_QUALITY_DOCUMENTS,
     'gopher_rules_documents': SQL_GOPHER_RULES_DOCUMENTS,

@@ -2064,6 +2064,56 @@ class TargetEncodingTransformer(ArithmeticAggregationTransformer):
         return np.where(den > 0, out, np.nan)
 
 
+class RobustZscoreTransformer(AggregatingTransformer):
+    """Median/MAD z-score (engine extension): ``(x - median) / MAD`` with
+    ``MAD = median(|x - median|)`` over the group's valid values — the
+    outlier-detection normalization that, unlike the mean/std z-score, a
+    single extreme value cannot distort.  No consistency constant is
+    applied (multiply by 1/1.4826 externally for the normal-consistent
+    form).  Zero MAD (>=half the group at the median) yields NaN = SQL
+    NULL.  Grouped NONE mode; global via the quantile sketch would need a
+    second derived-column pass, so the ungrouped form runs on the
+    single-task fallback — group at scale."""
+
+    def __init__(self, column: ColumnNameOrSpec,
+                 cumulative: CumulativeOptions = CumulativeOptions.NONE,
+                 filtering_condition: Optional[Expr] = None) -> None:
+        if cumulative != CumulativeOptions.NONE:
+            raise ValueError('robust_zscore supports only CumulativeOptions.NONE')
+        self._column = parse_column_name(column)
+        self.cumulative = cumulative
+        self.filtering_condition = default_true_filtering_condition(filtering_condition)
+
+    def input_type(self) -> ColumnTypeSelector:
+        return ColumnType.NUMERIC.as_selector()
+
+    @classmethod
+    def is_commutative(cls) -> bool:
+        return True
+
+    def _return_type(self) -> ColumnType:
+        return ColumnType.NUMERIC
+
+    def _output_name(self) -> str:
+        return (f'{self._column}_robust_zscore'
+                + filtering_condition_to_string(self.filtering_condition))
+
+    def compute(self, frame: AggFrame, codes: Optional[np.ndarray]):
+        codes = _codes_or_zeros(codes, frame.num_rows)
+        x = frame.numeric(self._column)
+        cond = frame.cond_mask(self.filtering_condition)
+        if cond is not None:
+            x = np.where(cond, x, np.nan)
+        x = pd.Series(x)
+        med = x.groupby(codes).transform('quantile', 0.5)
+        dev = (x - med).abs()
+        mad = dev.groupby(codes).transform('quantile', 0.5)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            out = (x - med) / mad
+        return np.where(mad > 0, out, np.nan)
+
+
+
 from enum import Enum
 
 
@@ -2081,6 +2131,7 @@ class ArithmeticAggregations(Enum):
     DENSE_RANK = DenseRankTransformer
     GEOMETRIC_MEAN = GeometricMeanTransformer
     HARMONIC_MEAN = HarmonicMeanTransformer
+    ROBUST_ZSCORE = RobustZscoreTransformer
     SKEW = SkewTransformer
     KURTOSIS = KurtosisTransformer
 
@@ -2502,6 +2553,7 @@ class Scaling(Enum):
     STANDARD = StandardScaler
     MIN_MAX = MinMaxScaler
     ROBUST = RobustScaler
+    ROBUST_ZSCORE = RobustZscoreTransformer
 
 
 class Binning(Enum):

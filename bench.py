@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     'groupby_aggregate_lineitem', 'drop_duplicates_events',
     'concat_chunk_documents', 'melt_lineitem', 'profile_lineitem',
     'top_n_per_source_documents', 'weighted_sample_documents',
-    'approx_group_distinct_events',
+    'approx_group_distinct_events', 'robust_zscore_events',
 ]
 
 

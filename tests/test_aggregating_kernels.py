@@ -49,6 +49,7 @@ from auto_featurs_ray.transformers.aggregating import (
     RegressionInterceptTransformer,
     RegressionSlopeTransformer,
     RobustScaler,
+    RobustZscoreTransformer,
     ShareTransformer,
     StandardScaler,
     StdTransformer,
@@ -862,3 +863,30 @@ class TestGeoHarmonicMeans:
             direct = np.asarray(t.compute(AggFrame(self.T), None), dtype=np.float64)
             np.testing.assert_allclose(np.asarray(t.global_finalize(state, self.T)),
                                        direct, rtol=1e-12)
+
+
+class TestRobustZscore:
+    def test_outlier_immune(self):
+        t = pa.table({'X': [1.0, 2.0, 3.0, 100.0]})
+        got = np.asarray(RobustZscoreTransformer('X').compute(AggFrame(t), None),
+                         dtype=np.float64)
+        x = np.array([1.0, 2.0, 3.0, 100.0])
+        med = np.median(x)
+        mad = np.median(np.abs(x - med))
+        np.testing.assert_allclose(got, (x - med) / mad)
+
+    def test_zero_mad_is_nan(self):
+        t = pa.table({'X': [5.0, 5.0, 5.0, 9.0]})
+        got = np.asarray(RobustZscoreTransformer('X').compute(AggFrame(t), None),
+                         dtype=np.float64)
+        assert np.isnan(got).all()   # MAD = 0 (majority at the median)
+
+    def test_grouped_and_validation(self):
+        t = pa.table({'X': [1.0, 3.0, 10.0, 30.0]})
+        codes = np.array([0, 0, 1, 1])
+        got = np.asarray(RobustZscoreTransformer('X').compute(AggFrame(t), codes),
+                         dtype=np.float64)
+        np.testing.assert_allclose(got, [-1.0, 1.0, -1.0, 1.0])
+        with pytest.raises(ValueError, match='NONE'):
+            RobustZscoreTransformer('X', cumulative=C.INCLUSIVE)
+        assert RobustZscoreTransformer('X').output_name == 'X_robust_zscore'
