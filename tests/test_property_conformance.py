@@ -217,3 +217,90 @@ def test_round4_feature_suite_matches_pandas(case):
             got[col_name].to_numpy(dtype=float),
             exp.to_numpy(dtype=float)[order],
             rtol=1e-9, equal_nan=True, err_msg=col_name)
+
+
+@st.composite
+def event_logs(draw):
+    n = draw(st.integers(4, 60))
+    keys = draw(st.lists(st.sampled_from(['u1', 'u2', 'u3']), min_size=n, max_size=n))
+    ts = sorted(draw(st.lists(st.integers(0, 500), min_size=n, max_size=n)))
+    vals = draw(st.lists(st.floats(-50, 50, allow_nan=False).map(lambda v: round(v, 3)),
+                         min_size=n, max_size=n))
+    num_partitions = draw(st.integers(1, 4))
+    return keys, ts, vals, num_partitions
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+@given(event_logs())
+def test_session_summary_matches_brute_force(case):
+    import ray.data as rd
+
+    from auto_featurs_ray.datapipe.sessions import session_summary
+    keys, ts, vals, num_partitions = case
+    n = len(keys)
+    base = np.datetime64('2024-01-01', 'us')
+    t = pa.table({'u': pa.array(keys), 'eid': pa.array(range(n), pa.int64()),
+                  'ts': pa.array(base + np.asarray(ts) * np.timedelta64(1, 'm')),
+                  'v': pa.array(vals, pa.float64())})
+    gap_s = 60.0 * 30  # 30-minute session gap
+    out = (session_summary(rd.from_arrow([t.slice(i, 7) for i in range(0, n, 7)]),
+                           by=['u'], ts_column='ts', gap_s=gap_s,
+                           tiebreak_columns=['eid'], value_column='v',
+                           num_partitions=num_partitions)
+           .to_pandas().sort_values(['u', 'session_id']).reset_index(drop=True))
+
+    df = t.to_pandas().sort_values(['u', 'ts', 'eid']).reset_index(drop=True)
+    expected = []
+    for u, grp in df.groupby('u', sort=True):
+        sid, prev = 0, None
+        sessions: dict = {}
+        for _, r in grp.iterrows():
+            if prev is None or (r.ts - prev).total_seconds() > gap_s:
+                sid += 1
+                sessions[sid] = []
+            sessions[sid].append(r)
+            prev = r.ts
+        for sid, rows in sessions.items():
+            expected.append((u, sid, len(rows),
+                             (rows[-1].ts - rows[0].ts).total_seconds(),
+                             sum(r.v for r in rows)))
+    exp = pd.DataFrame(expected, columns=['u', 'session_id', 'n_events',
+                                          'duration_s', 'v_sum'])
+    exp = exp.sort_values(['u', 'session_id']).reset_index(drop=True)
+    assert len(out) == len(exp)
+    np.testing.assert_array_equal(out['session_id'].to_numpy(), exp['session_id'].to_numpy())
+    np.testing.assert_array_equal(out['n_events'].to_numpy(), exp['n_events'].to_numpy())
+    np.testing.assert_allclose(out['duration_s'].to_numpy(), exp['duration_s'].to_numpy())
+    np.testing.assert_allclose(out['v_sum'].to_numpy(dtype=float),
+                               exp['v_sum'].to_numpy(dtype=float), rtol=1e-9)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+@given(event_logs())
+def test_range_join_matches_brute_force(case):
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.asof import range_join_aggregate
+    keys, ts, vals, num_partitions = case
+    n = len(keys)
+    left = pa.table({'k': pa.array(keys), 'ts': pa.array(ts, pa.int64()),
+                     'lid': pa.array(range(n), pa.int64())})
+    right = pa.table({'k': pa.array(list(reversed(keys))), 'ts': pa.array(ts, pa.int64()),
+                      'v': pa.array(vals, pa.float64())})
+    LO, HI = -40, 60
+    out = (range_join_aggregate(rd.from_arrow(left), rd.from_arrow(right),
+                                by=['k'], on='ts', lo_us=LO, hi_us=HI,
+                                value_column='v', aggs=['count', 'sum'],
+                                num_partitions=num_partitions)
+           .to_pandas().sort_values('lid').reset_index(drop=True))
+    lf, rf = left.to_pandas(), right.to_pandas()
+    for _, row in lf.iterrows():
+        m = rf[(rf.k == row.k) & (rf.ts >= row.ts + LO) & (rf.ts < row.ts + HI)]
+        got = out[out.lid == row.lid].iloc[0]
+        assert got['count'] == len(m), (row.lid, got['count'], len(m))
+        if len(m):
+            assert abs(got['v_sum'] - m.v.sum()) < 1e-9
+        else:
+            assert np.isnan(got['v_sum'])
