@@ -80,6 +80,8 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
         codes, uniques = pd.factorize(pd.MultiIndex.from_frame(kf) if len(by) > 1
                                       else kf[by[0]], use_na_sentinel=False)
         col = batch.column(c)
+        if pa.types.is_floating(col.type):
+            col = pc.add(col, 0.0)   # -0.0 -> +0.0: SQL equality semantics
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy().astype(np.uint64)
         codes_v, h_v = codes[valid], h[valid]
@@ -184,7 +186,10 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             row_of = np.repeat(np.arange(table.num_rows), np.diff(offsets))
             pairs = {k: table.column(k).take(pa.array(row_of)) for k in by}
-            pairs[c] = lists.values
+            vals_arr = lists.values
+            if pa.types.is_floating(vals_arr.type):
+                vals_arr = pc.add(vals_arr, 0.0)   # -0.0 -> +0.0 (SQL equality)
+            pairs[c] = vals_arr
             pairs_t = pa.table(pairs)
             pairs_t = pairs_t.filter(pc.is_valid(pairs_t.column(c)))
             dcount = pairs_t.group_by(by).aggregate([(c, 'count_distinct')])

@@ -304,3 +304,48 @@ def test_range_join_matches_brute_force(case):
             assert abs(got['v_sum'] - m.v.sum()) < 1e-9
         else:
             assert np.isnan(got['v_sum'])
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+@given(event_logs())
+def test_relational_layer_matches_pandas(case):
+    import ray.data as rd
+
+    from auto_featurs_ray.datapipe.relational import (drop_duplicates, groupby_aggregate,
+                                                      top_n_per_group)
+    keys, ts, vals, num_partitions = case
+    n = len(keys)
+    t = pa.table({'g': pa.array(keys), 'o': pa.array(ts, pa.int64()),
+                  'id': pa.array(range(n), pa.int64()), 'v': pa.array(vals, pa.float64())})
+    blocks = [t.slice(i, 5) for i in range(0, n, 5)]
+    df = t.to_pandas()
+
+    agg = (groupby_aggregate(rd.from_arrow(blocks), by=['g'],
+                             aggs={'v': ['count', 'sum', 'mean', 'min', 'max',
+                                         'count_distinct'], '*': ['count']},
+                             num_partitions=num_partitions)
+           .to_pandas().sort_values('g').reset_index(drop=True))
+    exp = df.groupby('g', sort=True)['v'].agg(['count', 'sum', 'mean', 'min', 'max',
+                                               'nunique']).reset_index()
+    np.testing.assert_array_equal(agg['v_count'].to_numpy(), exp['count'].to_numpy())
+    np.testing.assert_allclose(agg['v_sum'].to_numpy(), exp['sum'].to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(agg['v_mean'].to_numpy(), exp['mean'].to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(agg['v_min'].to_numpy(dtype=float), exp['min'].to_numpy())
+    np.testing.assert_allclose(agg['v_max'].to_numpy(dtype=float), exp['max'].to_numpy())
+    np.testing.assert_array_equal(agg['v_count_distinct'].to_numpy(),
+                                  exp['nunique'].to_numpy())
+
+    dd = (drop_duplicates(rd.from_arrow(blocks), subset=['g'], keep_order_by=['o', 'id'],
+                          num_partitions=num_partitions)
+          .to_pandas().sort_values('g').reset_index(drop=True))
+    exp_dd = (df.sort_values(['g', 'o', 'id']).groupby('g', sort=True).head(1)
+              .sort_values('g').reset_index(drop=True))
+    np.testing.assert_array_equal(dd['id'].to_numpy(), exp_dd['id'].to_numpy())
+
+    top = (top_n_per_group(rd.from_arrow(blocks), by=['g'], order_by=['o', 'id'], n=3,
+                           num_partitions=num_partitions)
+           .to_pandas().sort_values(['g', 'o', 'id']).reset_index(drop=True))
+    exp_top = (df.sort_values(['g', 'o', 'id']).groupby('g', sort=True).head(3)
+               .sort_values(['g', 'o', 'id']).reset_index(drop=True))
+    np.testing.assert_array_equal(top['id'].to_numpy(), exp_top['id'].to_numpy())
