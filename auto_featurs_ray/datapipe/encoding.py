@@ -59,21 +59,37 @@ def one_hot_encode(ds, *, column: str, max_categories: int = 16,
     order = pc.sort_indices(tbl, sort_keys=[('c', 'descending'), ('v', 'ascending')])
     cats = tbl.take(order).slice(0, max_categories).column('v').to_pylist()
     cat_arr = pa.array(cats, pa.string())
-    handle = ray.put(cats)
+
+    # sanitized names can collide ('a b' and 'a_b' both -> 'a_b'; a literal
+    # category 'other' vs the _is_other bucket): dedupe with an index suffix,
+    # the other-bucket name running through the same dedup last
+    used: set = set()
+
+    def _unique(base: str) -> str:
+        name = base
+        i = 1
+        while name in used:
+            name = f'{base}_{i}'
+            i += 1
+        used.add(name)
+        return name
+
+    cat_names = [_unique(f'{column}_is_{_safe(cat)}') for cat in cats]
+    other_name = _unique(f'{column}_is_other') if other_column else None
+    handle = ray.put(list(zip(cats, cat_names)))
 
     def encode(batch: pa.Table) -> pa.Table:
         kept = ray.get(handle)
         col = batch.column(column).cast(pa.string())
         null_mask = np.asarray(pc.is_null(col).combine_chunks())
-        for cat in kept:
+        for cat, name in kept:
             flag = pc.equal(col, cat).combine_chunks()
             vals = np.asarray(pc.fill_null(flag, False)).astype(np.int8)
-            batch = batch.append_column(f'{column}_is_{_safe(cat)}',
-                                        pa.array(vals, mask=null_mask))
+            batch = batch.append_column(name, pa.array(vals, mask=null_mask))
         if other_column:
             known = pc.fill_null(pc.is_in(col, value_set=cat_arr), False)
             vals = (~np.asarray(known.combine_chunks()) & ~null_mask).astype(np.int8)
-            batch = batch.append_column(f'{column}_is_other', pa.array(vals, mask=null_mask))
+            batch = batch.append_column(other_name, pa.array(vals, mask=null_mask))
         return batch
 
     return ds.map_batches(encode, batch_format='pyarrow', zero_copy_batch=True)

@@ -74,11 +74,21 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
 
     def _kmv_lists(batch: pa.Table, keys: pa.Table, c: str):
         """Per-key list of the k smallest distinct value hashes, aligned
-        with ``keys`` (the batch's grouped key table)."""
+        with ``keys`` (the batch's grouped key table).
+
+        The batch rows and the grouped key table factorize TOGETHER in one
+        ``pd.factorize`` call: null keys round-trip differently through the
+        two Arrow->pandas paths (NaN vs None), so probing a dict built from
+        one side with values from the other raised ``KeyError: None`` — a
+        shared factorize gives both sides the same integer code for null."""
         import pandas as pd
         kf = pd.DataFrame({k: batch.column(k).to_pandas() for k in by})
-        codes, uniques = pd.factorize(pd.MultiIndex.from_frame(kf) if len(by) > 1
-                                      else kf[by[0]], use_na_sentinel=False)
+        gk = pd.DataFrame({k: keys.column(k).to_pandas() for k in by})
+        both = pd.concat([kf, gk], ignore_index=True)
+        codes_all, uniques = pd.factorize(pd.MultiIndex.from_frame(both) if len(by) > 1
+                                          else both[by[0]], use_na_sentinel=False)
+        codes = codes_all[:len(kf)]
+        want_codes = codes_all[len(kf):].astype(np.int64)
         col = batch.column(c)
         if pa.types.is_floating(col.type):
             col = pc.add(col, 0.0)   # -0.0 -> +0.0: SQL equality semantics
@@ -87,19 +97,14 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
         codes_v, h_v = codes[valid], h[valid]
         order = np.lexsort((h_v, codes_v))
         codes_s, h_s = codes_v[order], h_v[order]
-        keep = np.r_[True, (codes_s[1:] != codes_s[:-1]) | (h_s[1:] != h_s[:-1])]
-        codes_s, h_s = codes_s[keep], h_s[keep]
+        if len(codes_s):
+            keep = np.r_[True, (codes_s[1:] != codes_s[:-1]) | (h_s[1:] != h_s[:-1])]
+            codes_s, h_s = codes_s[keep], h_s[keep]
         starts = np.r_[0, np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1]
         lengths = np.diff(np.r_[starts, len(codes_s)])
         rank = np.arange(len(codes_s)) - np.repeat(starts, lengths)
         sel = rank < kmv_k
         codes_s, h_s = codes_s[sel], h_s[sel]
-        # align to the grouped key table's row order: map each grouped row's
-        # key tuple back to its factorize code
-        gk = pd.DataFrame({k: keys.column(k).to_pandas() for k in by})
-        gidx = (pd.MultiIndex.from_frame(gk) if len(by) > 1 else gk[by[0]])
-        lookup = {u: i for i, u in enumerate(uniques)}
-        want_codes = np.asarray([lookup[u] for u in gidx], dtype=np.int64)
         counts = np.bincount(codes_s, minlength=len(uniques))
         offs = np.r_[0, np.cumsum(counts)]
         out_offsets = [0]
@@ -127,10 +132,21 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             for a in al:
                 out_fields.append((c, a))
         if table.num_rows == 0 or table.num_columns == 0:
-            cols = {k: pa.array([], pa.int64()) for k in by}
+            # derive the empty partition's schema from the incoming partial
+            # table (0-row slices carry it) — hardcoded int64/float64 emitted
+            # schema-inconsistent blocks for string keys / typed min/max
+            def _field(name, fallback):
+                idx = table.schema.get_field_index(name)
+                return table.schema.field(idx).type if idx >= 0 else fallback
+            cols = {k: pa.array([], _field(k, pa.int64())) for k in by}
             for c, a in out_fields:
-                cols[f'{c}_{a}'] = pa.array(
-                    [], pa.int64() if a == 'count' else pa.float64())
+                if a in ('min', 'max'):
+                    t = _field(f'{c}_{a}', pa.float64())
+                elif a in ('count', 'count_distinct'):
+                    t = pa.int64()
+                else:
+                    t = pa.float64()
+                cols[f'{c}_{a}'] = pa.array([], t)
             if want_count_all:
                 cols[count_all_column] = pa.array([], pa.int64())
             return pa.table(cols)
@@ -155,31 +171,40 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             pairs['__h'] = lists.values
             pt = pa.table(pairs)
             import pandas as pd
+            # joint factorize with the grouped key table (same null-code
+            # rationale as _kmv_lists): pcode indexes pair rows, want indexes
+            # grouped rows, both in one code space
             pf = pd.DataFrame({k: pt.column(k).to_pandas() for k in by})
-            pcode, puniq = pd.factorize(pd.MultiIndex.from_frame(pf) if len(by) > 1
-                                        else pf[by[0]], use_na_sentinel=False)
+            gk = pd.DataFrame({k: grouped.column(k).to_pandas() for k in by})
+            both = pd.concat([pf, gk], ignore_index=True)
+            codes_all, puniq = pd.factorize(pd.MultiIndex.from_frame(both) if len(by) > 1
+                                            else both[by[0]], use_na_sentinel=False)
+            pcode = codes_all[:len(pf)]
+            want = codes_all[len(pf):].astype(np.int64)
             hv = pt.column('__h').to_numpy(zero_copy_only=False).view(np.uint64)
             order = np.lexsort((hv, pcode))
             cs, hs = pcode[order], hv[order]
-            keep = np.r_[True, (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1])]
-            cs, hs = cs[keep], hs[keep]
+            if len(cs):
+                keep = np.r_[True, (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1])]
+                cs, hs = cs[keep], hs[keep]
             starts = np.r_[0, np.flatnonzero(cs[1:] != cs[:-1]) + 1]
             lengths = np.diff(np.r_[starts, len(cs)])
-            rank = np.arange(len(cs)) - np.repeat(starts, lengths)
-            est = np.empty(len(starts), dtype=np.float64)
-            for i, (s, l) in enumerate(zip(starts, lengths)):
+            # scatter estimates into the full code space: a key whose values
+            # are all null has NO hashes (empty kmv lists) and so no run here;
+            # its estimate is 0 — SQL count(DISTINCT) excludes nulls
+            est_full = np.zeros(len(puniq), dtype=np.float64)
+            for s, l in zip(starts, lengths) if len(cs) else ():
                 if l < kmv_k:
-                    est[i] = float(l)
+                    est_full[cs[s]] = float(l)
                 else:
                     kth = hs[s + kmv_k - 1] / float(2 ** 64)
-                    est[i] = (kmv_k - 1) / kth
-            gk = pd.DataFrame({k: grouped.column(k).to_pandas() for k in by})
-            gidx = (pd.MultiIndex.from_frame(gk) if len(by) > 1 else gk[by[0]])
-            lookup = {u: i for i, u in enumerate(puniq)}
-            aligned = np.asarray([est[lookup[u]] for u in gidx], dtype=np.float64)
-            grouped = grouped.append_column(f'__kmv_{c}', pa.array(aligned))
+                    est_full[cs[s]] = (kmv_k - 1) / kth
+            grouped = grouped.append_column(f'__kmv_{c}', pa.array(est_full[want]))
         for c in distinct_cols:
-            # explode each partial's distinct list, dedupe the union per key
+            # explode each partial's distinct list, dedupe the union per key.
+            # Alignment back to the grouped table goes through ONE shared
+            # pd.factorize (not an Arrow join: hash joins never match null
+            # keys, which silently zeroed the null group's distinct count).
             lists = table.column(f'{c}_distinct')
             if isinstance(lists, pa.ChunkedArray):
                 lists = lists.combine_chunks()
@@ -192,10 +217,20 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             pairs[c] = vals_arr
             pairs_t = pa.table(pairs)
             pairs_t = pairs_t.filter(pc.is_valid(pairs_t.column(c)))
-            dcount = pairs_t.group_by(by).aggregate([(c, 'count_distinct')])
-            dcount = dcount.rename_columns(
-                [n if n != f'{c}_count_distinct' else f'__dc_{c}' for n in dcount.column_names])
-            grouped = grouped.join(dcount, keys=by, join_type='left outer', use_threads=False)
+            import pandas as pd
+            pf = pd.DataFrame({k: pairs_t.column(k).to_pandas() for k in by})
+            gk = pd.DataFrame({k: grouped.column(k).to_pandas() for k in by})
+            both = pd.concat([pf, gk], ignore_index=True)
+            codes_all, kuniq = pd.factorize(pd.MultiIndex.from_frame(both) if len(by) > 1
+                                            else both[by[0]], use_na_sentinel=False)
+            kcode = codes_all[:len(pf)].astype(np.int64)
+            want_k = codes_all[len(pf):].astype(np.int64)
+            vcode, _vu = pd.factorize(pairs_t.column(c).to_pandas(), use_na_sentinel=False)
+            combo = np.unique(kcode * np.int64(max(len(_vu), 1)) + vcode.astype(np.int64))
+            per_key = np.bincount((combo // max(len(_vu), 1)).astype(np.int64),
+                                  minlength=len(kuniq))
+            grouped = grouped.append_column(
+                f'__dc_{c}', pa.array(per_key[want_k].astype(np.int64)))
         cols = {k: grouped.column(k) for k in by}
         for c, al in plain.items():
             for a in al:

@@ -212,8 +212,9 @@ def concat_chunk_tokens(ds, *, tokens_column: str = 'tokens', id_column: str = '
                         context_len: int = 2048, eod_token: int = -1,
                         num_parts: int = 8, num_partitions: int = 16):
     """GPT-style concat-and-chunk packing: documents are deterministically
-    assigned to ``num_parts`` streams (``id % num_parts`` — an EXPLICIT,
-    SQL-replayable rule rather than the engine's siphash partitioner,
+    assigned to ``num_parts`` streams (non-negative modulo, SQL
+    ``((id % n) + n) % n`` — an EXPLICIT, SQL-replayable rule rather than
+    the engine's siphash partitioner,
     because chunk contents depend on the assignment), each stream
     concatenates its docs in id order with ``eod_token`` appended after
     every document, and the concatenation slices into fixed
@@ -236,11 +237,11 @@ def concat_chunk_tokens(ds, *, tokens_column: str = 'tokens', id_column: str = '
         raise ValueError(f'num_parts must be >= 1, got {num_parts}')
 
     def assign(batch: pa.Table) -> pa.Table:
-        part = pc.cast(pc.bit_wise_and(
-            pc.cast(batch.column(id_column), pa.int64()),
-            np.int64(2**63 - 1)), pa.int64())
-        # id % num_parts for non-negative ids (mask keeps negatives defined)
-        part = pa.array(part.to_numpy(zero_copy_only=False) % num_parts)
+        ids = pc.cast(batch.column(id_column), pa.int64()).to_numpy(zero_copy_only=False)
+        # true non-negative modulo (numpy/Python sign semantics): negative ids
+        # land in the same stream as SQL's ((id % n) + n) % n — the previous
+        # 2^63-1 mask silently re-routed negative ids off the documented rule
+        part = pa.array((ids % np.int64(num_parts)).astype(np.int64))
         return batch.append_column('part', part)
 
     def chunk(table: pa.Table, _pid: int) -> pa.Table:

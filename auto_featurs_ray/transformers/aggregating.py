@@ -1444,9 +1444,25 @@ class _GroupedRankTransformer(ArithmeticAggregationTransformer, ABC):
     def compute_windowed(self, frame: AggFrame, lo: np.ndarray, hi: np.ndarray):
         if self.cumulative != CumulativeOptions.NONE:
             return None
-        rolling = pd.Series(self._masked(frame)).rolling(_BoundsIndexer(lo=lo, hi=hi),
-                                                         min_periods=1)
-        rank = rolling.rank(method=self._method).to_numpy(dtype=np.float64)
+        x = self._masked(frame)
+        rolling = pd.Series(x).rolling(_BoundsIndexer(lo=lo, hi=hi), min_periods=1)
+        if self._method == 'dense':
+            # pandas' C rolling-rank kernel rejects method='dense'; compute it
+            # directly: dense rank of the anchor (= values[hi-1], the kernel's
+            # own convention) is the count of DISTINCT valid values <= anchor
+            # in the window.  O(sum window sizes) with numpy per window.
+            n_rows = len(x)
+            rank = np.full(n_rows, np.nan)
+            for i in range(n_rows):
+                if hi[i] <= lo[i]:
+                    continue
+                anchor = x[hi[i] - 1]
+                if np.isnan(anchor):
+                    continue
+                w = x[lo[i]:hi[i]]
+                rank[i] = len(np.unique(w[w <= anchor]))
+        else:
+            rank = rolling.rank(method=self._method).to_numpy(dtype=np.float64)
         n = rolling.count().to_numpy(dtype=np.float64)
         return self._finalize_rank(rank, n)
 
