@@ -60,10 +60,12 @@ from auto_featurs_ray.transformers.aggregating import (
     LaggedTransformer,
     MaxTransformer,
     MeanTransformer,
+    MedianTransformer,
     MinTransformer,
     ModeTransformer,
     NumUniqueTransformer,
     PointwiseMutualInformationTransformer,
+    QuantileTransformer,
     StdTransformer,
     SumTransformer,
     ZscoreTransformer,
@@ -934,6 +936,159 @@ class PmiHandler(_Handler):
 
 
 # ---------------------------------------------------------------------------
+# cumulative order statistics: running mode (two rounds, counter carry) and
+# running quantile/median (exact sorted-value carry, size-guarded)
+# ---------------------------------------------------------------------------
+
+#: row count above which UNGROUPED cumulative quantile/median falls back to a
+#: single reduce task with a warning: an EXACT running quantile at row i is a
+#: function of ALL i preceding values, so the carried state is O(rows) — the
+#: parallel plan ships every span the full prefix value array and folds O(N)
+#: floats on the driver, which stops being a win (or feasible) beyond this.
+#: Group the feature (over columns) or use an approximate sketch at scale.
+HEAVY_CARRY_MAX_ROWS = 16_000_000
+
+
+class ModeCumHandler(_Handler):
+    """Running mode, ties -> latest value to reach the max count (reference
+    ``aggregating_transformers.py:117-149``, cum branch — the same rule the
+    single-task kernel at ``aggregating.py:380-408`` implements).
+
+    Round 0 carries the per-value COUNTED-occurrence counter (additive, like
+    the NONE-mode handler).  The span's exit (max_count, mode) depends on its
+    entry counts, so round 2 recomputes, per span and seeded with the true
+    prefix counter, the span's FINAL RECORD: the last row whose running count
+    equals the span's own running prefix-max.  Because record counts are
+    non-decreasing in time, a span updates the global mode iff its final
+    record count >= the entry max — so one ``(count, value, have)`` triple is
+    a complete, combinable summary (``combine2`` keeps the later span iff its
+    record count >= the earlier's)."""
+
+    rounds = 2
+
+    @staticmethod
+    def identity(t):
+        return {}
+
+    span_state = ModeNoneHandler.span_state
+    combine = ModeNoneHandler.combine
+
+    @staticmethod
+    def _currents(t, frame: AggFrame, base: dict):
+        """Per-row running count of the row's own key (counted occurrences
+        only, seeded with the carried counter) plus the aligned object-value
+        array (nulls -> None)."""
+        n = frame.num_rows
+        series = frame.series(t._column.name)
+        keys = _keys_array(series)
+        cond = frame.cond_mask(t.filtering_condition)
+        codes, uniques = pd.factorize(keys)
+        seed = np.array([base.get(u, 0) for u in uniques], dtype=np.int64)
+        inc = (cond.astype(np.int64) if cond is not None
+               else np.ones(n, dtype=np.int64))
+        local = pd.Series(inc).groupby(codes).cumsum().to_numpy()
+        values = series.to_numpy(dtype=object).copy()
+        na = series.isna().to_numpy()
+        if na.any():
+            values[na] = None
+        return seed[codes] + local, values
+
+    @staticmethod
+    def identity2(t):
+        return (0, None, False)
+
+    @staticmethod
+    def span_state2(t, frame: AggFrame, carry0):
+        if frame.num_rows == 0:
+            return (0, None, False)
+        cur, values = ModeCumHandler._currents(t, frame, carry0)
+        pm = np.maximum.accumulate(cur)
+        last = int(np.flatnonzero(cur == pm)[-1])
+        return (int(pm[-1]), values[last], True)
+
+    @staticmethod
+    def combine2(t, earlier, later):
+        if not later[2]:
+            return earlier
+        if not earlier[2]:
+            return later
+        return later if later[0] >= earlier[0] else earlier
+
+    @staticmethod
+    def with_carry(t, frame: AggFrame, carry):
+        carry0, carry2 = carry
+        m_in, mode_in, have_in = carry2 if carry2 is not None else (0, None, False)
+        n = frame.num_rows
+        out_type = frame.table.column(t._column.name).type
+        if n == 0:
+            return pa.Array.from_pandas(pd.Series([], dtype=object), type=out_type)
+        cur, values = ModeCumHandler._currents(t, frame, carry0)
+        pm = np.maximum.accumulate(cur)
+        # mode updates at row i iff cur_i >= max(m_in, prefix max before i)
+        before = np.empty(n, dtype=np.int64)
+        before[0] = m_in
+        np.maximum(pm[:-1], m_in, out=before[1:])
+        update = cur >= before
+        idx = np.where(update, np.arange(n), -1)
+        last = np.maximum.accumulate(idx)
+        out = np.empty(n, dtype=object)
+        fallback = mode_in if have_in else None
+        hit = last >= 0
+        out[hit] = values[last[hit]]
+        out[~hit] = fallback
+        result = pd.Series(out, dtype=object)
+        if t.cumulative == CumulativeOptions.EXCLUSIVE:
+            result = result.shift(1)
+            result.iloc[0] = fallback
+        return pa.Array.from_pandas(result, type=out_type)
+
+
+class QuantileCumHandler(_Handler):
+    """Running quantile/median with linear interpolation (reference
+    ``aggregating_transformers.py:339-363``), EXACT: the carried state is the
+    sorted array of all prior valid values (the quantile at row i is a
+    function of the full prefix multiset — no smaller exact state exists).
+    Each span prepends the carry to its own values and runs pandas' C
+    expanding-quantile kernel, so the result is bit-identical to the
+    single-task path (same multiset, same kernel, same interpolation).
+
+    O(rows) carry: the stage enforces :data:`HEAVY_CARRY_MAX_ROWS` and falls
+    back to the single-task plan with a warning beyond it."""
+
+    heavy = True
+
+    @staticmethod
+    def identity(t):
+        return np.empty(0, dtype=np.float64)
+
+    @staticmethod
+    def span_state(t, frame: AggFrame):
+        x = np.asarray(t._masked(frame), dtype=np.float64)
+        return np.sort(x[~np.isnan(x)])
+
+    @staticmethod
+    def combine(t, earlier, later):
+        if len(earlier) == 0:
+            return later
+        if len(later) == 0:
+            return earlier
+        return np.sort(np.concatenate([earlier, later]), kind='stable')
+
+    @staticmethod
+    def with_carry(t, frame: AggFrame, carry):
+        x = np.asarray(t._masked(frame), dtype=np.float64)
+        s = pd.Series(np.concatenate([carry, x]))
+        exp = s.expanding(min_periods=1).quantile(t._quantile, interpolation='linear')
+        out = exp.iloc[len(carry):].reset_index(drop=True)
+        if t.cumulative == CumulativeOptions.EXCLUSIVE:
+            out = out.shift(1)
+            if len(out):
+                out.iloc[0] = (float(np.quantile(carry, t._quantile))
+                               if len(carry) else np.nan)
+        return out
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -950,6 +1105,9 @@ _CUM_HANDLERS = {
     PointwiseMutualInformationTransformer: PmiHandler,
     ArgMinTransformer: ArgExtremeCumHandler,
     ArgMaxTransformer: ArgExtremeCumHandler,
+    ModeTransformer: ModeCumHandler,
+    QuantileTransformer: QuantileCumHandler,
+    MedianTransformer: QuantileCumHandler,
 }
 
 _NONE_HANDLERS = {
@@ -966,8 +1124,10 @@ _NONE_HANDLERS = {
 
 def handler_for(transformer):
     """The carry handler for an UNGROUPED transformer instance, or ``None``
-    when only the single-task path preserves its semantics (cumulative
-    mode/median/quantile — order statistics with no small combinable state)."""
+    when only the single-task path preserves its semantics.  Cumulative
+    order statistics are covered too: running mode carries an exact counter
+    (two rounds), running quantile/median an exact sorted-value array —
+    O(rows), so the stage size-guards it (:data:`HEAVY_CARRY_MAX_ROWS`)."""
     cls = type(transformer)
     mode = getattr(transformer, 'cumulative', CumulativeOptions.NONE)
     if mode != CumulativeOptions.NONE:

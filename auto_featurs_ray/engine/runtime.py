@@ -16,8 +16,9 @@ Physical plan per pipeline layer (SURVEY.md §7 milestone 5):
    order-dependent features parallelize by range-cutting the time index:
    rolling via halo context rows (:func:`apply_global_rolling_stage`),
    expanding/cumulative via carry-in prefix states
-   (:func:`apply_global_cumulative_stage`); non-combinable cumulatives
-   (mode/median/quantile) fall back to a single partition.
+   (:func:`apply_global_cumulative_stage`), including cumulative
+   mode/median/quantile (quantile's O(rows) exact carry is size-guarded —
+   above ``cumcarry.HEAVY_CARRY_MAX_ROWS`` it warns and single-tasks).
 2. **Global two-pass stages** — ungrouped NONE-mode aggregates (scalers,
    whole-frame min/max/sum/mean/std/quantile/...) are computed as map_batches
    partials -> driver combine -> broadcast into a second map_batches.  No
@@ -545,6 +546,26 @@ def apply_global_cumulative_stage(ds, transformers: Sequence[AggregatingTransfor
         fn = make_partition_fn(transformers, [], order_by)
         return shuffle_map_partitions(ds, [], 1, lambda table, _pid: fn(table))
 
+    heavy_idx = [i for i, h in enumerate(handlers) if getattr(h, 'heavy', False)]
+    if heavy_idx and total_rows > cumcarry.HEAVY_CARRY_MAX_ROWS:
+        # exact running quantile/median state is O(rows): above the cap the
+        # parallel plan would fold the whole column on the driver and ship it
+        # to every span — the single-task plan is the honest fallback
+        heavy_ts = [transformers[i] for i in heavy_idx]
+        logger.warning(
+            'ungrouped cumulative order statistics (%s) need the FULL value '
+            'prefix as carried state; at %d rows (> HEAVY_CARRY_MAX_ROWS=%d) '
+            'they run as ONE reduce task — group the feature (over columns) '
+            'or window it to parallelize at this scale',
+            [type(t).__name__ for t in heavy_ts], total_rows,
+            cumcarry.HEAVY_CARRY_MAX_ROWS)
+        light = [t for i, t in enumerate(transformers) if i not in heavy_idx]
+        if light:
+            ds = apply_global_cumulative_stage(ds, light, order_by,
+                                               num_partitions, min_rows)
+        fn = make_partition_fn(heavy_ts, [], order_by)
+        return shuffle_map_partitions(ds, [], 1, lambda table, _pid: fn(table))
+
     order_col = order_by[0]
     num_spans = len(cuts) + 1
 
@@ -887,9 +908,9 @@ def apply_layer(ds, transformers: Sequence[Transformer], order_by: Sequence[str]
             continue
         if not key and num_partitions > 1 and order_by:
             # ungrouped expanding/cumulative and whole-frame order-aware
-            # aggregates: range-partition with carry-in prefix states; only
-            # order statistics with no combinable state (cum mode/median/
-            # quantile) still require the single-task fallback
+            # aggregates: range-partition with carry-in prefix states
+            # (cumulative mode/median/quantile included — quantile's O(rows)
+            # exact carry is size-guarded inside the stage)
             from auto_featurs_ray.engine import cumcarry
             supported = [t for t in group if cumcarry.handler_for(t) is not None
                          and type(t).__name__ != 'RollingWrapper']

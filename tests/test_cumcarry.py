@@ -24,10 +24,12 @@ from auto_featurs_ray.transformers.aggregating import (
     LaggedTransformer,
     MaxTransformer,
     MeanTransformer,
+    MedianTransformer,
     MinTransformer,
     ModeTransformer,
     NumUniqueTransformer,
     PointwiseMutualInformationTransformer,
+    QuantileTransformer,
     StdTransformer,
     SumTransformer,
     ZscoreTransformer,
@@ -87,6 +89,14 @@ def _transformers():
         FirstValueTransformer(CS.numeric(name='x'), COND),
         ModeTransformer(CS.ordinal(name='cat')),
         NumUniqueTransformer('cat', C.NONE),
+        # cumulative order statistics (round-4 verdict item 2): running mode
+        # (two-round counter carry) and running median/quantile (exact
+        # sorted-value carry)
+        ModeTransformer(CS.ordinal(name='cat'), C.INCLUSIVE),
+        ModeTransformer(CS.ordinal(name='cat'), C.EXCLUSIVE, COND),
+        MedianTransformer('x', C.INCLUSIVE),
+        QuantileTransformer('x', 0.25, C.EXCLUSIVE),
+        QuantileTransformer('x', 0.9, C.INCLUSIVE, COND),
     ]
 
 
@@ -139,12 +149,83 @@ def test_small_input_falls_back_to_single_task():
     np.testing.assert_array_equal(out['inclusive_cum_count'].to_numpy(), expected)
 
 
-def test_handler_registry_declines_order_statistics():
+def test_handler_registry_covers_order_statistics():
     from auto_featurs_ray.engine import cumcarry
-    from auto_featurs_ray.transformers.aggregating import (MedianTransformer,
-                                                           ModeTransformer,
-                                                           QuantileTransformer)
 
-    assert cumcarry.handler_for(ModeTransformer(CS.ordinal(name='cat'), C.INCLUSIVE)) is None
-    assert cumcarry.handler_for(MedianTransformer('x', C.INCLUSIVE)) is None
-    assert cumcarry.handler_for(QuantileTransformer('x', 0.9, C.EXCLUSIVE)) is None
+    assert cumcarry.handler_for(
+        ModeTransformer(CS.ordinal(name='cat'), C.INCLUSIVE)) is cumcarry.ModeCumHandler
+    for t in (MedianTransformer('x', C.INCLUSIVE),
+              QuantileTransformer('x', 0.9, C.EXCLUSIVE)):
+        h = cumcarry.handler_for(t)
+        assert h is cumcarry.QuantileCumHandler
+        assert getattr(h, 'heavy', False)  # the stage size-guards this carry
+
+
+def test_heavy_carry_falls_back_above_cap(monkeypatch, caplog):
+    """Above HEAVY_CARRY_MAX_ROWS cumulative quantile/median must single-task
+    with a warning while the light transformers stay on the parallel plan —
+    and the combined output must still equal the all-single-task result."""
+    import logging
+
+    import ray.data as rd
+
+    from auto_featurs_ray.engine import cumcarry
+    from auto_featurs_ray.engine.runtime import (apply_global_cumulative_stage,
+                                                 apply_window_stage)
+
+    monkeypatch.setattr(cumcarry, 'HEAVY_CARRY_MAX_ROWS', 1000)
+    table = _table(n=3000, seed=5)
+    group = [CountTransformer(C.INCLUSIVE), MedianTransformer('x', C.INCLUSIVE),
+             QuantileTransformer('x', 0.25, C.EXCLUSIVE)]
+
+    def make_ds():
+        return rd.from_arrow([table.slice(i, 700) for i in range(0, table.num_rows, 700)])
+
+    def canon(out):
+        return out.to_pandas().sort_values('rid').reset_index(drop=True)
+
+    with caplog.at_level(logging.WARNING, logger='auto_featurs_ray.engine.runtime'):
+        got = canon(apply_global_cumulative_stage(make_ds(), group, ['ts', 'rid'],
+                                                  num_partitions=5, min_rows=0))
+    assert any('order statistics' in r.message for r in caplog.records)
+    want = canon(apply_window_stage(make_ds(), group, [], ['ts', 'rid'],
+                                    num_partitions=1))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)],
+                                  rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize('num_partitions,block,seed', [
+    (2, 5000, 1), (3, 173, 2), (13, 997, 3), (31, 64, 4),
+])
+def test_order_statistics_parity_across_layouts(num_partitions, block, seed):
+    """Span-count / block-layout sweep for the new order-statistic carries:
+    running mode must be BIT-identical, running quantile/median identical to
+    float tolerance (same multiset, same pandas kernel on both paths)."""
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.runtime import (apply_global_cumulative_stage,
+                                                 apply_window_stage)
+
+    table = _table(n=2500, seed=seed)
+    group = [
+        ModeTransformer(CS.ordinal(name='cat'), C.INCLUSIVE),
+        ModeTransformer(CS.ordinal(name='cat'), C.EXCLUSIVE),
+        ModeTransformer(CS.ordinal(name='cat'), C.INCLUSIVE, COND),
+        MedianTransformer('x', C.INCLUSIVE),
+        MedianTransformer('x', C.EXCLUSIVE),
+        QuantileTransformer('x', 0.75, C.INCLUSIVE),
+        QuantileTransformer('x', 0.1, C.EXCLUSIVE, COND),
+    ]
+
+    def make_ds():
+        return rd.from_arrow([table.slice(i, block) for i in range(0, table.num_rows, block)])
+
+    def canon(out):
+        return out.to_pandas().sort_values('rid').reset_index(drop=True)
+
+    got = canon(apply_global_cumulative_stage(make_ds(), group, ['ts', 'rid'],
+                                              num_partitions=num_partitions, min_rows=0))
+    want = canon(apply_window_stage(make_ds(), group, [], ['ts', 'rid'], num_partitions=1))
+    pd.testing.assert_frame_equal(got, want, rtol=1e-12, atol=1e-12)
+    for t in group[:3]:
+        assert got[t.output_name].equals(want[t.output_name]), t.output_name
