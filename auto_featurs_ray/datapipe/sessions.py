@@ -68,12 +68,11 @@ def session_summary(ds, *, by: Sequence[str], ts_column: str, gap_s: float,
             ts_us = ts_arr.cast(pa.int64())
         ts = ts_us.to_numpy(zero_copy_only=False)
 
-        # entity run boundaries (null-safe equality via pandas factorize)
-        ent_change = np.zeros(n, dtype=bool)
-        ent_change[0] = True
-        for k in by:
-            codes, _ = pd.factorize(table.column(k).to_pandas(), use_na_sentinel=False)
-            ent_change[1:] |= codes[1:] != codes[:-1]
+        # entity run boundaries: the engine's shared null-safe run detector
+        # (vectorized numpy over Arrow columns — no per-partition pandas
+        # factorize/hash round-trip in the reduce)
+        from auto_featurs_ray.engine.asof import _null_safe_run_diff
+        ent_change = np.concatenate(([True], _null_safe_run_diff(table, by)))
         gap_break = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
         new_session = ent_change | gap_break
         starts = np.flatnonzero(new_session)

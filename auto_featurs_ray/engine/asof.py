@@ -8,11 +8,12 @@ earliest ``ts_right >= t``).
 Physical plan — ONE all-to-all exchange, built on the engine's co-grouped
 task shuffle (``cogroup_map_partitions``): both sides are hash-partitioned on
 the entity key with the same partitioner as the window runtime; inside each
-partition the sides are sorted by event time and a vectorized
-``pandas.merge_asof`` runs on the *key/ts columns only* to obtain the matched
-right-row index per left row.  Right value columns are then attached with
-Arrow ``take`` — the left table (incl. heavy ``tokens`` payloads) never
-leaves Arrow, so token arrays stay byte-equal through the join.
+partition the matcher (:func:`_asof_match`) runs on the *key/ts columns
+only*: one combined stable Arrow sort over ``(keys, ts, side)`` plus a
+run-resetting ``np.maximum.accumulate`` scan — no pandas frames in the
+reduce.  Right value columns are then attached with Arrow ``take`` — the
+left table (incl. heavy ``tokens`` payloads) never leaves Arrow, so token
+arrays stay byte-equal through the join.
 
 Per-entity window features can piggyback on the same exchange
 (``post_transformers``), and row-local kernels on the joined+windowed table
@@ -101,6 +102,91 @@ def _cap_entity_history(table: pa.Table, by: Sequence[str], on: str, cap: int,
     return table.filter(pa.array(keep))
 
 
+def _ts_as_numeric(col, other_type_is_float: bool = False) -> np.ndarray:
+    """Event-time column as a numpy scalar array: timestamps -> int64
+    microseconds, ints -> int64, floats -> float64."""
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.timestamp('us', tz=col.type.tz)).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+    out = col.to_numpy(zero_copy_only=False)
+    if other_type_is_float and out.dtype.kind != 'f':
+        return out.astype(np.float64)
+    return out
+
+
+def _last_right_pos(is_right: np.ndarray, run_id: np.ndarray) -> np.ndarray:
+    """Per row, the position of the LATEST preceding right row in the same
+    run (-1 when none) — a run-resetting forward fill in one
+    ``np.maximum.accumulate`` (the offset trick: runs are lifted onto
+    disjoint value ranges so a carry can never leak across a boundary)."""
+    m = len(is_right)
+    pos = np.arange(m, dtype=np.int64)
+    g = run_id * np.int64(m + 1)
+    val = np.where(is_right, pos, np.int64(-1)) + g
+    return np.maximum.accumulate(val) - g
+
+
+def _asof_match(left_keys: pa.Table, lts: np.ndarray, right_keys: pa.Table,
+                rts: np.ndarray, direction: str, allow_exact: bool = True) -> np.ndarray:
+    """Vectorized grouped as-of matcher — pure Arrow sort + numpy scan, no
+    pandas frames (round-4 verdict item 5): for each left row, the index of
+    the matched RIGHT row (-1 = no match): the latest right row of the same
+    key with ``ts_r <= t`` (backward) / earliest with ``ts_r >= t``
+    (forward); strict inequality when ``allow_exact=False``.
+
+    Both sides go unsorted into ONE combined stable Arrow sort on
+    ``(keys..., ts, side)`` with the side bit ordered so ties are visible
+    exactly when ``allow_exact``; a run-resetting accumulate then finds each
+    left row's neighbor.  Among equal-ts right candidates the positionally
+    LAST right row wins (``pd.merge_asof`` semantics, preserved by sort
+    stability).  Null keys compare EQUAL to null keys — the engine-wide key
+    convention (see :func:`_dedupe_max`), and what ``pd.merge_asof`` did on
+    the object-dtype keys the previous implementation round-tripped."""
+    nl, nr = len(lts), len(rts)
+    if nl == 0 or nr == 0:
+        return np.full(nl, -1, dtype=np.int64)
+    by = list(left_keys.column_names)
+    float_ts = lts.dtype.kind == 'f' or rts.dtype.kind == 'f'
+    if float_ts:
+        lts = lts.astype(np.float64)
+        rts = rts.astype(np.float64)
+    # side ordering: the tie row must be visible to the scan iff allow_exact.
+    # backward scans earlier rows -> visible means right BEFORE left;
+    # forward scans later rows -> visible means right AFTER left.
+    right_first = allow_exact if direction == 'backward' else not allow_exact
+    r_side, l_side = (0, 1) if right_first else (1, 0)
+    rtab = pa.table({**{k: right_keys.column(k) for k in by},
+                     '__ts': pa.array(rts),
+                     '__side': pa.array(np.full(nr, r_side, np.int8)),
+                     '__src': pa.array(np.arange(nr, dtype=np.int64))})
+    ltab = pa.table({**{k: left_keys.column(k) for k in by},
+                     '__ts': pa.array(lts),
+                     '__side': pa.array(np.full(nl, l_side, np.int8)),
+                     '__src': pa.array(np.arange(nl, dtype=np.int64))})
+    comb = pa.concat_tables([rtab, ltab], promote_options='permissive')
+    order = pc.sort_indices(comb, sort_keys=[(k, 'ascending') for k in by]
+                            + [('__ts', 'ascending'), ('__side', 'ascending')])
+    comb = comb.take(order)
+    side = comb.column('__side').to_numpy(zero_copy_only=False)
+    src = comb.column('__src').to_numpy(zero_copy_only=False)
+    diff = _null_safe_run_diff(comb, by)
+    run_id = np.concatenate(([0], np.cumsum(diff))).astype(np.int64)
+    is_right = side == r_side
+    if direction == 'backward':
+        matched_pos = _last_right_pos(is_right, run_id)
+    else:
+        m = len(side)
+        rid_rev = run_id[-1] - run_id[::-1]
+        rev = _last_right_pos(is_right[::-1], rid_rev)
+        matched_pos = np.where(rev >= 0, m - 1 - rev, np.int64(-1))[::-1]
+    at_left = np.flatnonzero(side == l_side)
+    p = matched_pos[at_left]
+    ok = p >= 0
+    out = np.full(nl, -1, dtype=np.int64)
+    out[src[at_left]] = np.where(ok, src[np.maximum(p, 0)], np.int64(-1))
+    return out
+
+
 def _arrow_schema(ds) -> pa.Schema:
     if isinstance(ds, (list, tuple)):  # parquet shard paths (fused scan+split)
         import pyarrow.parquet as pq
@@ -169,19 +255,18 @@ def asof_join(left, right, *, by: Sequence[str], on: str, right_on: Optional[str
             if max_right_rows_per_entity is not None:
                 right_t = _cap_entity_history(right_t, by, right_on,
                                               max_right_rows_per_entity, _pid)
-            right_t = right_t.take(pc.sort_indices(right_t, sort_keys=[(right_on, 'ascending')]))
-            lframe = pd.DataFrame({**{k: left_t.column(k).to_pandas() for k in by},
-                                   '__ts': left_t.column(on).to_pandas(),
-                                   '__lidx': np.arange(left_t.num_rows)})
-            rframe = pd.DataFrame({**{k: right_t.column(k).to_pandas() for k in by},
-                                   '__ts': right_t.column(right_on).to_pandas(),
-                                   '__ridx': np.arange(right_t.num_rows)})
-            merged = pd.merge_asof(
-                lframe, rframe, on='__ts', by=by, direction=direction,
-                tolerance=None if tolerance_us is None else pd.Timedelta(microseconds=tolerance_us),
-                allow_exact_matches=True)
-            ridx = merged.sort_values('__lidx')['__ridx'].astype('Int64')
-            take_idx = pa.Array.from_pandas(ridx.reset_index(drop=True), type=pa.int64())
+            lts = _ts_as_numeric(left_t.column(on))
+            rts = _ts_as_numeric(right_t.column(right_on))
+            ridx = _asof_match(left_t.select(by), lts, right_t.select(by), rts,
+                               direction, allow_exact=True)
+            if tolerance_us is not None:
+                matched = ridx >= 0
+                gap = np.abs(lts[matched].astype(np.int64)
+                             - rts[np.maximum(ridx[matched], 0)].astype(np.int64))
+                drop = np.zeros(len(ridx), dtype=bool)
+                drop[np.flatnonzero(matched)[gap > tolerance_us]] = True
+                ridx = np.where(drop, np.int64(-1), ridx)
+            take_idx = pa.array(ridx, mask=ridx < 0)  # null index -> null value
             for c in right_value_cols:
                 result = result.append_column(out_names[c], right_t.column(c).take(take_idx))
         if window_fn is not None:
@@ -262,57 +347,52 @@ def range_join_aggregate(left, right, *, by: Sequence[str], on: str,
             right_t = _cap_entity_history(right_t, by, right_on,
                                           max_right_rows_per_entity, _pid)
 
-        def _as_us(col: pa.ChunkedArray) -> np.ndarray:
-            # timestamps and numerics both merge as int64/float64 scalars,
-            # sidestepping pandas datetime-unit mismatches
-            if pa.types.is_timestamp(col.type):
-                return col.cast(pa.timestamp('us', tz=col.type.tz)).cast(pa.int64()).to_numpy(
-                    zero_copy_only=False)
-            return col.to_numpy(zero_copy_only=False)
-
+        # per-entity running aggregates over the (key, ts)-sorted right side:
+        # run-relative cumsums in numpy (no pandas frames in the reduce)
         rsorted = right_t.take(pc.sort_indices(
             right_t, sort_keys=[(k, 'ascending') for k in by] + [(right_on, 'ascending')]))
-        rframe = pd.DataFrame({k: rsorted.column(k).to_pandas() for k in by})
-        rframe['__ts'] = _as_us(rsorted.column(right_on))
-        grouped = rframe.groupby(by, sort=False, dropna=False)
-        rframe['__ccount'] = grouped.cumcount() + 1
+        nr = rsorted.num_rows
+        diff = _null_safe_run_diff(rsorted, by) if nr > 1 else np.zeros(0, dtype=bool)
+        starts = np.concatenate(([0], np.flatnonzero(diff) + 1))
+        lengths = np.diff(np.concatenate((starts, [nr])))
+        ccount = (np.arange(nr, dtype=np.int64)
+                  - np.repeat(starts, lengths).astype(np.int64) + 1)
         if value_column is not None:
-            vals = rsorted.column(value_column).cast(pa.float64()).to_pandas().fillna(0.0)
-            rframe['__csum'] = vals.groupby(
-                [rframe[k] for k in by], sort=False, dropna=False).cumsum()
-            valid = (~rsorted.column(value_column).to_pandas().isna()).astype(np.int64)
-            rframe['__cvalid'] = valid.groupby(
-                [rframe[k] for k in by], sort=False, dropna=False).cumsum()
+            raw = rsorted.column(value_column).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            vals = np.where(np.isnan(raw), 0.0, raw)
+            cs = np.cumsum(vals)
+            csum = cs - np.repeat(cs[starts] - vals[starts], lengths)
+            ok = (~np.isnan(raw)).astype(np.int64)
+            ck = np.cumsum(ok)
+            cvalid = ck - np.repeat(ck[starts] - ok[starts], lengths)
 
-        # merge_asof needs the right frame sorted by the on-key GLOBALLY
-        # (the per-entity cumulatives above are attached per row, so the
-        # re-sort is safe)
-        rframe = rframe.sort_values('__ts', kind='stable').reset_index(drop=True)
+        lts = _ts_as_numeric(left_t.column(on))
+        rts = _ts_as_numeric(rsorted.column(right_on))
+        lkeys = left_t.select(by)
+        rkeys = rsorted.select(by)
 
-        lframe = pd.DataFrame({k: left_t.column(k).to_pandas() for k in by})
-        lts = _as_us(left_t.column(on))
-        lframe['__lidx'] = np.arange(n)
+        def prefix_at(edge_us: int):
+            # last right row with ts < edge: its running aggregates are the
+            # prefix F(edge); -1 (no earlier row) -> 0
+            ridx = _asof_match(lkeys, lts + edge_us, rkeys, rts,
+                               'backward', allow_exact=False)
+            hit = ridx >= 0
+            safe = np.maximum(ridx, 0)
+            f_count = np.where(hit, ccount[safe], 0)
+            if value_column is None:
+                return f_count, None, None
+            return (f_count, np.where(hit, csum[safe], 0.0),
+                    np.where(hit, cvalid[safe], 0))
 
-        def prefix_at(edge_us: int) -> pd.DataFrame:
-            probe = lframe.copy()
-            probe['__ts'] = lts + edge_us
-            probe = probe.sort_values('__ts', kind='stable')
-            # backward, exact NOT allowed -> last right row with ts < edge:
-            # its running aggregates are the prefix F(edge)
-            cols = ['__ccount'] + (['__csum', '__cvalid'] if value_column is not None else [])
-            merged = pd.merge_asof(probe, rframe[by + ['__ts'] + cols], on='__ts',
-                                   by=by, direction='backward', allow_exact_matches=False)
-            return merged.sort_values('__lidx')[cols].fillna(0.0).reset_index(drop=True)
-
-        at_hi = prefix_at(hi_us)
-        at_lo = prefix_at(lo_us)
-        count = (at_hi['__ccount'] - at_lo['__ccount']).to_numpy(dtype=np.int64)
+        hi_c, hi_s, hi_v = prefix_at(hi_us)
+        lo_c, lo_s, lo_v = prefix_at(lo_us)
+        count = (hi_c - lo_c).astype(np.int64)
         for a in aggs:
             if a == 'count':
                 result = result.append_column(out_name(a), pa.array(count))
                 continue
-            s = (at_hi['__csum'] - at_lo['__csum']).to_numpy(dtype=np.float64)
-            v = (at_hi['__cvalid'] - at_lo['__cvalid']).to_numpy(dtype=np.float64)
+            s = (hi_s - lo_s).astype(np.float64)
+            v = (hi_v - lo_v).astype(np.float64)
             with np.errstate(divide='ignore', invalid='ignore'):
                 out = s if a == 'sum' else s / v
             out = np.where(v > 0, out, np.nan)

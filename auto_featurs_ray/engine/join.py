@@ -13,11 +13,33 @@ key exceeds worker memory.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import pyarrow as pa
 
 from auto_featurs_ray.engine.runtime import _canonical_key_array, cogroup_map_partitions
+
+logger = logging.getLogger(__name__)
+
+#: estimated right-side row count below which hash_join hints at
+#: broadcast_join (the symmetric pointer to broadcast_join's max_rows guard,
+#: closing the scale boundary in both directions)
+BROADCAST_HINT_ROWS = 1_000_000
+
+
+def _tiny_side_hint(left_rows: int, right_rows: int, num_partitions: int) -> Optional[str]:
+    """Hint text when the right side looks broadcast-sized, else ``None``.
+
+    Evaluated on ONE reduce partition (its row counts x num_partitions
+    estimate the totals), so the heuristic needs no extra counting pass."""
+    est_right = right_rows * num_partitions
+    est_left = left_rows * num_partitions
+    if 0 < est_right < BROADCAST_HINT_ROWS and est_left > est_right * 10:
+        return (f'hash_join right side is tiny (~{est_right} rows estimated vs '
+                f'~{est_left} left); broadcast_join would skip the two-sided '
+                'exchange and join it against streaming left batches instead')
+    return None
 
 
 def hash_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str]] = None,
@@ -61,6 +83,10 @@ def hash_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str
     right = right.map_batches(align, batch_format='pyarrow', zero_copy_batch=True)
 
     def join_partition(left_t: pa.Table, right_t: pa.Table, _pid: int) -> pa.Table:
+        if _pid == 0:  # one partition samples the size asymmetry, logs once
+            hint = _tiny_side_hint(left_t.num_rows, right_t.num_rows, num_partitions)
+            if hint:
+                logger.warning(hint)
         return left_t.join(right_t, keys=on, join_type=join_type,
                            right_suffix=suffix, use_threads=False)
 

@@ -106,12 +106,18 @@ def generate_events_shard(shard_id: int, docs_per_shard: int = 1000, *, seed: in
 
 def write_sequence_dataset(out_dir: str, *, num_shards: int = 4, docs_per_shard: int = 1000,
                            seed: int = 42, max_tokens: int = 256,
-                           with_events: bool = True, force: bool = False) -> str:
-    """Write the F6 fixture as one parquet file per shard (cached on disk)."""
+                           with_events: bool = True, force: bool = False,
+                           pathological_rows: int = 5000) -> str:
+    """Write the F6 fixture as one parquet file per shard (cached on disk).
+
+    ``pathological_rows`` sizes shard 0's two skew entities (the hot-key
+    stressor); the pinned-oracle fixture shrinks it so the literal stays
+    compact while keeping the skew shape."""
     seq_dir = os.path.join(out_dir, 'sequences')
     ev_dir = os.path.join(out_dir, 'events')
     marker = os.path.join(out_dir, '_COMPLETE')
-    fingerprint = f'{num_shards}:{docs_per_shard}:{seed}:{max_tokens}:{with_events}'
+    fingerprint = (f'{num_shards}:{docs_per_shard}:{seed}:{max_tokens}:{with_events}'
+                   f':{pathological_rows}')
     if os.path.exists(marker) and not force:
         with open(marker) as fh:
             if fh.read().strip() == fingerprint:
@@ -120,7 +126,8 @@ def write_sequence_dataset(out_dir: str, *, num_shards: int = 4, docs_per_shard:
     os.makedirs(seq_dir, exist_ok=True)
     os.makedirs(ev_dir, exist_ok=True)
     for shard in range(num_shards):
-        pq.write_table(generate_sequence_shard(shard, docs_per_shard, seed=seed, max_tokens=max_tokens),
+        pq.write_table(generate_sequence_shard(shard, docs_per_shard, seed=seed, max_tokens=max_tokens,
+                                               pathological_rows=pathological_rows),
                        os.path.join(seq_dir, f'shard-{shard:05d}.parquet'))
         if with_events:
             pq.write_table(generate_events_shard(shard, docs_per_shard, seed=seed),

@@ -3321,17 +3321,36 @@ def q_knn_ivf_embeddings(sf_dir: str):
 
 def q_flagship_tokens(sf_dir: str):
     """Flagship as-of + window suite over the synthesized tokenized-sequence
-    table (FIXTURES.md F6 — the table shape mandated by BASELINE.json)."""
+    table (FIXTURES.md F6 — the table shape mandated by BASELINE.json).
+    Deterministic fixture -> literal-pinned oracle (hash-gated, round-4
+    verdict item 6); ``ts`` emitted as int64 microseconds for the pin."""
     from auto_featurs_ray.fixtures import write_sequence_dataset
     from auto_featurs_ray.pipelines.flagship import run_flagship
-    root = write_sequence_dataset('/tmp/afr_f6_q', num_shards=2, docs_per_shard=200, seed=42)
+    root = write_sequence_dataset('/tmp/afr_f6_pin', num_shards=2, docs_per_shard=20, seed=42,
+                                 pathological_rows=120)
     result = run_flagship(os.path.join(root, 'sequences'), os.path.join(root, 'events'),
                           num_partitions=8)
     keep = ['doc_id', 'ts', 'n_tok', 'n_tok_lagged_1_over_doc_id',
             'n_tok_exclusive_cum_mean_over_doc_id', 'count_in_the_last_1h_over_doc_id',
             'ts_session_id_gap_30m_over_doc_id', 'quality_forward_filled_over_doc_id']
-    return _finish(result.data, keep,
-                   round_cols=['n_tok_exclusive_cum_mean_over_doc_id', 'quality_forward_filled_over_doc_id'])
+    out = _finish(result.data, keep,
+                  round_cols=['n_tok_exclusive_cum_mean_over_doc_id',
+                              'quality_forward_filled_over_doc_id'])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts')
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp('us', tz=ts.type.tz))
+        batch = batch.set_column(batch.column_names.index('ts'), 'ts_us',
+                                 ts.cast(pa.int64()))
+        ints = {'n_tok', 'n_tok_lagged_1_over_doc_id',
+                'count_in_the_last_1h_over_doc_id', 'ts_session_id_gap_30m_over_doc_id'}
+        for c in ints & set(batch.column_names):
+            batch = batch.set_column(batch.column_names.index(c), c,
+                                     batch.column(c).cast(pa.int64()))
+        return batch
+
+    return out.map_batches(project, batch_format='pyarrow')
 
 
 def q_simhash_dedup_documents(sf_dir: str):
@@ -3893,16 +3912,31 @@ FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 
 
 def q_token_ops(sf_dir: str):
-    """Token-payload ops over the synthesized sequence table (rows-only):
-    exact token-array dedup -> length buckets -> truncation."""
+    """Token-payload ops over the synthesized sequence table: exact
+    token-array dedup -> length buckets -> truncation.  The F6 fixture is a
+    pure function of the seed, so the output is pinned as a literal oracle
+    (tools/gen_pinned_oracles.py) — hash-gated, not rows-only (round-4
+    verdict item 6); ``ts`` is emitted as int64 microseconds because the
+    VALUES pin carries scalars only."""
     from auto_featurs_ray.datapipe.tokens import add_length_buckets, exact_token_dedup, truncate_tokens
     from auto_featurs_ray.fixtures import write_sequence_dataset
-    root = write_sequence_dataset('/tmp/afr_f6_q', num_shards=2, docs_per_shard=200, seed=42)
+    root = write_sequence_dataset('/tmp/afr_f6_pin', num_shards=2, docs_per_shard=20, seed=42,
+                                 pathological_rows=120)
     ds = ray.data.read_parquet(os.path.join(root, 'sequences'))
     ds = exact_token_dedup(ds, num_partitions=8)
     ds = add_length_buckets(ds, boundaries=[16, 32, 64, 128])
     ds = truncate_tokens(ds, max_tokens=64)
-    return _finish(ds, ['doc_id', 'ts', 'n_tok', 'length_bucket'])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts')
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp('us', tz=ts.type.tz))
+        return pa.table({'doc_id': batch.column('doc_id'),
+                         'ts_us': ts.cast(pa.int64()),
+                         'n_tok': batch.column('n_tok').cast(pa.int64()),
+                         'length_bucket': batch.column('length_bucket').cast(pa.int64())})
+
+    return ds.map_batches(project, batch_format='pyarrow')
 
 
 def q_token_pipeline_documents(sf_dir: str):

@@ -151,3 +151,16 @@ class TestOneHotNameCollisions:
         assert len(ab_cols) == 2
         assert df[ab_cols[0]].sum() != df[ab_cols[1]].sum() or \
             not df[ab_cols[0]].equals(df[ab_cols[1]])
+
+
+class TestHashJoinBroadcastHint:
+    def test_hint_fires_on_tiny_right_side(self):
+        from auto_featurs_ray.engine.join import _tiny_side_hint
+
+        assert _tiny_side_hint(50_000, 100, 16) is not None
+        # large right side: exchange is correct, no hint
+        assert _tiny_side_hint(50_000, 2_000_000, 16) is None
+        # comparable sizes: no hint even though right is < threshold
+        assert _tiny_side_hint(1_000, 900, 16) is None
+        # empty right partition: no estimate, no hint
+        assert _tiny_side_hint(1_000, 0, 16) is None
