@@ -15,6 +15,9 @@ flat values), no per-row Python in the hot path:
   values gathered once).
 * :class:`SequencePacker` — greedy batch-local packing of short sequences
   into fixed-size training contexts (map_batches actor stage).
+* :func:`token_pair_counts` — corpus-wide adjacent-pair frequency table (the
+  BPE merge-candidate counting step); map-side partials bound the exchange
+  by pair cardinality, not token count.
 """
 
 from __future__ import annotations
@@ -102,6 +105,60 @@ def exact_token_dedup(ds, *, tokens_column: str = 'tokens', id_column: str = 'do
 
     hashed = ds.map_batches(add_hash, batch_format='pyarrow', zero_copy_batch=True)
     return shuffle_map_partitions(hashed, ['__tok_hash'], num_partitions, keep_first)
+
+
+def token_pair_counts(ds, *, tokens_column: str = 'tokens', min_count: int = 1,
+                      num_partitions: int = 16):
+    """Corpus-wide adjacent-token-pair frequency table — the merge-candidate
+    counting step of BPE/WordPiece vocabulary training, shaped for any corpus
+    size: every batch pre-aggregates its pairs to ONE row per distinct pair
+    (bijective 64-bit pair codes + ``np.unique``), so the only exchange moves
+    ``(t1, t2, partial_count)`` rows bounded by pair cardinality x blocks —
+    never by token count — and one reduce task per partition sums partials.
+    Pairs never cross row boundaries.  Output: ``(t1, t2, pair_count)``
+    int64, pruned to ``pair_count >= min_count``.
+    """
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    if min_count < 1:
+        raise ValueError(f'min_count must be >= 1, got {min_count}')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({'t1': pa.array([], pa.int64()), 't2': pa.array([], pa.int64()),
+                          'c': pa.array([], pa.int64())})
+        values, offsets = _list_layout(batch.column(tokens_column))
+        base = offsets[0]
+        values = values[base:offsets[-1]]
+        offsets = offsets - base
+        if len(values) < 2:
+            return empty
+        left = values[:-1].astype(np.int64)
+        right = values[1:].astype(np.int64)
+        mask = np.ones(len(values) - 1, dtype=bool)
+        bounds = offsets[1:-1] - 1          # position i where i+1 starts a new row
+        mask[bounds[bounds >= 0]] = False
+        codes = ((left << 32) | (right & np.int64(0xFFFFFFFF)))[mask]
+        if len(codes) == 0:
+            return empty
+        uniq, counts = np.unique(codes, return_counts=True)
+        t1 = uniq >> 32
+        t2 = (uniq & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64)
+        return pa.table({'t1': pa.array(t1), 't2': pa.array(t2),
+                         'c': pa.array(counts.astype(np.int64))})
+
+    def combine(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({'t1': pa.array([], pa.int64()), 't2': pa.array([], pa.int64()),
+                             'pair_count': pa.array([], pa.int64())})
+        grouped = table.group_by(['t1', 't2']).aggregate([('c', 'sum')])
+        out = pa.table({'t1': grouped.column('t1'), 't2': grouped.column('t2'),
+                        'pair_count': grouped.column('c_sum').cast(pa.int64())})
+        if min_count > 1:
+            out = out.filter(pc.greater_equal(out.column('pair_count'), min_count))
+        return out
+
+    partials = ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(partials, ['t1', 't2'], num_partitions, combine)
 
 
 def add_length_buckets(ds, *, length_column: str = 'n_tok',

@@ -3319,6 +3319,41 @@ def q_knn_ivf_embeddings(sf_dir: str):
     return out
 
 
+def q_token_pair_counts_documents(sf_dir: str):
+    """Corpus-wide adjacent token-pair frequency table (the BPE/WordPiece
+    merge-candidate counting step, round 5) over ``documents.text`` utf-8
+    bytes — map-side pre-aggregation bounds the exchange by pair cardinality
+    x blocks, never token count; the SQL oracle replays every (t1, t2) cell
+    count from character positions."""
+    from auto_featurs_ray.datapipe.tokens import token_pair_counts
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        chunks = [np.frombuffer((t or '').encode('utf-8'), np.uint8).astype(np.int32)
+                  for t in batch.column('text').to_pylist()]
+        lens = np.fromiter((len(c) for c in chunks), dtype=np.int64, count=len(chunks))
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int32)
+        tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          pa.array(flat, pa.int32()))
+        return pa.table({'doc_id': batch.column('doc_id'), 'tokens': tokens})
+
+    ds = docs.map_batches(tokenize, batch_format='pyarrow')
+    return token_pair_counts(ds, num_partitions=NUM_PARTITIONS)
+
+
+SQL_TOKEN_PAIR_COUNTS_DOCUMENTS = """
+SELECT t1, t2, CAST(count(*) AS BIGINT) AS pair_count
+FROM (
+  SELECT CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS t1,
+         CAST(ascii(substr(text, CAST(i AS INTEGER) + 1, 1)) AS BIGINT) AS t2
+  FROM documents, UNNEST(range(1, length(text))) AS u(i)
+)
+GROUP BY t1, t2
+"""
+
+
 def q_flagship_tokens(sf_dir: str):
     """Flagship as-of + window suite over the synthesized tokenized-sequence
     table (FIXTURES.md F6 — the table shape mandated by BASELINE.json).
@@ -4230,6 +4265,7 @@ FROM m WINDOW w2 AS (ORDER BY rn)
 QUERIES = {
     # --- new this round ---
     'global_cumulative_orderstats_events': q_global_cumulative_orderstats_events,
+    'token_pair_counts_documents': q_token_pair_counts_documents,
     # --- driver-unattested round-4 operators ---
     'weighted_share_lineitem': q_weighted_share_lineitem,
     'geo_harmonic_events': q_geo_harmonic_events,
@@ -4278,10 +4314,10 @@ QUERIES = {
     'resumable_sink': q_resumable_sink,
     'shuffle_split_documents': q_shuffle_split_documents,
     'approx_distinct_events': q_approx_distinct_events,
-    # --- canaries: flagship-path attested queries kept inside the window ---
+    # --- canary: flagship-path attested query kept inside the window ---
     'asof_events_orders': q_asof_events_orders,
-    'global_cumulative_events': q_global_cumulative_events,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green) ---
+    'global_cumulative_events': q_global_cumulative_events,
     'arithmetic_lineitem': q_arithmetic_lineitem,
     'seasonal_orders': q_seasonal_orders,
     'text_counts_documents': q_text_counts_documents,
@@ -4334,6 +4370,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     'global_cumulative_orderstats_events': SQL_GLOBAL_CUMULATIVE_ORDERSTATS_EVENTS,
+    'token_pair_counts_documents': SQL_TOKEN_PAIR_COUNTS_DOCUMENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

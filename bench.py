@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     'top_n_per_source_documents', 'weighted_sample_documents',
     'approx_group_distinct_events', 'robust_zscore_events',
     # round-5 coverage queries
-    'global_cumulative_orderstats_events',
+    'global_cumulative_orderstats_events', 'token_pair_counts_documents',
 ]
 
 

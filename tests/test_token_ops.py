@@ -122,3 +122,45 @@ class TestConcatChunk:
             concat_chunk_tokens(rd.from_arrow(t), context_len=0)
         with pytest.raises(ValueError, match='num_parts'):
             concat_chunk_tokens(rd.from_arrow(t), num_parts=0)
+
+
+class TestTokenPairCounts:
+    def test_pairs_never_cross_rows_and_sum_to_total(self, ray_session):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.tokens import token_pair_counts
+
+        toks = [[1, 2, 2, 3], [2, 3], [7], [], [3, 1]]
+        tbl = pa.table({'tokens': pa.array(toks, pa.list_(pa.int32()))})
+        out = token_pair_counts(rd.from_arrow(tbl), num_partitions=4).to_pandas()
+        got = {(int(r.t1), int(r.t2)): int(r.pair_count) for r in out.itertuples()}
+        # brute force per row
+        want: dict = {}
+        for row in toks:
+            for a, b in zip(row, row[1:]):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want
+        assert sum(got.values()) == sum(max(len(r) - 1, 0) for r in toks)
+
+    def test_min_count_prunes(self, ray_session):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.tokens import token_pair_counts
+
+        toks = [[1, 2, 1, 2, 1], [9, 8]]
+        tbl = pa.table({'tokens': pa.array(toks, pa.list_(pa.int32()))})
+        out = token_pair_counts(rd.from_arrow(tbl), num_partitions=2,
+                                min_count=2).to_pandas()
+        got = {(int(r.t1), int(r.t2)): int(r.pair_count) for r in out.itertuples()}
+        assert got == {(1, 2): 2, (2, 1): 2}
+
+    def test_negative_token_ids_roundtrip(self, ray_session):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.tokens import token_pair_counts
+
+        toks = [[-1, 5, -1], [5, -1]]
+        tbl = pa.table({'tokens': pa.array(toks, pa.list_(pa.int32()))})
+        out = token_pair_counts(rd.from_arrow(tbl), num_partitions=2).to_pandas()
+        got = {(int(r.t1), int(r.t2)): int(r.pair_count) for r in out.itertuples()}
+        assert got == {(-1, 5): 1, (5, -1): 2}
