@@ -17,7 +17,37 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _COMBINABLE = ('count', 'sum', 'mean', 'min', 'max', 'count_distinct',
-               'approx_count_distinct')
+               'approx_count_distinct', 'var', 'std', 'median')
+
+
+def _quantile_of(agg: str):
+    """``median`` -> 0.5, ``quantile_<pct>`` -> pct/100, else ``None``."""
+    if agg == 'median':
+        return 0.5
+    if agg.startswith('quantile_'):
+        pct = agg[len('quantile_'):]
+        if pct.isdigit() and 0 < int(pct) < 100:
+            return int(pct) / 100.0
+    return None
+
+
+def _valid_agg(agg: str) -> bool:
+    return agg in _COMBINABLE or _quantile_of(agg) is not None
+
+
+def _joint_codes(left: pa.Table, right: pa.Table, by: Sequence[str]):
+    """One shared ``pd.factorize`` over both tables' key columns: null keys
+    get ONE consistent code on both sides (the Arrow->pandas null encodings
+    differ between paths, so separate factorizes would mis-align).  Returns
+    ``(codes_left, codes_right, num_uniques)``."""
+    import pandas as pd
+    lf = pd.DataFrame({k: left.column(k).to_pandas() for k in by})
+    rf = pd.DataFrame({k: right.column(k).to_pandas() for k in by})
+    both = pd.concat([lf, rf], ignore_index=True)
+    codes, uniq = pd.factorize(pd.MultiIndex.from_frame(both) if len(by) > 1
+                               else both[by[0]], use_na_sentinel=False)
+    return (codes[:len(lf)].astype(np.int64), codes[len(lf):].astype(np.int64),
+            len(uniq))
 
 
 def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]],
@@ -39,6 +69,17 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     regardless of cardinality; exact below k distinct values, and for
     int64 columns the pandas hash IS the splitmix64 finalizer, so a SQL
     oracle replays the estimate bit-for-bit.
+
+    ``var`` / ``std`` are SAMPLE variance/stddev (``n-1``; SQL
+    ``var_samp``/``stddev_samp``): partials carry per-key (count, sum, M2)
+    and the reduce applies the one-shot Chan-et-al. parallel-variance
+    combine — numerically stable, state bounded like count/sum.
+    ``median`` / ``quantile_<pct>`` are EXACT linear-interpolated quantiles
+    (``quantile_cont`` parity): order statistics have no small exact state,
+    so partials carry per-key SORTED value lists — the exchange is bounded
+    by the column's valid-value count (the same bytes a plain groupby
+    ships); for bounded-memory approximation at extreme per-key cardinality
+    use the ``QuantileTransformer`` sketch path instead.
     """
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
 
@@ -46,9 +87,10 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     plain = {c: [a for a in al] for c, al in aggs.items() if c != '*'}
     want_count_all = '*' in aggs and 'count' in aggs['*']
     for c, al in plain.items():
-        unknown = [a for a in al if a not in _COMBINABLE]
+        unknown = [a for a in al if not _valid_agg(a)]
         if unknown:
-            raise ValueError(f'unsupported aggs {unknown} for {c}; supported: {_COMBINABLE}')
+            raise ValueError(f'unsupported aggs {unknown} for {c}; supported: '
+                             f'{_COMBINABLE} + quantile_<pct>')
     if not plain and not want_count_all:
         raise ValueError('aggs must request at least one aggregate')
 
@@ -56,6 +98,8 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     partial_spec = []
     distinct_cols = []
     kmv_cols = []
+    var_cols = []
+    qspec: dict = {}
     for c, al in plain.items():
         if 'count' in al or 'mean' in al:
             partial_spec.append((c, 'count'))
@@ -70,6 +114,11 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             distinct_cols.append(c)
         if 'approx_count_distinct' in al:
             kmv_cols.append(c)
+        if 'var' in al or 'std' in al:
+            var_cols.append(c)
+        quants = [(a, _quantile_of(a)) for a in al if _quantile_of(a) is not None]
+        if quants:
+            qspec[c] = quants
     partial_spec = list(dict.fromkeys(partial_spec))
 
     def _kmv_lists(batch: pa.Table, keys: pa.Table, c: str):
@@ -118,11 +167,52 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
 
     def partial(batch: pa.Table) -> pa.Table:
         spec = [(c, a) for c, a in partial_spec]
-        if want_count_all:
-            spec.append(([], 'count_all'))
+        drop_count_all = False
+        if want_count_all or not spec:
+            spec.append(([], 'count_all'))  # Arrow needs >=1 agg; drop if synthetic
+            drop_count_all = not want_count_all
         grouped = batch.group_by(by).aggregate(spec)
+        if drop_count_all:
+            grouped = grouped.drop_columns(['count_all'])
         for c in kmv_cols:
             grouped = grouped.append_column(f'{c}_kmv', _kmv_lists(batch, grouped, c))
+        if var_cols or qspec:
+            codes, want, nuni = _joint_codes(batch, grouped, by)
+        for c in var_cols:
+            # Welford-combinable per-key partials: valid count, sum, and the
+            # within-batch squared deviation total M2 (Chan et al. one-shot
+            # parallel-variance combine in the reduce)
+            x = batch.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(x)
+            n = np.bincount(codes[valid], minlength=nuni).astype(np.float64)
+            s = np.bincount(codes[valid], weights=x[valid], minlength=nuni)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                mean = s / n
+            dev = x - mean[codes]
+            m2 = np.bincount(codes[valid], weights=dev[valid] ** 2, minlength=nuni)
+            grouped = grouped.append_column(f'{c}_vn', pa.array(n[want].astype(np.int64)))
+            grouped = grouped.append_column(f'{c}_vs', pa.array(s[want]))
+            grouped = grouped.append_column(f'{c}_vm2', pa.array(m2[want]))
+        for c in qspec:
+            # per-key SORTED valid-value list (quantiles are order statistics:
+            # the exact partial is the value multiset itself)
+            x = batch.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(x)
+            cv, xv = codes[valid], x[valid]
+            order = np.lexsort((xv, cv))
+            cs, xs = cv[order], xv[order]
+            counts = np.bincount(cs, minlength=nuni)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            out_offsets = [0]
+            out_values = []
+            for wc in want:
+                out_values.append(xs[offs[wc]:offs[wc + 1]])
+                out_offsets.append(out_offsets[-1] + counts[wc])
+            flat = np.concatenate(out_values) if out_values else np.empty(0, np.float64)
+            grouped = grouped.append_column(
+                f'{c}_qv', pa.ListArray.from_arrays(
+                    pa.array(np.asarray(out_offsets, np.int32), pa.int32()),
+                    pa.array(flat, pa.float64())))
         return grouped
 
     def combine(table: pa.Table, _pid: int) -> pa.Table:
@@ -158,9 +248,65 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             re_agg = 'sum' if a in ('count', 'sum') else a
             respec.append((col, re_agg))
             names[(c, a)] = f'{col}_{re_agg}'
-        if want_count_all:
-            respec.append(('count_all', 'sum'))
+        drop_count_all = False
+        if want_count_all or not respec:
+            respec.append(('count_all', 'sum') if want_count_all else ([], 'count_all'))
+            drop_count_all = not want_count_all
         grouped = table.group_by(by).aggregate(respec)
+        if drop_count_all:
+            grouped = grouped.drop_columns(['count_all'])
+        if var_cols or qspec:
+            pcodes, pwant, pnuni = _joint_codes(table, grouped, by)
+        for c in var_cols:
+            # one-shot parallel-variance combine (Chan et al.): M2_total =
+            # sum(M2_i) + sum(n_i * (mean_i - mean_total)^2)
+            vn = table.column(f'{c}_vn').to_numpy(zero_copy_only=False).astype(np.float64)
+            vs = table.column(f'{c}_vs').to_numpy(zero_copy_only=False)
+            vm2 = table.column(f'{c}_vm2').to_numpy(zero_copy_only=False)
+            n_tot = np.bincount(pcodes, weights=vn, minlength=pnuni)
+            s_tot = np.bincount(pcodes, weights=vs, minlength=pnuni)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                mean_tot = s_tot / n_tot
+                mean_i = np.where(vn > 0, vs / np.maximum(vn, 1.0), 0.0)
+            corr = np.where(vn > 0, vn * (mean_i - mean_tot[pcodes]) ** 2, 0.0)
+            m2_tot = (np.bincount(pcodes, weights=vm2, minlength=pnuni)
+                      + np.bincount(pcodes, weights=corr, minlength=pnuni))
+            with np.errstate(divide='ignore', invalid='ignore'):
+                var = np.where(n_tot > 1, m2_tot / (n_tot - 1.0), np.nan)
+            av = var[pwant]
+            grouped = grouped.append_column(f'__var_{c}', pa.array(av, mask=np.isnan(av)))
+        for c in qspec:
+            # merge the per-partial sorted value lists, then every requested
+            # quantile evaluates vectorized over key runs (type-7 linear
+            # interpolation, quantile_cont parity)
+            lists = table.column(f'{c}_qv')
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            loffsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            row_of = np.repeat(np.arange(table.num_rows), np.diff(loffsets))
+            pairs_t = pa.table({**{k: table.column(k).take(pa.array(row_of)) for k in by},
+                                '__v': lists.values})
+            codes2, want2, nuni2 = _joint_codes(pairs_t, grouped, by)
+            xv = pairs_t.column('__v').to_numpy(zero_copy_only=False)
+            order = np.lexsort((xv, codes2))
+            cs, xs = codes2[order], xv[order]
+            counts = np.bincount(cs, minlength=nuni2).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            has = counts > 0
+            for aggname, q in qspec[c]:
+                t = q * (counts - 1.0)
+                lo = np.maximum(np.floor(t).astype(np.int64), 0)
+                frac = np.where(has, t - lo, 0.0)
+                lo_idx = np.where(has, offs[:-1] + lo, 0)
+                hi_idx = np.where(has, np.minimum(lo_idx + 1, np.maximum(offs[1:] - 1, 0)), 0)
+                if len(xs):
+                    val = xs[lo_idx] + frac * (xs[hi_idx] - xs[lo_idx])
+                else:
+                    val = np.zeros(nuni2)
+                val = np.where(has, val, np.nan)
+                av = val[want2]
+                grouped = grouped.append_column(f'__q_{c}_{aggname}',
+                                                pa.array(av, mask=np.isnan(av)))
         for c in kmv_cols:
             lists = table.column(f'{c}_kmv')
             if isinstance(lists, pa.ChunkedArray):
@@ -245,6 +391,12 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
                         grouped.column(f'__dc_{c}'), 0).cast(pa.int64())
                 elif a == 'approx_count_distinct':
                     cols[f'{c}_approx_count_distinct'] = grouped.column(f'__kmv_{c}')
+                elif a == 'var':
+                    cols[f'{c}_var'] = grouped.column(f'__var_{c}')
+                elif a == 'std':
+                    cols[f'{c}_std'] = pc.sqrt(grouped.column(f'__var_{c}').cast(pa.float64()))
+                elif _quantile_of(a) is not None:
+                    cols[f'{c}_{a}'] = grouped.column(f'__q_{c}_{a}')
                 elif a == 'sum':
                     cols[f'{c}_sum'] = grouped.column(names[(c, a)]).cast(pa.float64())
                 else:

@@ -2326,6 +2326,34 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_groupby_orderstats_lineitem(sf_dir: str):
+    """Round-5 relational aggs: per-group SAMPLE variance/stddev (Welford
+    Chan-combine partials) and EXACT interpolated median/quantiles (sorted
+    per-key value-list partials) in ``groupby_aggregate``."""
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+    li = ray.data.read_parquet(os.path.join(sf_dir, 'lineitem.parquet'),
+                               columns=['l_returnflag', 'l_quantity', 'l_extendedprice'])
+    out = groupby_aggregate(li, by=['l_returnflag'],
+                            aggs={'l_quantity': ['var', 'std', 'median', 'quantile_25'],
+                                  'l_extendedprice': ['median', 'quantile_90']},
+                            num_partitions=NUM_PARTITIONS)
+    keep = ['l_returnflag', 'l_quantity_var', 'l_quantity_std', 'l_quantity_median',
+            'l_quantity_quantile_25', 'l_extendedprice_median', 'l_extendedprice_quantile_90']
+    return _finish(out, keep, round_cols=keep[1:], round_shift=1e-9)
+
+
+SQL_GROUPBY_ORDERSTATS_LINEITEM = """
+SELECT l_returnflag,
+       round(var_samp(l_quantity) + 1e-9, 6) AS l_quantity_var,
+       round(stddev_samp(l_quantity) + 1e-9, 6) AS l_quantity_std,
+       round(quantile_cont(l_quantity, 0.5) + 1e-9, 6) AS l_quantity_median,
+       round(quantile_cont(l_quantity, 0.25) + 1e-9, 6) AS l_quantity_quantile_25,
+       round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 6) AS l_extendedprice_median,
+       round(quantile_cont(l_extendedprice, 0.90) + 1e-9, 6) AS l_extendedprice_quantile_90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # 24ae. relational drop_duplicates (datapipe/relational.py): one row per
 # key, earliest by the keep order — QUALIFY ROW_NUMBER() = 1 semantics.
@@ -4266,6 +4294,7 @@ QUERIES = {
     # --- new this round ---
     'global_cumulative_orderstats_events': q_global_cumulative_orderstats_events,
     'token_pair_counts_documents': q_token_pair_counts_documents,
+    'groupby_orderstats_lineitem': q_groupby_orderstats_lineitem,
     # --- driver-unattested round-4 operators ---
     'weighted_share_lineitem': q_weighted_share_lineitem,
     'geo_harmonic_events': q_geo_harmonic_events,
@@ -4314,9 +4343,10 @@ QUERIES = {
     'resumable_sink': q_resumable_sink,
     'shuffle_split_documents': q_shuffle_split_documents,
     'approx_distinct_events': q_approx_distinct_events,
-    # --- canary: flagship-path attested query kept inside the window ---
+    # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
+    # in-window flagship canary is flagship_tokens (as-of join + window
+    # suite, hash-gated pin) plus the driver's own entry() smoke ---
     'asof_events_orders': q_asof_events_orders,
-    # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green) ---
     'global_cumulative_events': q_global_cumulative_events,
     'arithmetic_lineitem': q_arithmetic_lineitem,
     'seasonal_orders': q_seasonal_orders,
@@ -4371,6 +4401,7 @@ QUERIES = {
 ORACLE_SQL = {
     'global_cumulative_orderstats_events': SQL_GLOBAL_CUMULATIVE_ORDERSTATS_EVENTS,
     'token_pair_counts_documents': SQL_TOKEN_PAIR_COUNTS_DOCUMENTS,
+    'groupby_orderstats_lineitem': SQL_GROUPBY_ORDERSTATS_LINEITEM,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

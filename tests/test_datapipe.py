@@ -771,7 +771,9 @@ class TestGroupbyAggregate:
         from auto_featurs_ray.datapipe.relational import groupby_aggregate
         ds = rd.from_arrow(pa.table({'g': ['a'], 'v': [1.0]}))
         with pytest.raises(ValueError, match='unsupported'):
-            groupby_aggregate(ds, by=['g'], aggs={'v': ['median']})
+            groupby_aggregate(ds, by=['g'], aggs={'v': ['mode']})
+        with pytest.raises(ValueError, match='unsupported'):
+            groupby_aggregate(ds, by=['g'], aggs={'v': ['quantile_0']})
         with pytest.raises(ValueError, match='at least one'):
             groupby_aggregate(ds, by=['g'], aggs={})
 
@@ -855,3 +857,55 @@ class TestMeltAndProfile:
         r = out.iloc[0]
         assert r['n_rows'] == 4 and r['n_null'] == 1 and r['n_distinct'] == 2
         assert r['min'] == 1.0 and r['max'] == 3.0 and abs(r['mean'] - 5 / 3) < 1e-12
+
+
+class TestGroupbyOrderStats:
+    """Round-5 relational aggs: var/std (Chan parallel-variance combine) and
+    exact interpolated median/quantiles from sorted value-list partials."""
+
+    def _run(self, tbl, aggs, parts=4):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import groupby_aggregate
+        blocks = [tbl.slice(i, 3) for i in range(0, tbl.num_rows, 3)]
+        return groupby_aggregate(rd.from_arrow(blocks), by=['g'], aggs=aggs,
+                                 num_partitions=parts).to_pandas().sort_values('g')
+
+    def test_var_std_median_match_pandas(self):
+        rng = np.random.default_rng(3)
+        n = 200
+        g = rng.choice(['a', 'b', 'c'], n)
+        v = rng.standard_normal(n) * 10
+        v[rng.random(n) < 0.1] = np.nan
+        tbl = pa.table({'g': pa.array(g), 'v': pa.array(v, from_pandas=True)})
+        out = self._run(tbl, {'v': ['var', 'std', 'median', 'quantile_25']})
+        import pandas as pd
+        df = pd.DataFrame({'g': g, 'v': v})
+        want = df.groupby('g')['v'].agg(['var', 'std', 'median',
+                                         lambda s: s.quantile(0.25)])
+        np.testing.assert_allclose(out['v_var'].to_numpy(), want['var'].to_numpy(),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(out['v_std'].to_numpy(), want['std'].to_numpy(),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(out['v_median'].to_numpy(), want['median'].to_numpy(),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(out['v_quantile_25'].to_numpy(),
+                                   want['<lambda_0>'].to_numpy(), rtol=1e-12)
+
+    def test_single_row_group_var_is_null(self):
+        tbl = pa.table({'g': pa.array(['a', 'b', 'b']),
+                        'v': pa.array([1.0, 2.0, 4.0])})
+        out = self._run(tbl, {'v': ['var', 'std', 'median']})
+        a = out[out['g'] == 'a'].iloc[0]
+        assert np.isnan(a['v_var']) and np.isnan(a['v_std'])
+        assert a['v_median'] == 1.0
+        b = out[out['g'] == 'b'].iloc[0]
+        assert abs(b['v_var'] - 2.0) < 1e-12
+        assert b['v_median'] == 3.0  # interpolated midpoint
+
+    def test_quantile_only_aggs(self):
+        # no combinable aggs at all: the synthetic count_all path
+        tbl = pa.table({'g': pa.array(['a'] * 5),
+                        'v': pa.array([5.0, 1.0, 3.0, 2.0, 4.0])})
+        out = self._run(tbl, {'v': ['quantile_90']})
+        assert abs(out['v_quantile_90'].iloc[0] - 4.6) < 1e-12
