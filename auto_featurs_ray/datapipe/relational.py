@@ -409,6 +409,64 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     return shuffle_map_partitions(partials, by, num_partitions, combine)
 
 
+def top_k_frequent(ds, *, by: Sequence[str], value_column: str, k: int,
+                   num_partitions: int = 16):
+    """Per-group heavy-hitter table: the ``k`` most frequent values of
+    ``value_column`` within each ``by`` group, EXACT, with the deterministic
+    ``(count desc, value asc, nulls last)`` tie-break — the corpus-analysis
+    cut (most common event types per user, languages per source, ...).
+
+    Scale shape: each batch pre-aggregates to one row per distinct
+    ``(key, value)`` pair (Arrow ``group_by`` — C speed), so the ONLY
+    exchange moves ``(key, value, partial_count)`` rows bounded by pair
+    cardinality x blocks, hashed on ``by`` so each group's top-k resolves in
+    one reduce; the reduce sums counts, sorts once and keeps run heads by
+    offset arithmetic.  Output: ``by..., {value_column}, cnt, rnk``
+    (``rnk`` 1-based; SQL ``QUALIFY ROW_NUMBER() <= k`` parity).  Null
+    values count as a group like SQL ``GROUP BY``.
+    """
+    from auto_featurs_ray.engine.asof import _null_safe_run_diff
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    by = list(by)
+    if value_column in by:
+        raise ValueError('value_column must not be one of the by keys')
+    if k < 1:
+        raise ValueError(f'k must be >= 1, got {k}')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grouped = batch.group_by([*by, value_column]).aggregate([([], 'count_all')])
+        return grouped.rename_columns(
+            [n if n != 'count_all' else '__c' for n in grouped.column_names])
+
+    def reduce_top(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            def _t(name):
+                idx = table.schema.get_field_index(name)
+                return table.schema.field(idx).type if idx >= 0 else pa.int64()
+            cols = {c: pa.array([], _t(c)) for c in [*by, value_column]}
+            cols['cnt'] = pa.array([], pa.int64())
+            cols['rnk'] = pa.array([], pa.int64())
+            return pa.table(cols)
+        summed = table.group_by([*by, value_column]).aggregate([('__c', 'sum')])
+        order = pc.sort_indices(summed, sort_keys=[(c, 'ascending') for c in by]
+                                + [('__c_sum', 'descending'), (value_column, 'ascending')])
+        summed = summed.take(order)
+        m = summed.num_rows
+        diff = _null_safe_run_diff(summed, by) if m > 1 else np.zeros(0, dtype=bool)
+        starts = np.concatenate(([0], np.flatnonzero(diff) + 1))
+        lengths = np.diff(np.concatenate((starts, [m])))
+        rank = np.arange(m) - np.repeat(starts, lengths)
+        keep = rank < k
+        out = {c: summed.column(c).filter(pa.array(keep)) for c in [*by, value_column]}
+        out['cnt'] = summed.column('__c_sum').filter(pa.array(keep)).cast(pa.int64())
+        out['rnk'] = pa.array((rank[keep] + 1).astype(np.int64))
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(partials, by, num_partitions, reduce_top)
+
+
 def drop_duplicates(ds, *, subset: Sequence[str], keep_order_by: Sequence[str] = (),
                     num_partitions: int = 16):
     """Relational dedup: keep ONE row per distinct ``subset`` key — the row

