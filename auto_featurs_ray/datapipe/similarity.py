@@ -317,3 +317,76 @@ def truncate_normalize(ds, *, embedding_column: str = 'embedding',
         return pa.table({id_column: batch.column(id_column), 't': lists})
 
     return ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True)
+
+
+def pca_project(ds, *, embedding_column: str = 'embedding',
+                id_column: str = 'vec_id', k: int = 4):
+    """PCA dimensionality reduction over the embedding corpus — the learned
+    counterpart of :func:`truncate_normalize` (e.g. compressing embeddings
+    before IVF bucketing or near-dup LSH).
+
+    Scale shape: ONE partial pass computes the exact global second-moment
+    state — each batch emits ``(n, sum_vector, X'X)`` (size dim^2, corpus-size
+    independent) — the driver folds the partials in block order, forms the
+    sample covariance, takes the top-``k`` eigenvectors (``np.linalg.eigh``;
+    deterministic sign convention: each component's largest-|coordinate|
+    entry is made positive), and broadcasts ``(mean, components)`` once via
+    ``ray.put`` into a stateless projection ``map_batches`` — no shuffle at
+    any stage, the same partial->broadcast shape as the global scalers.
+
+    Returns ``(projected_ds, fit)`` where ``projected_ds`` has columns
+    ``(id_column, pc_0..pc_{k-1}: float64)`` (scalar columns, hash-gateable)
+    and ``fit`` is a dict with ``mean``, ``components`` (k, dim),
+    ``eigenvalues`` (descending) and ``explained_ratio``.
+    """
+    import pickle
+
+    if k < 1:
+        raise ValueError(f'k must be >= 1, got {k}')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _embedding_matrix(batch.column(embedding_column))
+        state = (emb.shape[0], emb.sum(axis=0), emb.T @ emb)
+        return pa.table({'state': [pickle.dumps(state)]})
+
+    rows = ds.map_batches(partial, batch_format='pyarrow').take_all()
+    n_total = 0
+    s_vec = None
+    xtx = None
+    for r in rows:
+        n_i, s_i, x_i = pickle.loads(r['state'])
+        n_total += n_i
+        s_vec = s_i if s_vec is None else s_vec + s_i
+        xtx = x_i if xtx is None else xtx + x_i
+    if n_total < 2:
+        raise ValueError(f'PCA needs >= 2 rows, got {n_total}')
+    dim = len(s_vec)
+    if k > dim:
+        raise ValueError(f'k={k} exceeds embedding dim {dim}')
+    mean = s_vec / n_total
+    cov = (xtx - n_total * np.outer(mean, mean)) / (n_total - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    components = eigvecs[:, order].T                # (k, dim)
+    eigenvalues = eigvals[order]
+    # deterministic sign: the largest-|coordinate| entry of each component
+    # is positive (first occurrence wins ties)
+    for i in range(k):
+        j = int(np.argmax(np.abs(components[i])))
+        if components[i, j] < 0:
+            components[i] = -components[i]
+    fit = {'mean': mean, 'components': components, 'eigenvalues': eigenvalues,
+           'explained_ratio': eigenvalues / max(float(eigvals.sum()), 1e-300)}
+    import ray as _ray
+    handle = _ray.put((mean, components))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, w = _ray.get(handle)
+        emb = _embedding_matrix(batch.column(embedding_column))
+        proj = (emb - m) @ w.T
+        out = {id_column: batch.column(id_column)}
+        for i in range(k):
+            out[f'pc_{i}'] = pa.array(proj[:, i], pa.float64())
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True), fit

@@ -2326,6 +2326,26 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Round-5 PCA projection over the embeddings corpus: one dim^2 partial
+    pass -> driver eigendecomposition (deterministic sign convention) ->
+    broadcast stateless projection.  The WHOLE corpus is projected; the
+    literal pin freezes the first 20 vec_ids' components (rounded), which
+    certifies mean, covariance fold and eigenvectors end-to-end; the
+    numpy-parity pytest covers the full math."""
+    from auto_featurs_ray.datapipe.similarity import pca_project
+    emb = ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'),
+                                columns=['vec_id', 'embedding'])
+    out, _fit = pca_project(emb, embedding_column='embedding', id_column='vec_id', k=4)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column('vec_id'), 20))
+
+    pcs = [f'pc_{i}' for i in range(4)]
+    return _finish(out.map_batches(cut, batch_format='pyarrow', zero_copy_batch=True),
+                   ['vec_id', *pcs], round_cols=pcs)
+
+
 def q_top_k_frequent_events(sf_dir: str):
     """Round-5 per-group heavy hitters: top-2 most frequent event types per
     user, exact, deterministic (count desc, value asc) tie-break."""
@@ -4367,6 +4387,7 @@ QUERIES = {
     # --- round-5 additions past the 50-entry driver window (locally gated;
     # the window is reserved for the 47 never-driver-attested queries) ---
     'top_k_frequent_events': q_top_k_frequent_events,
+    'pca_embeddings': q_pca_embeddings,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---

@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     'approx_group_distinct_events', 'robust_zscore_events',
     # round-5 coverage queries
     'global_cumulative_orderstats_events', 'token_pair_counts_documents',
-    'groupby_orderstats_lineitem', 'top_k_frequent_events',
+    'groupby_orderstats_lineitem', 'top_k_frequent_events', 'pca_embeddings',
 ]
 
 

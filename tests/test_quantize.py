@@ -7,6 +7,7 @@ bound, zero vectors, and the sliced-ListArray offset handling.
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from auto_featurs_ray.datapipe.similarity import quantize_embeddings
@@ -56,3 +57,48 @@ class TestQuantize:
         got = run([[1.0, 3.0, 254.0]])
         assert got.loc[0, 'scale'] == 2.0
         assert got.loc[0, 'q'].tolist() == [0, 2, 127]
+
+
+class TestPcaProject:
+    def test_matches_numpy_pca(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.similarity import pca_project
+
+        rng = np.random.default_rng(12)
+        n, dim, k = 400, 8, 3
+        # anisotropic data so components are well separated
+        basis = rng.standard_normal((dim, dim))
+        scales = np.array([8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.1, 0.05])
+        x = rng.standard_normal((n, dim)) * scales @ basis
+        tbl = pa.table({'vec_id': pa.array(range(n), pa.int64()),
+                        'embedding': pa.array(list(x), pa.list_(pa.float64()))})
+        blocks = [tbl.slice(i, 60) for i in range(0, n, 60)]
+        out, fit = pca_project(rd.from_arrow(blocks), k=k)
+        df = out.to_pandas().sort_values('vec_id').reset_index(drop=True)
+
+        mean = x.mean(axis=0)
+        cov = np.cov(x, rowvar=False, ddof=1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:k]
+        np.testing.assert_allclose(fit['eigenvalues'], evals[order], rtol=1e-8)
+        w = evecs[:, order].T
+        for i in range(k):
+            j = int(np.argmax(np.abs(w[i])))
+            if w[i, j] < 0:
+                w[i] = -w[i]
+        want = (x - mean) @ w.T
+        got = df[[f'pc_{i}' for i in range(k)]].to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+        # projections are centered: column means ~ 0
+        np.testing.assert_allclose(got.mean(axis=0), np.zeros(k), atol=1e-9)
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.similarity import pca_project
+
+        tbl = pa.table({'vec_id': pa.array([0], pa.int64()),
+                        'embedding': pa.array([[1.0, 2.0]], pa.list_(pa.float64()))})
+        with pytest.raises(ValueError, match='>= 2 rows'):
+            pca_project(rd.from_arrow(tbl), k=1)
