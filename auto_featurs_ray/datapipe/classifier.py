@@ -1,0 +1,141 @@
+"""Distributed linear-classifier training on combinable gradient partials.
+
+The quality-classifier primitive of LLM data curation (CCNet / GPT-3-style
+fasttext filtering): train a logistic regression over a numeric feature (or
+embedding) column against a binary label, then score the whole corpus with a
+stateless broadcast pass.
+
+Scale shape — the same partial -> driver-fold -> broadcast pattern as the
+global scalers, applied iteratively: full-batch gradient descent where each
+iteration is ONE ``map_batches`` pass emitting a per-batch gradient partial
+``(X'(p - y), sum(p - y), loss, n)`` of size dim+3 (corpus-size independent);
+the driver folds partials in block order and takes the step.  Deterministic:
+fixed iterations, fixed learning rate, zero init, block order stable — so a
+trained model (and its scores) pin as a literal oracle.  At 10^12 rows run
+the fit on a deterministic subsample (``sample_documents`` /
+``stratified_sample``) and score the full corpus — iterations are full
+passes by design (exactness over SGD noise).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+
+def _design_matrix(batch: pa.Table, feature_columns: Sequence[str],
+                   embedding_column: Optional[str]) -> np.ndarray:
+    if embedding_column is not None:
+        from auto_featurs_ray.datapipe.similarity import _embedding_matrix
+        return _embedding_matrix(batch.column(embedding_column))
+    cols = [batch.column(c).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            for c in feature_columns]
+    return np.column_stack(cols) if cols else np.zeros((batch.num_rows, 0))
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def logistic_regression_fit(ds, *, label_column: str,
+                            feature_columns: Sequence[str] = (),
+                            embedding_column: Optional[str] = None,
+                            iterations: int = 50, lr: float = 0.5,
+                            l2: float = 1e-3, standardize: bool = True) -> dict:
+    """Train ``sigmoid(x.w + b)`` against a 0/1 ``label_column``.
+
+    Features come from ``feature_columns`` (numeric scalars) or one
+    ``embedding_column`` (``list<float>``).  ``standardize=True`` first runs
+    one moment pass and trains in z-scored feature space (the returned
+    weights are FOLDED BACK to raw-feature space, so scoring needs no
+    stats).  L2 regularization excludes the bias.  Returns ``{'weights',
+    'bias', 'loss_history', 'n_rows'}``.
+    """
+    if (embedding_column is None) == (not feature_columns):
+        raise ValueError('exactly one of feature_columns / embedding_column required')
+    if iterations < 1:
+        raise ValueError(f'iterations must be >= 1, got {iterations}')
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = _design_matrix(batch, feature_columns, embedding_column)
+        return pa.table({'s': [pickle.dumps((x.shape[0], x.sum(axis=0),
+                                             (x * x).sum(axis=0)))]})
+
+    n_total, s1, s2 = 0, None, None
+    for r in ds.map_batches(moments, batch_format='pyarrow').take_all():
+        n_i, s1_i, s2_i = pickle.loads(r['s'])
+        n_total += n_i
+        s1 = s1_i if s1 is None else s1 + s1_i
+        s2 = s2_i if s2 is None else s2 + s2_i
+    if n_total < 2:
+        raise ValueError(f'logistic fit needs >= 2 rows, got {n_total}')
+    mean = s1 / n_total
+    var = np.maximum(s2 / n_total - mean ** 2, 0.0)
+    std = np.where(var > 0, np.sqrt(var), 1.0)
+    if not standardize:
+        mean = np.zeros_like(mean)
+        std = np.ones_like(std)
+
+    dim = len(mean)
+    w = np.zeros(dim)
+    b = 0.0
+    import ray
+
+    losses = []
+    for _ in range(iterations):
+        params = ray.put((w, b, mean, std))
+
+        def grad(batch: pa.Table) -> pa.Table:
+            w_i, b_i, m_i, sd_i = ray.get(params)
+            x = (_design_matrix(batch, feature_columns, embedding_column) - m_i) / sd_i
+            y = batch.column(label_column).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            p = _sigmoid(x @ w_i + b_i)
+            eps = 1e-12
+            loss = -np.sum(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+            return pa.table({'s': [pickle.dumps((x.T @ (p - y), float((p - y).sum()),
+                                                 float(loss)))]})
+
+        gw = np.zeros(dim)
+        gb = 0.0
+        loss = 0.0
+        for r in ds.map_batches(grad, batch_format='pyarrow').take_all():
+            gw_i, gb_i, l_i = pickle.loads(r['s'])
+            gw += gw_i
+            gb += gb_i
+            loss += l_i
+        gw = gw / n_total + l2 * w
+        gb = gb / n_total
+        w = w - lr * gw
+        b = b - lr * gb
+        losses.append(loss / n_total + 0.5 * l2 * float(w @ w))
+
+    # fold the standardization back into raw-feature space
+    w_raw = w / std
+    b_raw = b - float((w * (mean / std)).sum())
+    return {'weights': w_raw, 'bias': b_raw, 'loss_history': losses, 'n_rows': n_total}
+
+
+def logistic_score(ds, fit: dict, *, feature_columns: Sequence[str] = (),
+                   embedding_column: Optional[str] = None,
+                   id_column: str = 'vec_id', out_column: str = 'score'):
+    """Score the corpus with a trained model: stateless broadcast
+    ``map_batches`` (``ray.put`` once), output ``(id_column, out_column)``."""
+    import ray
+
+    handle = ray.put((np.asarray(fit['weights'], dtype=np.float64), float(fit['bias'])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w, b = ray.get(handle)
+        x = _design_matrix(batch, feature_columns, embedding_column)
+        return pa.table({id_column: batch.column(id_column),
+                         out_column: pa.array(_sigmoid(x @ w + b), pa.float64())})
+
+    return ds.map_batches(score, batch_format='pyarrow', zero_copy_batch=True)

@@ -2346,6 +2346,26 @@ def q_pca_embeddings(sf_dir: str):
                    ['vec_id', *pcs], round_cols=pcs)
 
 
+def q_logreg_embeddings(sf_dir: str):
+    """Round-5 quality-classifier primitive: distributed full-batch logistic
+    regression (combinable gradient partials, 20 deterministic passes) on the
+    embeddings table's label column, then broadcast scoring.  The pin
+    freezes the first 20 ids' scores — certifying the moment pass, every
+    gradient fold and the standardization fold-back end-to-end."""
+    from auto_featurs_ray.datapipe.classifier import logistic_regression_fit, logistic_score
+    emb = ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'),
+                                columns=['vec_id', 'embedding', 'label'])
+    fit = logistic_regression_fit(emb, label_column='label',
+                                  embedding_column='embedding', iterations=20)
+    scored = logistic_score(emb, fit, embedding_column='embedding')
+
+    def cut(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column('vec_id'), 20))
+
+    return _finish(scored.map_batches(cut, batch_format='pyarrow', zero_copy_batch=True),
+                   ['vec_id', 'score'], round_cols=['score'])
+
+
 def q_top_k_frequent_events(sf_dir: str):
     """Round-5 per-group heavy hitters: top-2 most frequent event types per
     user, exact, deterministic (count desc, value asc) tie-break."""
@@ -4388,6 +4408,7 @@ QUERIES = {
     # the window is reserved for the 47 never-driver-attested queries) ---
     'top_k_frequent_events': q_top_k_frequent_events,
     'pca_embeddings': q_pca_embeddings,
+    'logreg_embeddings': q_logreg_embeddings,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---

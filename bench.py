@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     # round-5 coverage queries
     'global_cumulative_orderstats_events', 'token_pair_counts_documents',
     'groupby_orderstats_lineitem', 'top_k_frequent_events', 'pca_embeddings',
+    'logreg_embeddings',
 ]
 
 
