@@ -46,14 +46,18 @@ def hash_join(left, right, *, on: Sequence[str], right_on: Optional[Sequence[str
               how: str = 'inner', suffix: str = '_right', num_partitions: int = 64):
     """Join two datasets on equality keys; returns a ``ray.data.Dataset``.
 
-    ``how``: 'inner', 'left' (left outer), 'semi' (left rows WITH a key
-    match — the allowlist filter) or 'anti' (left rows WITHOUT one — the
-    blocklist / decontamination filter).  Semi/anti never multiply rows and
-    ship only the right side's KEY columns through the exchange.  Right
-    columns colliding with left names receive ``suffix``; ``right_on`` keys
-    are renamed to the left's.
+    ``how``: 'inner', 'left' (left outer), 'right' (right outer), 'full'
+    (full outer — key columns coalesced, Arrow semantics), 'semi' (left rows
+    WITH a key match — the allowlist filter) or 'anti' (left rows WITHOUT
+    one — the blocklist / decontamination filter).  Semi/anti never multiply
+    rows and ship only the right side's KEY columns through the exchange;
+    right/full outer are per-co-partition complete because both sides are
+    hashed with the same partitioner (a key's rows land together or nowhere).
+    Right columns colliding with left names receive ``suffix``; ``right_on``
+    keys are renamed to the left's.
     """
     type_map = {'inner': 'inner', 'left': 'left outer',
+                'right': 'right outer', 'full': 'full outer',
                 'semi': 'left semi', 'anti': 'left anti'}
     if how not in type_map:
         raise ValueError(f'Unsupported join type: {how}')

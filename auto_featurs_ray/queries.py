@@ -2326,6 +2326,38 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_full_join_events_orders(sf_dir: str):
+    """Round-5 FULL OUTER hash join (engine/join.py): events against the
+    per-customer order-count aggregate — unmatched rows survive on BOTH
+    sides, key columns coalesced (Arrow semantics; SQL mirror coalesces
+    explicitly)."""
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+    from auto_featurs_ray.engine.join import hash_join
+    events = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                                   columns=['event_id', 'user_id', 'value'])
+    orders = ray.data.read_parquet(os.path.join(sf_dir, 'orders.parquet'),
+                                   columns=['o_custkey'])
+    per_cust = groupby_aggregate(orders, by=['o_custkey'], aggs={'*': ['count']},
+                                 num_partitions=NUM_PARTITIONS)
+    out = hash_join(events, per_cust, on=['user_id'], right_on=['o_custkey'],
+                    how='full', num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['event_id', 'user_id', 'value', 'n_rows'],
+                   round_cols=['value'])
+
+
+SQL_FULL_JOIN_EVENTS_ORDERS = """
+SELECT e.event_id,
+       COALESCE(e.user_id, r.o_custkey) AS user_id,
+       round(e.value, 6) AS value,
+       r.n_rows
+FROM events e
+FULL OUTER JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY o_custkey
+) r ON e.user_id = r.o_custkey
+"""
+
+
 def q_pca_embeddings(sf_dir: str):
     """Round-5 PCA projection over the embeddings corpus: one dim^2 partial
     pass -> driver eigendecomposition (deterministic sign convention) ->
@@ -4409,6 +4441,7 @@ QUERIES = {
     'top_k_frequent_events': q_top_k_frequent_events,
     'pca_embeddings': q_pca_embeddings,
     'logreg_embeddings': q_logreg_embeddings,
+    'full_join_events_orders': q_full_join_events_orders,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4469,6 +4502,7 @@ ORACLE_SQL = {
     'token_pair_counts_documents': SQL_TOKEN_PAIR_COUNTS_DOCUMENTS,
     'groupby_orderstats_lineitem': SQL_GROUPBY_ORDERSTATS_LINEITEM,
     'top_k_frequent_events': SQL_TOP_K_FREQUENT_EVENTS,
+    'full_join_events_orders': SQL_FULL_JOIN_EVENTS_ORDERS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

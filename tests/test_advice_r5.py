@@ -164,3 +164,33 @@ class TestHashJoinBroadcastHint:
         assert _tiny_side_hint(1_000, 900, 16) is None
         # empty right partition: no estimate, no hint
         assert _tiny_side_hint(1_000, 0, 16) is None
+
+
+class TestFullOuterJoin:
+    def test_unmatched_rows_survive_both_sides(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.engine.join import hash_join
+
+        left = pa.table({'k': pa.array([1, 2, 2], pa.int64()),
+                         'a': pa.array(['x', 'y', 'z'])})
+        right = pa.table({'k': pa.array([2, 3], pa.int64()),
+                          'b': pa.array(['p', 'q'])})
+        out = hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'],
+                        how='full', num_partitions=4).to_pandas()
+        out = out.sort_values(['k', 'a'], na_position='last').reset_index(drop=True)
+        assert out['k'].tolist() == [1, 2, 2, 3]
+        assert out['a'].tolist() == ['x', 'y', 'z', None]
+        assert out['b'].tolist() == [None, 'p', 'p', 'q']
+
+    def test_right_outer(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.engine.join import hash_join
+
+        left = pa.table({'k': pa.array([1], pa.int64()), 'a': pa.array(['x'])})
+        right = pa.table({'k': pa.array([1, 9], pa.int64()), 'b': pa.array(['p', 'q'])})
+        out = hash_join(rd.from_arrow(left), rd.from_arrow(right), on=['k'],
+                        how='right', num_partitions=2).to_pandas().sort_values('k')
+        assert out['k'].tolist() == [1, 9]
+        assert out['a'].tolist() == ['x', None]
