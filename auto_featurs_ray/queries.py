@@ -2326,6 +2326,39 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_cume_dist_events(sf_dir: str):
+    """Round-5 CUME_DIST (grouped + rolling anchor form), completing the SQL
+    rank-family (percent_rank / rank / dense_rank / ntile / cume_dist)."""
+    p = (Pipeline(_events_dataset(sf_dir))
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.CUME_DIST],
+                                      over_columns_combinations=[['user_id']])
+         .with_arithmetic_aggregation('value', aggregations=[ArithmeticAggregations.CUME_DIST],
+                                      over_columns_combinations=[['user_id']],
+                                      time_windows=['6h'], index_column_name='ts'))
+    keep = ['event_id', 'value_cume_dist_over_user_id',
+            'value_cume_dist_in_the_last_6h_over_user_id']
+    return _finish(p.collect_plan().data, keep, round_cols=keep[1:])
+
+
+# Rolling half: rows-with-value<=anchor / window row count (same anchor
+# convention as percent_rank; (user_id, ts) unique in the synthetic events).
+SQL_CUME_DIST_EVENTS = """
+WITH roll AS (
+  SELECT e.event_id,
+         SUM(CASE WHEN w.value <= e.value THEN 1 ELSE 0 END) * 1.0
+             / COUNT(w.value) AS cd
+  FROM events e JOIN events w
+    ON w.user_id = e.user_id AND w.ts > e.ts - INTERVAL 6 HOUR AND w.ts <= e.ts
+  GROUP BY e.event_id, e.value
+)
+SELECT b.event_id,
+       round(cume_dist() OVER (PARTITION BY b.user_id ORDER BY b.value), 6)
+           AS value_cume_dist_over_user_id,
+       round(r.cd, 6) AS value_cume_dist_in_the_last_6h_over_user_id
+FROM events b JOIN roll r ON r.event_id = b.event_id
+"""
+
+
 def q_full_join_events_orders(sf_dir: str):
     """Round-5 FULL OUTER hash join (engine/join.py): events against the
     per-customer order-count aggregate — unmatched rows survive on BOTH
@@ -4442,6 +4475,7 @@ QUERIES = {
     'pca_embeddings': q_pca_embeddings,
     'logreg_embeddings': q_logreg_embeddings,
     'full_join_events_orders': q_full_join_events_orders,
+    'cume_dist_events': q_cume_dist_events,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4503,6 +4537,7 @@ ORACLE_SQL = {
     'groupby_orderstats_lineitem': SQL_GROUPBY_ORDERSTATS_LINEITEM,
     'top_k_frequent_events': SQL_TOP_K_FREQUENT_EVENTS,
     'full_join_events_orders': SQL_FULL_JOIN_EVENTS_ORDERS,
+    'cume_dist_events': SQL_CUME_DIST_EVENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

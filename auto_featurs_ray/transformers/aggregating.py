@@ -1494,6 +1494,25 @@ class DenseRankTransformer(_GroupedRankTransformer):
         return rank
 
 
+class CumeDistTransformer(_GroupedRankTransformer):
+    """SQL ``CUME_DIST()`` over the group's VALID values: max-rank / count
+    (rows with value <= the current row's, as a fraction).  NaN inputs are
+    excluded from both rank and count and emit NaN — the same null
+    convention as the rest of the rank family, so the SQL mirror computes
+    over non-null values."""
+
+    _method = 'max'
+
+    @property
+    def _aggregation(self) -> str:
+        return 'cume_dist'
+
+    @staticmethod
+    def _finalize_rank(rank: np.ndarray, n: np.ndarray) -> np.ndarray:
+        with np.errstate(divide='ignore', invalid='ignore'):
+            return rank / n
+
+
 class NtileTransformer(_GroupedRankTransformer):
     """Rank-based equal-count bucket 1..k with the SQL ``NTILE`` uneven
     split (the first ``n mod k`` buckets get one extra row) — but ties on
@@ -2145,6 +2164,7 @@ class ArithmeticAggregations(Enum):
     PERCENT_RANK = PercentRankTransformer
     RANK = RankTransformer
     DENSE_RANK = DenseRankTransformer
+    CUME_DIST = CumeDistTransformer
     GEOMETRIC_MEAN = GeometricMeanTransformer
     HARMONIC_MEAN = HarmonicMeanTransformer
     ROBUST_ZSCORE = RobustZscoreTransformer

@@ -890,3 +890,37 @@ class TestRobustZscore:
         with pytest.raises(ValueError, match='NONE'):
             RobustZscoreTransformer('X', cumulative=C.INCLUSIVE)
         assert RobustZscoreTransformer('X').output_name == 'X_robust_zscore'
+
+
+class TestCumeDist:
+    def test_grouped_matches_sql_semantics(self):
+        from auto_featurs_ray.engine.aggframe import AggFrame
+        from auto_featurs_ray.transformers.aggregating import CumeDistTransformer
+
+        vals = np.array([1.0, 2.0, 2.0, 5.0, np.nan, 3.0])
+        codes = np.array([0, 0, 0, 0, 0, 1])
+        frame = AggFrame(pa.table({'v': pa.array(vals, from_pandas=True)}))
+        out = np.asarray(CumeDistTransformer('v').compute(frame, codes), dtype=np.float64)
+        # group 0 valid values [1,2,2,5]: cume_dist = [.25, .75, .75, 1.0], NaN row NaN
+        np.testing.assert_allclose(out[:5], [0.25, 0.75, 0.75, 1.0, np.nan],
+                                   equal_nan=True)
+        assert out[5] == 1.0  # singleton group
+
+    def test_rolling_anchor_form(self):
+        from auto_featurs_ray.base.column_specification import ColumnSpecification as CS
+        from auto_featurs_ray.engine.aggframe import AggFrame
+        from auto_featurs_ray.transformers.aggregating import CumeDistTransformer
+        from auto_featurs_ray.transformers.rolling_wrapper import RollingWrapper
+
+        rng = np.random.default_rng(2)
+        n = 200
+        ts = np.sort(rng.integers(0, n * 30, n)) * 1_000_000
+        v = rng.integers(0, 8, n).astype(np.float64)
+        frame = AggFrame(pa.table({'ts': pa.array(ts.astype('datetime64[us]')),
+                                   'v': pa.array(v)}))
+        t = CumeDistTransformer('v')
+        lo, hi = RollingWrapper(t, CS.datetime(name='ts'), '90s').window_bounds(frame, None)
+        got = np.asarray(t.compute_windowed(frame, lo, hi), dtype=np.float64)
+        expect = np.array([np.sum(v[lo[i]:hi[i]] <= v[hi[i] - 1]) / (hi[i] - lo[i])
+                           for i in range(n)])
+        np.testing.assert_allclose(got, expect)
