@@ -409,6 +409,110 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     return shuffle_map_partitions(partials, by, num_partitions, combine)
 
 
+def sort_by(ds, *, keys: Sequence, num_partitions: int = 16,
+            position_column: Optional[str] = None):
+    """Distributed GLOBAL sort: range-partition on the leading key with
+    sampled-quantile cuts (the same driver-tiny sampling the halo/carry
+    stages use), sort each partition once with Arrow, and emit partitions in
+    cut order — the classic sample-sort exchange, O(rows log rows / P) per
+    task and never a whole-dataset materialization anywhere.
+
+    ``keys``: column names or ``(name, 'ascending'|'descending')`` pairs;
+    the LEADING key drives the range cuts (descending leading keys reverse
+    the cut assignment).  ``position_column`` optionally appends the 0-based
+    GLOBAL rank of each row (offsets folded from the per-partition counts —
+    a handful of ints on the driver), making the total order verifiable by
+    an order-insensitive hash (SQL ``row_number() OVER (ORDER BY ...) - 1``).
+    Pass a unique tiebreak column for a deterministic total order.  The
+    leading key must be numeric or string (cast timestamps to int64
+    microseconds upstream — the engine's shared convention).
+    """
+    import ray
+    import ray.data
+
+    from auto_featurs_ray.engine.runtime import (
+        _concat_slices,
+        _coalesce_split_input,
+        _launch_split_tasks,
+        split_block_by_code,
+    )
+
+    norm = [(k, 'ascending') if isinstance(k, str) else (k[0], k[1]) for k in keys]
+    if not norm:
+        raise ValueError('keys must name at least one sort column')
+    lead, lead_dir = norm[0]
+
+    def sample(batch: pa.Table) -> pa.Table:
+        col = batch.column(lead).drop_null()
+        n = len(col)
+        if n == 0:
+            return pa.table({'s': pa.array([], batch.schema.field(lead).type)})
+        stride = max(1, n // 16)
+        return pa.table({'s': col.take(pa.array(range(0, n, stride)))[:16]})
+
+    picks = pa.concat_tables(
+        [pa.table({'s': pa.array([r['s']])}) for r in ds.map_batches(
+            sample, batch_format='pyarrow').take_all()] or
+        [pa.table({'s': pa.array([], pa.int64())})], promote_options='permissive')
+    if picks.num_rows >= 2 and num_partitions > 1:
+        svals = picks.column('s').take(pc.sort_indices(picks, sort_keys=[('s', 'ascending')]))
+        idx = np.linspace(0, picks.num_rows - 1, num_partitions + 1)[1:-1].astype(np.int64)
+        cuts = svals.take(pa.array(np.unique(idx))).to_pylist()
+        cuts = sorted(set(cuts))
+    else:
+        cuts = []
+    num_spans = len(cuts) + 1
+
+    @ray.remote
+    def split_task(*blocks: pa.Table):
+        block = _coalesce_split_input(blocks)
+        if block.num_columns == 0:
+            return tuple(block.slice(0, 0) for _ in range(num_spans))
+        col = block.column(lead)
+        vals = col.to_pandas()
+        import pandas as pd
+        codes = np.searchsorted(np.asarray(cuts), vals.to_numpy(), side='right') \
+            if cuts else np.zeros(block.num_rows, dtype=np.int64)
+        codes = np.asarray(codes, dtype=np.int64)
+        if lead_dir == 'descending':
+            codes = (num_spans - 1) - codes
+        # nulls sort last under either direction (Arrow null_placement at_end)
+        codes[pd.isna(vals).to_numpy()] = num_spans - 1
+        return tuple(split_block_by_code(block, codes, num_spans))
+
+    @ray.remote
+    def sort_partition_task(pid: int, *slices: pa.Table) -> pa.Table:
+        table = _concat_slices(slices, pid)
+        if table.num_columns == 0 or table.num_rows <= 1:
+            return table
+        return table.take(pc.sort_indices(table, sort_keys=norm))
+
+    split_refs = _launch_split_tasks(ds, split_task, num_spans)
+    if not split_refs:
+        return ds
+    sorted_refs = [sort_partition_task.remote(p, *[s[p] for s in split_refs])
+                   for p in range(num_spans)]
+    if position_column is None:
+        return ray.data.from_arrow_refs(sorted_refs)
+
+    @ray.remote
+    def count_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([count_rows.remote(r) for r in sorted_refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+
+    @ray.remote
+    def annotate(t: pa.Table, base: int) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.append_column(position_column,
+                               pa.array(np.arange(base, base + t.num_rows, dtype=np.int64)))
+
+    return ray.data.from_arrow_refs(
+        [annotate.remote(r, int(o)) for r, o in zip(sorted_refs, offsets)])
+
+
 def top_k_frequent(ds, *, by: Sequence[str], value_column: str, k: int,
                    num_partitions: int = 16):
     """Per-group heavy-hitter table: the ``k`` most frequent values of

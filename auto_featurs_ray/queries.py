@@ -2326,6 +2326,27 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_sort_lineitem(sf_dir: str):
+    """Round-5 distributed global sort (sample-sort range exchange) with
+    global positions — the total order is hash-verifiable via the 0-based
+    rank column against SQL ``row_number() OVER (ORDER BY ...) - 1``."""
+    from auto_featurs_ray.datapipe.relational import sort_by
+    li = ray.data.read_parquet(os.path.join(sf_dir, 'lineitem.parquet'),
+                               columns=['l_orderkey', 'l_linenumber', 'l_extendedprice'])
+    out = sort_by(li, keys=[('l_extendedprice', 'descending'), 'l_orderkey', 'l_linenumber'],
+                  num_partitions=NUM_PARTITIONS, position_column='global_pos')
+    return _finish(out, ['l_orderkey', 'l_linenumber', 'l_extendedprice', 'global_pos'],
+                   round_cols=['l_extendedprice'])
+
+
+SQL_SORT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS l_extendedprice,
+       CAST(row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+            - 1 AS BIGINT) AS global_pos
+FROM lineitem
+"""
+
+
 def q_cume_dist_events(sf_dir: str):
     """Round-5 CUME_DIST (grouped + rolling anchor form), completing the SQL
     rank-family (percent_rank / rank / dense_rank / ntile / cume_dist)."""
@@ -4476,6 +4497,7 @@ QUERIES = {
     'logreg_embeddings': q_logreg_embeddings,
     'full_join_events_orders': q_full_join_events_orders,
     'cume_dist_events': q_cume_dist_events,
+    'sort_lineitem': q_sort_lineitem,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4538,6 +4560,7 @@ ORACLE_SQL = {
     'top_k_frequent_events': SQL_TOP_K_FREQUENT_EVENTS,
     'full_join_events_orders': SQL_FULL_JOIN_EVENTS_ORDERS,
     'cume_dist_events': SQL_CUME_DIST_EVENTS,
+    'sort_lineitem': SQL_SORT_LINEITEM,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

@@ -951,3 +951,36 @@ class TestTopKFrequent:
         assert out['v'].tolist() == ['a', 'b']
         assert out['cnt'].tolist() == [3, 2]
         assert out['rnk'].tolist() == [1, 2]
+
+
+class TestSortBy:
+    def test_global_order_with_positions(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import sort_by
+
+        rng = np.random.default_rng(8)
+        n = 700
+        v = rng.integers(0, 50, n).astype(np.float64)
+        rid = np.arange(n, dtype=np.int64)
+        tbl = pa.table({'v': pa.array(v), 'rid': pa.array(rid)})
+        blocks = [tbl.slice(i, 90) for i in range(0, n, 90)]
+        out = sort_by(rd.from_arrow(blocks), keys=['v', 'rid'], num_partitions=5,
+                      position_column='pos').to_pandas()
+        out = out.sort_values('pos').reset_index(drop=True)
+        assert out['pos'].tolist() == list(range(n))
+        order = np.lexsort((rid, v))
+        assert out['v'].tolist() == v[order].tolist()
+        assert out['rid'].tolist() == rid[order].tolist()
+
+    def test_descending_and_nulls_last(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import sort_by
+
+        tbl = pa.table({'v': pa.array([3.0, None, 1.0, 2.0, None]),
+                        'rid': pa.array([0, 1, 2, 3, 4], pa.int64())})
+        out = sort_by(rd.from_arrow([tbl.slice(i, 2) for i in range(0, 5, 2)]),
+                      keys=[('v', 'descending'), 'rid'], num_partitions=3,
+                      position_column='pos').to_pandas().sort_values('pos')
+        assert out['rid'].tolist() == [0, 3, 2, 1, 4]  # 3,2,1 then nulls by rid
