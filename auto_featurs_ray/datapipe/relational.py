@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _COMBINABLE = ('count', 'sum', 'mean', 'min', 'max', 'count_distinct',
-               'approx_count_distinct', 'var', 'std', 'median')
+               'approx_count_distinct', 'var', 'std', 'median', 'collect_set')
 
 
 def _quantile_of(agg: str):
@@ -74,6 +74,10 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
     ``var_samp``/``stddev_samp``): partials carry per-key (count, sum, M2)
     and the reduce applies the one-shot Chan-et-al. parallel-variance
     combine — numerically stable, state bounded like count/sum.
+    ``collect_set`` emits the per-key SORTED distinct-value list (nulls
+    excluded; ``list_sort(list(DISTINCT ...))`` parity) — partials are the
+    same per-key distinct lists ``count_distinct`` carries, so the exchange
+    stays bounded by per-key cardinality.
     ``median`` / ``quantile_<pct>`` are EXACT linear-interpolated quantiles
     (``quantile_cont`` parity): order statistics have no small exact state,
     so partials carry per-key SORTED value lists — the exchange is bounded
@@ -109,7 +113,7 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             partial_spec.append((c, 'min'))
         if 'max' in al:
             partial_spec.append((c, 'max'))
-        if 'count_distinct' in al:
+        if 'count_distinct' in al or 'collect_set' in al:
             partial_spec.append((c, 'distinct'))
             distinct_cols.append(c)
         if 'approx_count_distinct' in al:
@@ -234,6 +238,8 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
                     t = _field(f'{c}_{a}', pa.float64())
                 elif a in ('count', 'count_distinct'):
                     t = pa.int64()
+                elif a == 'collect_set':
+                    t = _field(f'{c}_distinct', pa.list_(pa.float64()))
                 else:
                     t = pa.float64()
                 cols[f'{c}_{a}'] = pa.array([], t)
@@ -363,20 +369,28 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
             pairs[c] = vals_arr
             pairs_t = pa.table(pairs)
             pairs_t = pairs_t.filter(pc.is_valid(pairs_t.column(c)))
-            import pandas as pd
-            pf = pd.DataFrame({k: pairs_t.column(k).to_pandas() for k in by})
-            gk = pd.DataFrame({k: grouped.column(k).to_pandas() for k in by})
-            both = pd.concat([pf, gk], ignore_index=True)
-            codes_all, kuniq = pd.factorize(pd.MultiIndex.from_frame(both) if len(by) > 1
-                                            else both[by[0]], use_na_sentinel=False)
-            kcode = codes_all[:len(pf)].astype(np.int64)
-            want_k = codes_all[len(pf):].astype(np.int64)
-            vcode, _vu = pd.factorize(pairs_t.column(c).to_pandas(), use_na_sentinel=False)
-            combo = np.unique(kcode * np.int64(max(len(_vu), 1)) + vcode.astype(np.int64))
-            per_key = np.bincount((combo // max(len(_vu), 1)).astype(np.int64),
-                                  minlength=len(kuniq))
+            kcode, want_k, nuni_k = _joint_codes(pairs_t, grouped, by)
+            # sort by (key code, value), dedupe adjacent runs: one pass gives
+            # both the per-key distinct COUNT and (for collect_set) the
+            # per-key SORTED distinct-value list
+            keyed = pa.table({'__k': pa.array(kcode), c: pairs_t.column(c)})
+            keyed = keyed.take(pc.sort_indices(
+                keyed, sort_keys=[('__k', 'ascending'), (c, 'ascending')]))
+            if keyed.num_rows > 1:
+                from auto_featurs_ray.engine.asof import _null_safe_run_diff
+                dup = _null_safe_run_diff(keyed, ['__k', c])
+                keyed = keyed.filter(pa.array(np.concatenate(([True], dup))))
+            ks = keyed.column('__k').to_numpy(zero_copy_only=False)
+            per_key = np.bincount(ks, minlength=nuni_k)
             grouped = grouped.append_column(
                 f'__dc_{c}', pa.array(per_key[want_k].astype(np.int64)))
+            if 'collect_set' in plain[c]:
+                offs = np.concatenate(([0], np.cumsum(per_key))).astype(np.int32)
+                full_lists = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    keyed.column(c).combine_chunks())
+                grouped = grouped.append_column(
+                    f'__cs_{c}', full_lists.take(pa.array(want_k)))
         cols = {k: grouped.column(k) for k in by}
         for c, al in plain.items():
             for a in al:
@@ -391,6 +405,8 @@ def groupby_aggregate(ds, *, by: Sequence[str], aggs: Mapping[str, Sequence[str]
                         grouped.column(f'__dc_{c}'), 0).cast(pa.int64())
                 elif a == 'approx_count_distinct':
                     cols[f'{c}_approx_count_distinct'] = grouped.column(f'__kmv_{c}')
+                elif a == 'collect_set':
+                    cols[f'{c}_collect_set'] = grouped.column(f'__cs_{c}')
                 elif a == 'var':
                     cols[f'{c}_var'] = grouped.column(f'__var_{c}')
                 elif a == 'std':

@@ -2326,6 +2326,34 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_collect_set_events(sf_dir: str):
+    """Round-5 collect_set: per-user sorted distinct event-type list (emitted
+    to the gate as a joined string; the operator returns a real list column)."""
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['user_id', 'event_type'])
+    out = groupby_aggregate(ev, by=['user_id'],
+                            aggs={'event_type': ['count_distinct', 'collect_set']},
+                            num_partitions=NUM_PARTITIONS)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join(batch.column('event_type_collect_set').cast(
+            pa.list_(pa.string())), ',')
+        return pa.table({'user_id': batch.column('user_id'),
+                         'n_types': batch.column('event_type_count_distinct'),
+                         'type_set': joined})
+
+    return out.map_batches(stringify, batch_format='pyarrow', zero_copy_batch=True)
+
+
+SQL_COLLECT_SET_EVENTS = """
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_set
+FROM events GROUP BY user_id
+"""
+
+
 def q_sort_lineitem(sf_dir: str):
     """Round-5 distributed global sort (sample-sort range exchange) with
     global positions — the total order is hash-verifiable via the 0-based
@@ -4498,6 +4526,7 @@ QUERIES = {
     'full_join_events_orders': q_full_join_events_orders,
     'cume_dist_events': q_cume_dist_events,
     'sort_lineitem': q_sort_lineitem,
+    'collect_set_events': q_collect_set_events,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4561,6 +4590,7 @@ ORACLE_SQL = {
     'full_join_events_orders': SQL_FULL_JOIN_EVENTS_ORDERS,
     'cume_dist_events': SQL_CUME_DIST_EVENTS,
     'sort_lineitem': SQL_SORT_LINEITEM,
+    'collect_set_events': SQL_COLLECT_SET_EVENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

@@ -984,3 +984,34 @@ class TestSortBy:
                       keys=[('v', 'descending'), 'rid'], num_partitions=3,
                       position_column='pos').to_pandas().sort_values('pos')
         assert out['rid'].tolist() == [0, 3, 2, 1, 4]  # 3,2,1 then nulls by rid
+
+
+class TestCollectSet:
+    def test_sorted_distinct_lists_with_nulls(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import groupby_aggregate
+
+        tbl = pa.table({'g': pa.array(['a', 'a', 'a', 'b', 'b', None]),
+                        'v': pa.array(['z', 'x', 'z', None, 'y', 'w'])})
+        blocks = [tbl.slice(i, 2) for i in range(0, 6, 2)]
+        out = groupby_aggregate(rd.from_arrow(blocks), by=['g'],
+                                aggs={'v': ['collect_set', 'count_distinct']},
+                                num_partitions=3).to_pandas()
+        out = out.sort_values('g', na_position='last').reset_index(drop=True)
+        got = [list(x) for x in out['v_collect_set']]
+        assert got == [['x', 'z'], ['y'], ['w']]
+        assert out['v_count_distinct'].tolist() == [2, 1, 1]
+
+    def test_numeric_values_sorted(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import groupby_aggregate
+
+        tbl = pa.table({'g': pa.array([1, 1, 1, 2], pa.int64()),
+                        'v': pa.array([5.0, -1.0, 5.0, 2.0])})
+        out = groupby_aggregate(rd.from_arrow(tbl), by=['g'],
+                                aggs={'v': ['collect_set']},
+                                num_partitions=2).to_pandas().sort_values('g')
+        got = [list(x) for x in out['v_collect_set']]
+        assert got == [[-1.0, 5.0], [2.0]]
