@@ -64,14 +64,38 @@ def logistic_regression_fit(ds, *, label_column: str,
     if iterations < 1:
         raise ValueError(f'iterations must be >= 1, got {iterations}')
 
-    def moments(batch: pa.Table) -> pa.Table:
-        x = _design_matrix(batch, feature_columns, embedding_column)
-        return pa.table({'s': [pickle.dumps((x.shape[0], x.sum(axis=0),
-                                             (x * x).sum(axis=0)))]})
+    import ray
+
+    # the fit is iterative (1 moment pass + `iterations` gradient passes):
+    # materialize the pruned input ONCE and drive every pass with raw Ray
+    # tasks over the block refs — per-pass Ray Data executor startup
+    # (~0.3 s each) dominated the fit otherwise (measured 8.7 s -> ~1 s at
+    # sf0.1).  This is the documented drop-to-raw-tasks case: an iterative
+    # optimizer the Dataset API cannot express without paying the pipeline
+    # fixed cost per iteration.
+    keep = list(feature_columns) + [label_column] if feature_columns \
+        else [embedding_column, label_column]
+    ds = ds.select_columns([c for c in dict.fromkeys(keep)]).materialize()
+    block_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def moment_task(block: pa.Table) -> bytes:
+        x = _design_matrix(block, feature_columns, embedding_column)
+        return pickle.dumps((x.shape[0], x.sum(axis=0), (x * x).sum(axis=0)))
+
+    @ray.remote
+    def grad_task(block: pa.Table, params) -> bytes:
+        w_i, b_i, m_i, sd_i = params
+        x = (_design_matrix(block, feature_columns, embedding_column) - m_i) / sd_i
+        y = block.column(label_column).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        p = _sigmoid(x @ w_i + b_i)
+        eps = 1e-12
+        loss = -np.sum(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+        return pickle.dumps((x.T @ (p - y), float((p - y).sum()), float(loss)))
 
     n_total, s1, s2 = 0, None, None
-    for r in ds.map_batches(moments, batch_format='pyarrow').take_all():
-        n_i, s1_i, s2_i = pickle.loads(r['s'])
+    for blob in ray.get([moment_task.remote(r) for r in block_refs]):
+        n_i, s1_i, s2_i = pickle.loads(blob)
         n_total += n_i
         s1 = s1_i if s1 is None else s1 + s1_i
         s2 = s2_i if s2 is None else s2 + s2_i
@@ -87,27 +111,14 @@ def logistic_regression_fit(ds, *, label_column: str,
     dim = len(mean)
     w = np.zeros(dim)
     b = 0.0
-    import ray
-
     losses = []
     for _ in range(iterations):
         params = ray.put((w, b, mean, std))
-
-        def grad(batch: pa.Table) -> pa.Table:
-            w_i, b_i, m_i, sd_i = ray.get(params)
-            x = (_design_matrix(batch, feature_columns, embedding_column) - m_i) / sd_i
-            y = batch.column(label_column).cast(pa.float64()).to_numpy(zero_copy_only=False)
-            p = _sigmoid(x @ w_i + b_i)
-            eps = 1e-12
-            loss = -np.sum(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
-            return pa.table({'s': [pickle.dumps((x.T @ (p - y), float((p - y).sum()),
-                                                 float(loss)))]})
-
         gw = np.zeros(dim)
         gb = 0.0
         loss = 0.0
-        for r in ds.map_batches(grad, batch_format='pyarrow').take_all():
-            gw_i, gb_i, l_i = pickle.loads(r['s'])
+        for blob in ray.get([grad_task.remote(r, params) for r in block_refs]):
+            gw_i, gb_i, l_i = pickle.loads(blob)
             gw += gw_i
             gb += gb_i
             loss += l_i

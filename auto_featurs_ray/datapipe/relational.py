@@ -587,6 +587,88 @@ def top_k_frequent(ds, *, by: Sequence[str], value_column: str, k: int,
     return shuffle_map_partitions(partials, by, num_partitions, reduce_top)
 
 
+def approx_top_k_frequent(ds, *, by: Sequence[str], value_column: str, k: int,
+                          capacity: int = 256, num_partitions: int = 16):
+    """Bounded-state heavy hitters: like :func:`top_k_frequent` but every
+    partial keeps at most ``capacity`` values per key (SpaceSaving-style
+    mergeable truncated summaries) — the scale path when per-key value
+    cardinality explodes (top URLs per domain at 10^12 rows), the same
+    exact-below-capacity contract the KMV distinct sketch has.
+
+    Each partial records, per key, the LARGEST truncated count; the reduce
+    sums those into ``err``: any value's TRUE count is within
+    ``[cnt, cnt + err]`` of its reported ``cnt`` (it can only have been
+    under-counted, by at most the truncation threshold of each partial that
+    dropped it).  ``err == 0`` (per-key distinct <= capacity in every
+    partial) means the result is EXACT and equals :func:`top_k_frequent`.
+    Output: ``by..., {value_column}, cnt, err, rnk``.
+    """
+    from auto_featurs_ray.engine.asof import _null_safe_run_diff
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    by = list(by)
+    if value_column in by:
+        raise ValueError('value_column must not be one of the by keys')
+    if k < 1 or capacity < k:
+        raise ValueError(f'need capacity >= k >= 1, got k={k} capacity={capacity}')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grouped = batch.group_by([*by, value_column]).aggregate([([], 'count_all')])
+        grouped = grouped.rename_columns(
+            [n if n != 'count_all' else '__c' for n in grouped.column_names])
+        order = pc.sort_indices(grouped, sort_keys=[(c, 'ascending') for c in by]
+                                + [('__c', 'descending'), (value_column, 'ascending')])
+        g = grouped.take(order)
+        m = g.num_rows
+        if m == 0:
+            return g.append_column('__err', pa.array([], pa.int64()))
+        diff = _null_safe_run_diff(g, by) if m > 1 else np.zeros(0, dtype=bool)
+        starts = np.concatenate(([0], np.flatnonzero(diff) + 1))
+        lengths = np.diff(np.concatenate((starts, [m])))
+        rank = np.arange(m) - np.repeat(starts, lengths)
+        counts = g.column('__c').to_numpy(zero_copy_only=False)
+        err = np.zeros(m, dtype=np.int64)
+        over = lengths > capacity
+        # the first kept row of a truncating key carries that partial's
+        # truncation threshold (the largest dropped count)
+        err[starts[over]] = counts[starts[over] + capacity]
+        keep = rank < capacity
+        return g.append_column('__err', pa.array(err)).filter(pa.array(keep))
+
+    def reduce_top(table: pa.Table, _pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            def _t(name):
+                idx = table.schema.get_field_index(name)
+                return table.schema.field(idx).type if idx >= 0 else pa.int64()
+            cols = {c: pa.array([], _t(c)) for c in [*by, value_column]}
+            cols.update({'cnt': pa.array([], pa.int64()), 'err': pa.array([], pa.int64()),
+                         'rnk': pa.array([], pa.int64())})
+            return pa.table(cols)
+        summed = table.group_by([*by, value_column]).aggregate([('__c', 'sum')])
+        order = pc.sort_indices(summed, sort_keys=[(c, 'ascending') for c in by]
+                                + [('__c_sum', 'descending'), (value_column, 'ascending')])
+        summed = summed.take(order)
+        m = summed.num_rows
+        diff = _null_safe_run_diff(summed, by) if m > 1 else np.zeros(0, dtype=bool)
+        starts = np.concatenate(([0], np.flatnonzero(diff) + 1))
+        lengths = np.diff(np.concatenate((starts, [m])))
+        rank = np.arange(m) - np.repeat(starts, lengths)
+        keep = rank < k
+        out_t = summed.filter(pa.array(keep))
+        err_t = table.group_by(by).aggregate([('__err', 'sum')])
+        ecode, want_e, nuni_e = _joint_codes(err_t, out_t, by)
+        err_full = np.zeros(nuni_e, dtype=np.int64)
+        err_full[ecode] = err_t.column('__err_sum').to_numpy(zero_copy_only=False)
+        out = {c: out_t.column(c) for c in [*by, value_column]}
+        out['cnt'] = out_t.column('__c_sum').cast(pa.int64())
+        out['err'] = pa.array(err_full[want_e])
+        out['rnk'] = pa.array((rank[keep] + 1).astype(np.int64))
+        return pa.table(out)
+
+    partials = ds.map_batches(partial, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(partials, by, num_partitions, reduce_top)
+
+
 def drop_duplicates(ds, *, subset: Sequence[str], keep_order_by: Sequence[str] = (),
                     num_partitions: int = 16):
     """Relational dedup: keep ONE row per distinct ``subset`` key — the row

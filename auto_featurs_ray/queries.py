@@ -2326,6 +2326,29 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_approx_top_k_events(sf_dir: str):
+    """Round-5 bounded-state heavy hitters in the EXACT regime (per-key
+    distinct <= capacity in every partial -> err = 0 and output equals the
+    exact operator, the same contract the KMV sketch oracle uses); the
+    truncated regime's error bound is property-tested in pytest."""
+    from auto_featurs_ray.datapipe.relational import approx_top_k_frequent
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['user_id', 'event_type'])
+    out = approx_top_k_frequent(ev, by=['user_id'], value_column='event_type',
+                                k=2, capacity=8, num_partitions=NUM_PARTITIONS)
+    return _finish(out, ['user_id', 'event_type', 'cnt', 'err', 'rnk'])
+
+
+SQL_APPROX_TOP_K_EVENTS = """
+SELECT user_id, event_type, cnt, CAST(0 AS BIGINT) AS err, rnk FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY count(*) DESC, event_type ASC) AS BIGINT) AS rnk
+  FROM events GROUP BY user_id, event_type
+) WHERE rnk <= 2
+"""
+
+
 def q_collect_set_events(sf_dir: str):
     """Round-5 collect_set: per-user sorted distinct event-type list (emitted
     to the gate as a joined string; the operator returns a real list column)."""
@@ -4527,6 +4550,7 @@ QUERIES = {
     'cume_dist_events': q_cume_dist_events,
     'sort_lineitem': q_sort_lineitem,
     'collect_set_events': q_collect_set_events,
+    'approx_top_k_events': q_approx_top_k_events,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4591,6 +4615,7 @@ ORACLE_SQL = {
     'cume_dist_events': SQL_CUME_DIST_EVENTS,
     'sort_lineitem': SQL_SORT_LINEITEM,
     'collect_set_events': SQL_COLLECT_SET_EVENTS,
+    'approx_top_k_events': SQL_APPROX_TOP_K_EVENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

@@ -1015,3 +1015,48 @@ class TestCollectSet:
                                 num_partitions=2).to_pandas().sort_values('g')
         got = [list(x) for x in out['v_collect_set']]
         assert got == [[-1.0, 5.0], [2.0]]
+
+
+class TestApproxTopKFrequent:
+    def test_exact_below_capacity(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import (approx_top_k_frequent,
+                                                          top_k_frequent)
+
+        rng = np.random.default_rng(13)
+        n = 800
+        g = rng.choice(['u1', 'u2'], n)
+        v = rng.choice([f'v{i}' for i in range(12)], n)
+        tbl = pa.table({'g': pa.array(g), 'v': pa.array(v)})
+        blocks = [tbl.slice(i, 111) for i in range(0, n, 111)]
+        exact = top_k_frequent(rd.from_arrow(blocks), by=['g'], value_column='v',
+                               k=3, num_partitions=3).to_pandas()
+        approx = approx_top_k_frequent(rd.from_arrow(blocks), by=['g'], value_column='v',
+                                       k=3, capacity=64, num_partitions=3).to_pandas()
+        exact = exact.sort_values(['g', 'rnk']).reset_index(drop=True)
+        approx = approx.sort_values(['g', 'rnk']).reset_index(drop=True)
+        assert (approx['err'] == 0).all()
+        assert approx[['g', 'v', 'cnt', 'rnk']].equals(exact[['g', 'v', 'cnt', 'rnk']])
+
+    def test_truncated_counts_within_err_bound(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.relational import approx_top_k_frequent
+
+        rng = np.random.default_rng(21)
+        n = 3000
+        # zipf-ish skew: true heavy hitters dominate
+        v = np.minimum(rng.zipf(1.4, n), 200)
+        g = np.repeat('k', n)
+        tbl = pa.table({'g': pa.array(g), 'v': pa.array(v.astype(np.int64))})
+        blocks = [tbl.slice(i, 250) for i in range(0, n, 250)]
+        out = approx_top_k_frequent(rd.from_arrow(blocks), by=['g'], value_column='v',
+                                    k=5, capacity=16, num_partitions=2).to_pandas()
+        true_counts = pd.Series(v).value_counts()
+        for r in out.itertuples():
+            true = int(true_counts.get(r.v, 0))
+            assert r.cnt <= true <= r.cnt + r.err, (r.v, r.cnt, r.err, true)
+        # the unambiguous top value is still found
+        assert int(out.sort_values('rnk').iloc[0]['v']) == int(true_counts.idxmax())
