@@ -70,7 +70,8 @@ BENCH_QUERIES = [
     # round-5 coverage queries
     'global_cumulative_orderstats_events', 'token_pair_counts_documents',
     'groupby_orderstats_lineitem', 'top_k_frequent_events', 'pca_embeddings',
-    'logreg_embeddings',
+    'logreg_embeddings', 'full_join_events_orders', 'cume_dist_events',
+    'sort_lineitem', 'collect_set_events', 'approx_top_k_events',
 ]
 
 
