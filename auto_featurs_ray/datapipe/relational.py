@@ -440,8 +440,8 @@ def sort_by(ds, *, keys: Sequence, num_partitions: int = 16,
     a handful of ints on the driver), making the total order verifiable by
     an order-insensitive hash (SQL ``row_number() OVER (ORDER BY ...) - 1``).
     Pass a unique tiebreak column for a deterministic total order.  The
-    leading key must be numeric or string (cast timestamps to int64
-    microseconds upstream — the engine's shared convention).
+    leading key may be numeric, string or timestamp (timestamps cut on
+    int64 microseconds — the engine's shared convention).
     """
     import ray
     import ray.data
@@ -458,11 +458,17 @@ def sort_by(ds, *, keys: Sequence, num_partitions: int = 16,
         raise ValueError('keys must name at least one sort column')
     lead, lead_dir = norm[0]
 
+    def _cuttable(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        # timestamps cut on int64 microseconds (shared engine convention)
+        if pa.types.is_timestamp(col.type):
+            return col.cast(pa.timestamp('us', tz=col.type.tz)).cast(pa.int64())
+        return col
+
     def sample(batch: pa.Table) -> pa.Table:
-        col = batch.column(lead).drop_null()
+        col = _cuttable(batch.column(lead)).drop_null()
         n = len(col)
         if n == 0:
-            return pa.table({'s': pa.array([], batch.schema.field(lead).type)})
+            return pa.table({'s': pa.array([], col.type)})
         stride = max(1, n // 16)
         return pa.table({'s': col.take(pa.array(range(0, n, stride)))[:16]})
 
@@ -484,7 +490,7 @@ def sort_by(ds, *, keys: Sequence, num_partitions: int = 16,
         block = _coalesce_split_input(blocks)
         if block.num_columns == 0:
             return tuple(block.slice(0, 0) for _ in range(num_spans))
-        col = block.column(lead)
+        col = _cuttable(block.column(lead))
         vals = col.to_pandas()
         import pandas as pd
         codes = np.searchsorted(np.asarray(cuts), vals.to_numpy(), side='right') \

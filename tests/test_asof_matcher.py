@@ -111,3 +111,40 @@ def test_asof_join_tolerance(ray_session):
                          tolerance=pd.Timedelta(microseconds=tol)).sort_values('lid')
     np.testing.assert_allclose(out['val'].to_numpy(dtype=np.float64),
                                want['val'].to_numpy(dtype=np.float64), equal_nan=True)
+
+
+# --- property-based conformance: random sides, tie-heavy timestamps, null
+# keys, both directions and exactness modes — the invariant is exact
+# equality with pd.merge_asof on every draw -------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def asof_sides(draw):
+    nl = draw(st.integers(1, 60))
+    nr = draw(st.integers(1, 60))
+    keyspace = ['a', 'b', None]
+    lkeys = draw(st.lists(st.sampled_from(keyspace), min_size=nl, max_size=nl))
+    rkeys = draw(st.lists(st.sampled_from(keyspace), min_size=nr, max_size=nr))
+    # coarse grid forces heavy ts ties on and across sides
+    lts = draw(st.lists(st.integers(0, 12), min_size=nl, max_size=nl))
+    rts = draw(st.lists(st.integers(0, 12), min_size=nr, max_size=nr))
+    direction = draw(st.sampled_from(['backward', 'forward']))
+    allow_exact = draw(st.booleans())
+    return lkeys, lts, rkeys, rts, direction, allow_exact
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(asof_sides())
+def test_matcher_property_conformance(case):
+    lkeys, lts, rkeys, rts, direction, allow_exact = case
+    lt = pa.table({'g': pa.array(pd.Series(lkeys, dtype=object))})
+    rt = pa.table({'g': pa.array(pd.Series(rkeys, dtype=object))})
+    lts_a = np.asarray(lts, dtype=np.int64)
+    rts_a = np.asarray(rts, dtype=np.int64)
+    got = _asof_match(lt, lts_a, rt, rts_a, direction, allow_exact=allow_exact)
+    want = _expected(['g'], lt, lts_a, rt, rts_a, direction, allow_exact)
+    np.testing.assert_array_equal(got, want)

@@ -1060,3 +1060,18 @@ class TestApproxTopKFrequent:
             assert r.cnt <= true <= r.cnt + r.err, (r.v, r.cnt, r.err, true)
         # the unambiguous top value is still found
         assert int(out.sort_values('rnk').iloc[0]['v']) == int(true_counts.idxmax())
+
+
+def test_sort_by_timestamp_leading_key():
+    import ray.data as rd
+
+    from auto_featurs_ray.datapipe.relational import sort_by
+
+    rng = np.random.default_rng(17)
+    n = 300
+    ts = rng.integers(0, 10**9, n).astype('datetime64[us]')
+    tbl = pa.table({'ts': pa.array(ts), 'rid': pa.array(np.arange(n, dtype=np.int64))})
+    out = sort_by(rd.from_arrow([tbl.slice(i, 40) for i in range(0, n, 40)]),
+                  keys=['ts', 'rid'], num_partitions=4,
+                  position_column='pos').to_pandas().sort_values('pos')
+    assert (out['ts'].to_numpy() == np.sort(ts)).all()
