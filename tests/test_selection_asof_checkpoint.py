@@ -311,8 +311,9 @@ class TestHashJoin:
 
     def test_invalid_how(self):
         from auto_featurs_ray.engine.join import hash_join
+        # 'full' became a supported join type in round 5; 'cross' is not one
         with pytest.raises(ValueError):
-            hash_join(None, None, on=['k'], how='full')
+            hash_join(None, None, on=['k'], how='cross')
 
     def test_mismatched_key_widths_still_match(self):
         # int32 vs int64 keys (incl. negatives, whose two's-complement views
