@@ -349,3 +349,72 @@ def test_relational_layer_matches_pandas(case):
     exp_top = (df.sort_values(['g', 'o', 'id']).groupby('g', sort=True).head(3)
                .sort_values(['g', 'o', 'id']).reset_index(drop=True))
     np.testing.assert_array_equal(top['id'].to_numpy(), exp_top['id'].to_numpy())
+
+
+@st.composite
+def agg_frames(draw):
+    n = draw(st.integers(min_value=3, max_value=60))
+    keys = draw(st.lists(st.sampled_from(['a', 'b', None, 'hot']), min_size=n, max_size=n))
+    values = draw(st.lists(st.one_of(st.none(),
+                                     st.floats(-50, 50, allow_nan=False)
+                                     .map(lambda v: round(v, 2))),
+                           min_size=n, max_size=n))
+    num_blocks = draw(st.integers(1, 4))
+    num_partitions = draw(st.integers(1, 5))
+    return keys, values, num_blocks, num_partitions
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large])
+@given(agg_frames())
+def test_groupby_aggregate_property_conformance(case):
+    """Random null-heavy frames through the two-phase relational aggregate
+    (incl. the round-5 var/std/median/quantile/collect_set additions) must
+    match a pandas oracle for ANY block x partition layout."""
+    import ray.data as rd
+
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+
+    keys, values, num_blocks, num_partitions = case
+    n = len(keys)
+    tbl = pa.table({'g': pa.array(pd.Series(keys, dtype=object)),
+                    'v': pa.array(values, pa.float64())})
+    step = max(1, -(-n // num_blocks))
+    ds = rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)])
+    out = groupby_aggregate(
+        ds, by=['g'],
+        aggs={'v': ['count', 'sum', 'mean', 'min', 'max', 'count_distinct',
+                    'var', 'std', 'median', 'quantile_25', 'collect_set'],
+              '*': ['count']},
+        num_partitions=num_partitions).to_pandas()
+    out = out.sort_values('g', na_position='first').reset_index(drop=True)
+
+    df = pd.DataFrame({'g': keys, 'v': values}, dtype=object)
+    df['v'] = df['v'].astype(np.float64)
+    grouped = df.groupby('g', dropna=False)['v']
+    want = pd.DataFrame({
+        'count': grouped.count(), 'sum': grouped.sum(min_count=1),
+        'mean': grouped.mean(), 'min': grouped.min(), 'max': grouped.max(),
+        'nd': grouped.nunique(), 'var': grouped.var(ddof=1), 'std': grouped.std(ddof=1),
+        'median': grouped.median(), 'q25': grouped.quantile(0.25),
+        'n_rows': df.groupby('g', dropna=False)['v'].size(),
+    }).sort_index(na_position='first').reset_index()
+
+    assert len(out) == len(want)
+    np.testing.assert_array_equal(out['v_count'].to_numpy(), want['count'].to_numpy())
+    np.testing.assert_array_equal(out['n_rows'].to_numpy(), want['n_rows'].to_numpy())
+    np.testing.assert_array_equal(out['v_count_distinct'].to_numpy(), want['nd'].to_numpy())
+    for eng, ref in (('v_sum', 'sum'), ('v_mean', 'mean'), ('v_min', 'min'),
+                     ('v_max', 'max'), ('v_var', 'var'), ('v_std', 'std'),
+                     ('v_median', 'median'), ('v_quantile_25', 'q25')):
+        np.testing.assert_allclose(out[eng].to_numpy(dtype=np.float64),
+                                   want[ref].to_numpy(dtype=np.float64),
+                                   rtol=1e-9, atol=1e-12, equal_nan=True,
+                                   err_msg=eng)
+    # collect_set: sorted distinct valid values per group, aligned BY KEY
+    # (pandas groupby iterates NaN keys last; the output sorts them first)
+    expect_by_key = {('<null>' if pd.isna(k) else k): sorted(set(sub.dropna().tolist()))
+                     for k, sub in df.groupby('g', dropna=False)['v']}
+    for k, lst in zip(out['g'], out['v_collect_set']):
+        key = '<null>' if pd.isna(k) else k
+        assert list(lst) == expect_by_key[key], key
