@@ -2326,6 +2326,42 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_trending_types_events(sf_dir: str):
+    """Round-5 COMPOSITION query: daily trending event types = a row-local
+    date derivation feeding the per-group heavy-hitter cut (top-2 types per
+    calendar day) — operator interop under one hash gate."""
+    from auto_featurs_ray.datapipe.relational import top_k_frequent
+    ev = ray.data.read_parquet(os.path.join(sf_dir, 'events.parquet'),
+                               columns=['ts', 'event_type'])
+
+    def derive_day(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts')
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp('us', tz=ts.type.tz))
+        day = pc.cast(pc.floor_temporal(ts, unit='day'), pa.date32())
+        return pa.table({'day': day, 'event_type': batch.column('event_type')})
+
+    days = ev.map_batches(derive_day, batch_format='pyarrow', zero_copy_batch=True)
+    out = top_k_frequent(days, by=['day'], value_column='event_type', k=2,
+                         num_partitions=NUM_PARTITIONS)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(batch.column_names.index('day'), 'day',
+                                batch.column('day').cast(pa.string()))
+
+    return out.map_batches(finish, batch_format='pyarrow', zero_copy_batch=True)
+
+
+SQL_TRENDING_TYPES_EVENTS = """
+SELECT CAST(day AS VARCHAR) AS day, event_type, cnt, rnk FROM (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(row_number() OVER (PARTITION BY CAST(ts AS DATE)
+              ORDER BY count(*) DESC, event_type ASC) AS BIGINT) AS rnk
+  FROM events GROUP BY CAST(ts AS DATE), event_type
+) WHERE rnk <= 2
+"""
+
+
 def q_approx_top_k_events(sf_dir: str):
     """Round-5 bounded-state heavy hitters in the EXACT regime (per-key
     distinct <= capacity in every partial -> err = 0 and output equals the
@@ -4551,6 +4587,7 @@ QUERIES = {
     'sort_lineitem': q_sort_lineitem,
     'collect_set_events': q_collect_set_events,
     'approx_top_k_events': q_approx_top_k_events,
+    'trending_types_events': q_trending_types_events,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4616,6 +4653,7 @@ ORACLE_SQL = {
     'sort_lineitem': SQL_SORT_LINEITEM,
     'collect_set_events': SQL_COLLECT_SET_EVENTS,
     'approx_top_k_events': SQL_APPROX_TOP_K_EVENTS,
+    'trending_types_events': SQL_TRENDING_TYPES_EVENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,
