@@ -35,3 +35,33 @@ def test_flagship_cli_runs_and_writes_sink(tmp_path):
     # lineage metrics present per partition
     manifest = json.load(open(manifests[0]))
     assert {'rows', 'sha256', 'wall_time_s'} <= set(manifest)
+
+
+def test_bench_query_list_is_valid():
+    """Every BENCH_QUERIES name must exist in the registry — a typo would
+    crash the driver's per-round benchmark run."""
+    import importlib.util
+
+    from auto_featurs_ray.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        'bench', os.path.join(os.path.dirname(os.path.dirname(__file__)), 'bench.py'))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [q for q in bench.BENCH_QUERIES if q not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_driver_window_composition():
+    """The first 50 QUERIES (the driver correctness window) must all carry
+    oracles, and the round-5 / previously-unattested queries must be inside."""
+    from auto_featurs_ray.queries import ORACLE_SQL, QUERIES
+
+    window = list(QUERIES)[:50]
+    missing_oracles = [q for q in window if q not in ORACLE_SQL and q != 'resumable_sink']
+    assert not missing_oracles, missing_oracles
+    for must in ('global_cumulative_orderstats_events', 'weighted_share_lineitem',
+                 'minhash_dedup_documents', 'fingerprint_documents',
+                 'token_ops', 'flagship_tokens', 'approx_distinct_events'):
+        assert must in window, must
