@@ -390,3 +390,38 @@ def pca_project(ds, *, embedding_column: str = 'embedding',
         return pa.table(out)
 
     return ds.map_batches(project, batch_format='pyarrow', zero_copy_batch=True), fit
+
+
+def kmeans_cluster(ds, *, embedding_column: str = 'embedding',
+                   id_column: str = 'vec_id', num_clusters: int = 8,
+                   iterations: int = 10, seed: int = 3,
+                   train_sample: int = 2048):
+    """First-class embedding clustering (SemDeDup-style bucketing, corpus
+    stratification, IVF coarse quantization exposed as an operator): fit the
+    deterministic Lloyd quantizer on a bounded driver sample, broadcast the
+    centroids once, assign every row in a stateless ``map_batches``.
+
+    Returns ``(assigned_ds, centroids)`` where ``assigned_ds`` has columns
+    ``(id_column, cluster: int64)`` and ``centroids`` is the (k, dim) float64
+    array.  Assignment is by max cosine against unit centroids — identical to
+    the IVF coarse quantizer, so persisted IVF buckets and these cluster ids
+    agree for the same (k, seed, sample).
+    """
+    import ray
+
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.stack([np.asarray(r[embedding_column], dtype=np.float64)
+                       for r in sample_rows])
+    quantizer = KMeansQuantizer(num_centroids=num_clusters, iterations=iterations,
+                                seed=seed).fit(sample)
+    handle = ray.put(quantizer.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centroids = ray.get(handle)
+        emb = _embedding_matrix(batch.column(embedding_column))
+        cluster = np.argmax(_unit(emb) @ centroids.T, axis=1).astype(np.int64)
+        return pa.table({id_column: batch.column(id_column),
+                         'cluster': pa.array(cluster)})
+
+    return ds.map_batches(assign, batch_format='pyarrow', zero_copy_batch=True), \
+        quantizer.centroids

@@ -2326,6 +2326,24 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Round-5 first-class embedding clustering: the deterministic Lloyd
+    quantizer (same fit the IVF index uses) exposed as an operator; the pin
+    freezes the first 30 assignments (full fit + assignment path)."""
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+    from auto_featurs_ray.datapipe.similarity import kmeans_cluster
+    emb = ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'),
+                                columns=['vec_id', 'embedding'])
+    assigned, _centroids = kmeans_cluster(emb, num_clusters=8)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column('vec_id'), 30)
+        return pa.table({'vec_id': batch.column('vec_id').filter(keep),
+                         'cluster': batch.column('cluster').filter(keep)})
+
+    return assigned.map_batches(cut, batch_format='pyarrow', zero_copy_batch=True)
+
+
 def q_pagerank_events(sf_dir: str):
     """Round-5 distributed PageRank over the per-user event-type TRANSITION
     graph (edges = consecutive event types of the same user in time order,
@@ -4630,6 +4648,7 @@ QUERIES = {
     'approx_top_k_events': q_approx_top_k_events,
     'trending_types_events': q_trending_types_events,
     'pagerank_events': q_pagerank_events,
+    'kmeans_embeddings': q_kmeans_embeddings,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---

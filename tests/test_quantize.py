@@ -102,3 +102,29 @@ class TestPcaProject:
                         'embedding': pa.array([[1.0, 2.0]], pa.list_(pa.float64()))})
         with pytest.raises(ValueError, match='>= 2 rows'):
             pca_project(rd.from_arrow(tbl), k=1)
+
+
+class TestKmeansCluster:
+    def test_deterministic_and_agrees_with_quantizer(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.similarity import (KMeansQuantizer,
+                                                          kmeans_cluster)
+
+        rng = np.random.default_rng(15)
+        n, dim = 300, 8
+        emb = rng.standard_normal((n, dim))
+        tbl = pa.table({'vec_id': pa.array(range(n), pa.int64()),
+                        'embedding': pa.array(list(emb), pa.list_(pa.float64()))})
+        blocks = [tbl.slice(i, 70) for i in range(0, n, 70)]
+        a1, c1 = kmeans_cluster(rd.from_arrow(blocks), num_clusters=6)
+        a2, c2 = kmeans_cluster(rd.from_arrow(blocks), num_clusters=6)
+        d1 = a1.to_pandas().sort_values('vec_id').reset_index(drop=True)
+        d2 = a2.to_pandas().sort_values('vec_id').reset_index(drop=True)
+        assert d1.equals(d2)
+        np.testing.assert_array_equal(c1, c2)
+        # assignments match the quantizer applied directly
+        q = KMeansQuantizer(num_centroids=6).fit(emb[:300])
+        # fit sample = limit(2048) = all rows in block order == emb order
+        np.testing.assert_array_equal(d1['cluster'].to_numpy(), q.assign(emb))
+        assert set(d1['cluster']) == set(range(6)) or len(set(d1['cluster'])) >= 4
