@@ -944,3 +944,117 @@ def embedding_duplicates(ds, *, embedding_column: str, id_column: str,
     if pairs.count() == 0:
         return pd.DataFrame({'id': [], 'cluster_id': []})
     return _cluster_frame(pairs, cc='auto')
+
+
+def build_content_index(ds, *, text_column: str = 'text', index_dir: str,
+                        num_buckets: int = 64, normalize: bool = True) -> int:
+    """Persist the corpus's dual-64-bit content-hash set as BUCKETED parquet
+    (``bucket = h1 mod num_buckets``, one directory per bucket) — the
+    incremental-ingest dedup index: a later batch of NEW documents is
+    filtered against the historical corpus WITHOUT touching the corpus
+    itself (see :class:`IndexedDedupFilter`).  Returns the number of distinct
+    hash pairs indexed.  Bucketing is what scales: a filter task reads only
+    the buckets its batch actually hits, never the whole index.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    if num_buckets < 1:
+        raise ValueError(f'num_buckets must be >= 1, got {num_buckets}')
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = _content_hash_batch(batch.column(text_column).to_pandas(), normalize)
+        bucket = (h1.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({'h1': pa.array(h1), 'h2': pa.array(h2),
+                         'bucket': pa.array(bucket)})
+
+    total = 0
+
+    def write_bucket(table: pa.Table, pid: int) -> pa.Table:
+        if table.num_rows == 0 or table.num_columns == 0:
+            return pa.table({'bucket': pa.array([], pa.int64()),
+                             'n': pa.array([], pa.int64())})
+        out_rows = []
+        # one partition may hold several buckets; dedupe and write each
+        for b in pc.unique(table.column('bucket')).to_pylist():
+            sub = table.filter(pc.equal(table.column('bucket'), b)).select(['h1', 'h2'])
+            sub = sub.take(pc.sort_indices(sub, sort_keys=[('h1', 'ascending'),
+                                                           ('h2', 'ascending')]))
+            h1 = sub.column('h1').to_numpy(zero_copy_only=False)
+            h2 = sub.column('h2').to_numpy(zero_copy_only=False)
+            if len(h1) > 1:
+                first = np.concatenate(([True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])))
+                sub = sub.filter(pa.array(first))
+            os.makedirs(os.path.join(index_dir, f'bucket={b}'), exist_ok=True)
+            pq.write_table(sub, os.path.join(index_dir, f'bucket={b}', 'part.parquet'))
+            out_rows.append((int(b), sub.num_rows))
+        return pa.table({'bucket': pa.array([r[0] for r in out_rows], pa.int64()),
+                         'n': pa.array([r[1] for r in out_rows], pa.int64())})
+
+    hashed = ds.map_batches(hash_batch, batch_format='pyarrow')
+    counts = shuffle_map_partitions(hashed, ['bucket'], min(num_buckets, 32),
+                                    write_bucket).to_pandas()
+    total = int(counts['n'].sum())
+    return total
+
+
+class IndexedDedupFilter:
+    """Actor-pool stage: drop batch rows whose content hash is in a persisted
+    :func:`build_content_index` — incremental-ingest dedup of NEW documents
+    against the historical corpus.  The actor lazily loads only the hash
+    buckets its batches touch and CACHES them across batches (``__init__``
+    holds the cache; the canonical stateful ``map_batches(Cls,
+    concurrency=N)`` pattern), so a pool of K actors holds at most the
+    touched fraction of the index, once each, regardless of batch count.
+    """
+
+    def __init__(self, index_dir: str, *, text_column: str = 'text',
+                 num_buckets: int = 64, normalize: bool = True) -> None:
+        self._dir = index_dir
+        self._text = text_column
+        self._buckets = num_buckets
+        self._normalize = normalize
+        self._cache: dict = {}
+
+    def _bucket_set(self, b: int) -> set:
+        got = self._cache.get(b)
+        if got is None:
+            import os
+
+            import pyarrow.parquet as pq
+            path = os.path.join(self._dir, f'bucket={b}', 'part.parquet')
+            if os.path.exists(path):
+                t = pq.read_table(path)
+                got = set(zip(t.column('h1').to_pylist(), t.column('h2').to_pylist()))
+            else:
+                got = set()
+            self._cache[b] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h1, h2 = _content_hash_batch(batch.column(self._text).to_pandas(),
+                                     self._normalize)
+        buckets = (h1.view(np.uint64) % np.uint64(self._buckets)).astype(np.int64)
+        keep = np.ones(len(h1), dtype=bool)
+        for b in np.unique(buckets):
+            idx = np.flatnonzero(buckets == b)
+            seen = self._bucket_set(int(b))
+            if seen:
+                keep[idx] = [(int(h1[i]), int(h2[i])) not in seen for i in idx]
+        return batch.filter(pa.array(keep))
+
+
+def filter_against_index(ds, *, index_dir: str, text_column: str = 'text',
+                         num_buckets: int = 64, normalize: bool = True,
+                         concurrency: int = 4):
+    """New-batch incremental dedup: ``map_batches`` over an
+    :class:`IndexedDedupFilter` actor pool (bucket cache in ``__init__``,
+    filtering in ``__call__``)."""
+    return ds.map_batches(
+        IndexedDedupFilter,
+        fn_constructor_kwargs={'index_dir': index_dir, 'text_column': text_column,
+                               'num_buckets': num_buckets, 'normalize': normalize},
+        batch_format='pyarrow', concurrency=concurrency, num_cpus=1)

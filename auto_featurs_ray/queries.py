@@ -2326,6 +2326,45 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_incremental_dedup_documents(sf_dir: str):
+    """Round-5 incremental-ingest dedup: even-id documents are indexed as the
+    historical corpus (bucketed content-hash parquet); odd-id documents are
+    the NEW batch, filtered against the index by the stateful actor pool
+    (bucket cache in ``__init__``) — the corpus itself is never re-read.
+    SQL replays via normalized-text anti-join (dual-64-bit hashing is
+    collision-free at oracle scale)."""
+    import tempfile
+
+    from auto_featurs_ray.datapipe.dedup import build_content_index, filter_against_index
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+
+    def _half(parity: int):
+        def pick(batch: pa.Table) -> pa.Table:
+            ids = batch.column('doc_id').cast(pa.int64())
+            return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+        return pick
+
+    old = docs.map_batches(_half(0), batch_format='pyarrow', zero_copy_batch=True)
+    new = docs.map_batches(_half(1), batch_format='pyarrow', zero_copy_batch=True)
+    index_dir = tempfile.mkdtemp(prefix='afr_cidx_')
+    build_content_index(old, index_dir=index_dir, num_buckets=16)
+    out = filter_against_index(new, index_dir=index_dir, num_buckets=16,
+                               concurrency=2)
+    return out.select_columns(['doc_id'])
+
+
+SQL_INCREMENTAL_DEDUP_DOCUMENTS = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT n.doc_id FROM norm n
+WHERE n.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM norm o WHERE o.doc_id % 2 = 0 AND o.t = n.t)
+"""
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Round-5 first-class embedding clustering: the deterministic Lloyd
     quantizer (same fit the IVF index uses) exposed as an operator; the pin
@@ -4649,6 +4688,7 @@ QUERIES = {
     'trending_types_events': q_trending_types_events,
     'pagerank_events': q_pagerank_events,
     'kmeans_embeddings': q_kmeans_embeddings,
+    'incremental_dedup_documents': q_incremental_dedup_documents,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4715,6 +4755,7 @@ ORACLE_SQL = {
     'collect_set_events': SQL_COLLECT_SET_EVENTS,
     'approx_top_k_events': SQL_APPROX_TOP_K_EVENTS,
     'trending_types_events': SQL_TRENDING_TYPES_EVENTS,
+    'incremental_dedup_documents': SQL_INCREMENTAL_DEDUP_DOCUMENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

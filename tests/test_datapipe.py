@@ -1075,3 +1075,39 @@ def test_sort_by_timestamp_leading_key():
                   keys=['ts', 'rid'], num_partitions=4,
                   position_column='pos').to_pandas().sort_values('pos')
     assert (out['ts'].to_numpy() == np.sort(ts)).all()
+
+
+class TestIncrementalDedupIndex:
+    def test_filter_new_batch_against_corpus(self, tmp_path):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.dedup import (build_content_index,
+                                                     filter_against_index)
+
+        corpus = pa.table({'doc_id': pa.array(range(6), pa.int64()),
+                           'text': pa.array(['alpha beta', 'gamma', 'delta eps',
+                                             'alpha   beta', 'zeta', 'eta'])})
+        index_dir = str(tmp_path / 'cidx')
+        n = build_content_index(rd.from_arrow(corpus), index_dir=index_dir,
+                                num_buckets=8)
+        assert n == 5  # 'alpha beta' and 'alpha   beta' normalize to one hash
+
+        new = pa.table({'doc_id': pa.array([10, 11, 12, 13], pa.int64()),
+                        'text': pa.array(['gamma', 'brand new doc', 'alpha beta',
+                                          'another new one'])})
+        out = filter_against_index(rd.from_arrow([new.slice(0, 2), new.slice(2, 2)]),
+                                   index_dir=index_dir, num_buckets=8,
+                                   concurrency=2).to_pandas()
+        assert sorted(out['doc_id']) == [11, 13]
+
+    def test_empty_index_keeps_everything(self, tmp_path):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.dedup import filter_against_index
+
+        new = pa.table({'doc_id': pa.array([1, 2], pa.int64()),
+                        'text': pa.array(['a', 'b'])})
+        out = filter_against_index(rd.from_arrow(new),
+                                   index_dir=str(tmp_path / 'none'),
+                                   num_buckets=4).to_pandas()
+        assert sorted(out['doc_id']) == [1, 2]
