@@ -65,12 +65,14 @@ def resumable_write(ds, out_dir: str, *, key_columns: Sequence[str],
             checksum = hashlib.sha256(fh.read()).hexdigest()
         os.replace(tmp_file, data_file)
 
+        wall = time.monotonic() - start
         record = {
             'partition_id': partition_id,
             'rows': table.num_rows,
             'bytes': os.path.getsize(data_file),
             'sha256': checksum,
-            'wall_time_s': round(time.monotonic() - start, 4),
+            'wall_time_s': round(wall, 4),
+            'rows_per_sec': round(table.num_rows / wall, 1) if wall > 0 else None,
             'skipped': False,
         }
         tmp_manifest = manifest_file + f'.tmp.{os.getpid()}'
@@ -80,6 +82,7 @@ def resumable_write(ds, out_dir: str, *, key_columns: Sequence[str],
         return pa.table({'manifest': [json.dumps(record)]})
 
     from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+    job_start = time.monotonic()
     rows = shuffle_map_partitions(ds, key_columns, num_partitions, write_partition).take_all()
     records = [json.loads(r['manifest']) for r in rows]
 
@@ -87,6 +90,24 @@ def resumable_write(ds, out_dir: str, *, key_columns: Sequence[str],
         fresh = [r for r in records if not r.get('skipped')]
         if len(fresh) > fail_after:
             raise RuntimeError(f'injected failure after {fail_after} partitions')
+
+    # job-level lineage summary (north rule: row-count/throughput metrics):
+    # totals + run throughput, re-written on every run incl. resumes
+    job_wall = time.monotonic() - job_start
+    fresh_rows = sum(r['rows'] for r in records if not r.get('skipped'))
+    summary = {
+        'partitions': len(records),
+        'partitions_written': sum(1 for r in records if not r.get('skipped')),
+        'partitions_skipped': sum(1 for r in records if r.get('skipped')),
+        'rows_total': sum(r['rows'] for r in records),
+        'bytes_total': sum(r.get('bytes', 0) for r in records),
+        'run_wall_time_s': round(job_wall, 4),
+        'run_rows_per_sec': round(fresh_rows / job_wall, 1) if job_wall > 0 else None,
+    }
+    tmp = os.path.join(out_dir, '_manifest', f'_summary.json.tmp.{os.getpid()}')
+    with open(tmp, 'w') as fh:
+        json.dump(summary, fh)
+    os.replace(tmp, os.path.join(out_dir, '_manifest', '_summary.json'))
     return sorted(records, key=lambda r: r['partition_id'])
 
 

@@ -357,3 +357,26 @@ class TestDedupeMaxNullKeys:
         out2 = _dedupe_max(t2, ['k'], 'ts', 'v').to_pandas()
         got2 = {(None if pd.isna(k) else k): v for k, v in zip(out2['k'], out2['v'])}
         assert got2 == {'a': 2.0, None: 4.0}
+
+
+def test_resumable_write_job_summary(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_featurs_ray.engine.checkpoint import resumable_write
+
+    tbl = pa.table({'k': ['a', 'b', 'c', 'a'], 'v': [1.0, 2.0, 3.0, 4.0]})
+    out_dir = str(tmp_path / 'sink')
+    records = resumable_write(rd.from_arrow(tbl), out_dir, key_columns=['k'],
+                              num_partitions=4)
+    assert all('rows_per_sec' in r for r in records if not r['skipped'])
+    summary = json.load(open(os.path.join(out_dir, '_manifest', '_summary.json')))
+    assert summary['rows_total'] == 4
+    assert summary['partitions'] == 4
+    assert summary['partitions_written'] == 4 and summary['partitions_skipped'] == 0
+    assert summary['run_rows_per_sec'] is not None
+    # resume: everything skips, summary reflects it
+    resumable_write(rd.from_arrow(tbl), out_dir, key_columns=['k'], num_partitions=4)
+    summary2 = json.load(open(os.path.join(out_dir, '_manifest', '_summary.json')))
+    assert summary2['partitions_skipped'] == 4 and summary2['partitions_written'] == 0
+    assert summary2['rows_total'] == 4
