@@ -72,7 +72,8 @@ BENCH_QUERIES = [
     'groupby_orderstats_lineitem', 'top_k_frequent_events', 'pca_embeddings',
     'logreg_embeddings', 'full_join_events_orders', 'cume_dist_events',
     'sort_lineitem', 'collect_set_events', 'approx_top_k_events',
-    'trending_types_events', 'pagerank_events',
+    'trending_types_events', 'pagerank_events', 'kmeans_embeddings',
+    'incremental_dedup_documents',
 ]
 
 
