@@ -878,3 +878,30 @@ def bm25_score(ds, *, text_column: str, id_column: str, query_terms: Sequence[st
                          'bm25': pa.array(np.round(s + 1e-9, 6), mask=wordless)})
 
     return ds.map_batches(score, batch_format='pyarrow')
+
+
+def normalize_text(ds, *, text_column: str = 'text', out_column: str = 'text_norm',
+                   lowercase: bool = True, collapse_whitespace: bool = True,
+                   strip_punctuation: bool = False):
+    """CCNet-style text normalization as an explicit stage (the
+    preprocessing most dedup/LM-scoring recipes assume): optional lowercase,
+    punctuation stripping (ASCII punctuation -> space) and whitespace
+    collapse+trim, appended as ``out_column``.  Pure Arrow compute kernels
+    (``utf8_lower`` / ``replace_substring_regex``), stateless per batch — no
+    shuffle, embarrassingly parallel; SQL replays with ``lower`` +
+    ``regexp_replace`` + ``trim``.  Null text stays null.
+    """
+    import pyarrow.compute as _pc
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column).cast(pa.string())
+        if lowercase:
+            col = _pc.utf8_lower(col)
+        if strip_punctuation:
+            col = _pc.replace_substring_regex(col, r'[!-/:-@\[-`{-~]', ' ')
+        if collapse_whitespace:
+            col = _pc.replace_substring_regex(col, r'\s+', ' ')
+            col = _pc.utf8_trim_whitespace(col)
+        return batch.append_column(out_column, col)
+
+    return ds.map_batches(normalize, batch_format='pyarrow', zero_copy_batch=True)

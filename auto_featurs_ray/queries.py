@@ -2326,6 +2326,26 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_normalize_documents(sf_dir: str):
+    """Round-5 explicit text-normalization stage (lowercase + punctuation->
+    space + whitespace collapse) — the CCNet-style preprocessing most dedup
+    and LM-scoring recipes assume, SQL-replayable kernel for kernel."""
+    from auto_featurs_ray.datapipe.textstats import normalize_text
+    docs = ray.data.read_parquet(os.path.join(sf_dir, 'documents.parquet'),
+                                 columns=['doc_id', 'text'])
+    out = normalize_text(docs, strip_punctuation=True)
+    return out.select_columns(['doc_id', 'text_norm'])
+
+
+SQL_NORMALIZE_DOCUMENTS = """
+SELECT doc_id,
+       trim(regexp_replace(
+            regexp_replace(lower(text), '[!-/:-@\\[-`{-~]', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def q_incremental_dedup_documents(sf_dir: str):
     """Round-5 incremental-ingest dedup: even-id documents are indexed as the
     historical corpus (bucketed content-hash parquet); odd-id documents are
@@ -4689,6 +4709,7 @@ QUERIES = {
     'pagerank_events': q_pagerank_events,
     'kmeans_embeddings': q_kmeans_embeddings,
     'incremental_dedup_documents': q_incremental_dedup_documents,
+    'normalize_documents': q_normalize_documents,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---
@@ -4756,6 +4777,7 @@ ORACLE_SQL = {
     'approx_top_k_events': SQL_APPROX_TOP_K_EVENTS,
     'trending_types_events': SQL_TRENDING_TYPES_EVENTS,
     'incremental_dedup_documents': SQL_INCREMENTAL_DEDUP_DOCUMENTS,
+    'normalize_documents': SQL_NORMALIZE_DOCUMENTS,
     'arithmetic_lineitem': SQL_ARITHMETIC_LINEITEM,
     'seasonal_orders': SQL_SEASONAL_ORDERS,
     'text_counts_documents': SQL_TEXT_COUNTS_DOCUMENTS,

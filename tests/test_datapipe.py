@@ -1111,3 +1111,19 @@ class TestIncrementalDedupIndex:
                                    index_dir=str(tmp_path / 'none'),
                                    num_buckets=4).to_pandas()
         assert sorted(out['doc_id']) == [1, 2]
+
+
+def test_normalize_text_stage():
+    import ray.data as rd
+
+    from auto_featurs_ray.datapipe.textstats import normalize_text
+
+    tbl = pa.table({'doc_id': pa.array([0, 1, 2], pa.int64()),
+                    'text': pa.array(['  Hello,   WORLD!  ', None, 'a\tb\nc'])})
+    out = normalize_text(rd.from_arrow(tbl), strip_punctuation=True) \
+        .to_pandas().sort_values('doc_id')
+    assert out['text_norm'].tolist()[0] == 'hello world'
+    assert out['text_norm'].isna().tolist() == [False, True, False]
+    assert out['text_norm'].tolist()[2] == 'a b c'
+    # original column untouched
+    assert out['text'].tolist()[0] == '  Hello,   WORLD!  '
