@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -104,7 +105,8 @@ def knn_ivf(ds, *, embedding_column: str, id_column: str, queries: np.ndarray,
             k: int = 10, num_centroids: int = 16, nprobe: int = 4,
             train_sample: int = 2048) -> pd.DataFrame:
     """IVF-pruned cosine top-k: probe only the ``nprobe`` closest centroid buckets."""
-    sample_rows = ds.limit(train_sample).take_all()
+    sample_rows = sorted(ds.limit(train_sample).take_all(),
+                         key=lambda r: r[id_column])  # block order is run-varying
     sample = np.stack([np.asarray(r[embedding_column], dtype=np.float64) for r in sample_rows])
     quantizer = KMeansQuantizer(num_centroids=num_centroids).fit(sample)
 
@@ -155,7 +157,8 @@ def build_ivf_index(ds, *, embedding_column: str, id_column: str, index_dir: str
     """
     import os
 
-    sample_rows = ds.limit(train_sample).take_all()
+    sample_rows = sorted(ds.limit(train_sample).take_all(),
+                         key=lambda r: r[id_column])  # block order is run-varying
     sample = np.stack([np.asarray(r[embedding_column], dtype=np.float64) for r in sample_rows])
     quantizer = KMeansQuantizer(num_centroids=num_centroids, iterations=iterations, seed=seed).fit(sample)
     cref = ray.put(quantizer.centroids)
@@ -409,7 +412,8 @@ def kmeans_cluster(ds, *, embedding_column: str = 'embedding',
     """
     import ray
 
-    sample_rows = ds.limit(train_sample).take_all()
+    sample_rows = sorted(ds.limit(train_sample).take_all(),
+                         key=lambda r: r[id_column])  # block order is run-varying
     sample = np.stack([np.asarray(r[embedding_column], dtype=np.float64)
                        for r in sample_rows])
     quantizer = KMeansQuantizer(num_centroids=num_clusters, iterations=iterations,
@@ -425,3 +429,72 @@ def kmeans_cluster(ds, *, embedding_column: str = 'embedding',
 
     return ds.map_batches(assign, batch_format='pyarrow', zero_copy_batch=True), \
         quantizer.centroids
+
+
+def semdedup(ds, *, embedding_column: str = 'embedding', id_column: str = 'vec_id',
+             num_clusters: int = 16, threshold: float = 0.95,
+             iterations: int = 10, seed: int = 3, train_sample: int = 2048,
+             num_partitions: int = 16):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means bucketing +
+    WITHIN-cluster pairwise-cosine pruning — the embedding analogue of
+    LSH-banded MinHash: the O(n^2) comparison collapses to O(sum c_k^2) over
+    cluster sizes, and each cluster resolves inside one reduce task.
+
+    Pipeline: the deterministic Lloyd fit (same as :func:`kmeans_cluster`)
+    assigns clusters inside ``map_batches``; one cluster-keyed exchange
+    co-locates each cluster; the reduce sorts by id and drops every row
+    whose cosine to an EARLIER-id row of the same cluster is
+    ``>= threshold`` (keep-min-id, the engine's dedup convention).  Returns
+    the SURVIVING ``(id_column, cluster)`` rows.  Choose ``num_clusters`` so
+    a cluster's gram matrix fits a task (SemDeDup's own knob); cross-cluster
+    near-dups are out of contract exactly as in the paper.
+    """
+    import ray
+
+    from auto_featurs_ray.engine.runtime import shuffle_map_partitions
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f'threshold must be in (0, 1], got {threshold}')
+    sample_rows = sorted(ds.limit(train_sample).take_all(),
+                         key=lambda r: r[id_column])  # block order is run-varying
+    sample = np.stack([np.asarray(r[embedding_column], dtype=np.float64)
+                       for r in sample_rows])
+    quantizer = KMeansQuantizer(num_centroids=num_clusters, iterations=iterations,
+                                seed=seed).fit(sample)
+    handle = ray.put(quantizer.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centroids = ray.get(handle)
+        emb = _embedding_matrix(batch.column(embedding_column))
+        cluster = np.argmax(_unit(emb) @ centroids.T, axis=1).astype(np.int64)
+        return pa.table({id_column: batch.column(id_column),
+                         'cluster': pa.array(cluster),
+                         embedding_column: batch.column(embedding_column)})
+
+    def prune(table: pa.Table, _pid: int) -> pa.Table:
+        empty = pa.table({id_column: pa.array([], pa.int64()),
+                          'cluster': pa.array([], pa.int64())})
+        if table.num_rows == 0 or table.num_columns == 0:
+            return empty
+        table = table.take(pc.sort_indices(table, sort_keys=[
+            ('cluster', 'ascending'), (id_column, 'ascending')]))
+        clusters = table.column('cluster').to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(table.column(embedding_column))
+        ids = table.column(id_column)
+        keep = np.ones(len(clusters), dtype=bool)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(clusters) != 0) + 1,
+                                 [len(clusters)]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            u = _unit(emb[s:e])
+            sims = u @ u.T
+            # drop j if any EARLIER i (by id order) has cos >= threshold
+            dup = (np.triu(sims, k=1) >= threshold).any(axis=0)
+            keep[s:e] = ~dup
+        mask = pa.array(keep)
+        return pa.table({id_column: ids.filter(mask),
+                         'cluster': table.column('cluster').filter(mask)})
+
+    assigned = ds.map_batches(assign, batch_format='pyarrow', zero_copy_batch=True)
+    return shuffle_map_partitions(assigned, ['cluster'], num_partitions, prune)

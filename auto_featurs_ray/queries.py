@@ -2326,6 +2326,44 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """Round-5 SemDeDup (k-means bucket + within-cluster cosine prune) over
+    embeddings with the same deterministic planted near-dups the
+    hyperplane-LSH query uses.  The pin freezes per-cluster survivor counts
+    plus the planted-survivor total (0 at sf0.01 = every planted twin shared
+    its original's cluster and was pruned — 100% same-cluster recall)."""
+    from auto_featurs_ray.datapipe.similarity import _embedding_matrix, semdedup
+
+    def plant_dups(batch: pa.Table) -> pa.Table:
+        ids = batch.column('vec_id').to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(batch.column('embedding'))
+        pick = ids % 5 == 0
+        noise = np.sin(np.outer(ids[pick] + 1, np.arange(1, emb.shape[1] + 1)) * 12.9898)
+        dup = emb[pick] + 0.02 * noise
+        all_ids = np.concatenate([ids, ids[pick] + 1_000_000])
+        all_emb = np.concatenate([emb, dup])
+        return pa.table({'vec_id': pa.array(all_ids, pa.int64()),
+                         'embedding': pa.array(list(all_emb), pa.list_(pa.float64()))})
+
+    ds = (ray.data.read_parquet(os.path.join(sf_dir, 'embeddings.parquet'),
+                                columns=['vec_id', 'embedding'])
+          .map_batches(plant_dups, batch_format='pyarrow'))
+    out = semdedup(ds, num_clusters=16, threshold=0.95,
+                   num_partitions=NUM_PARTITIONS)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        planted = pc.cast(pc.greater_equal(batch.column('vec_id'), 1_000_000),
+                          pa.int64())
+        return batch.append_column('planted', planted)
+
+    from auto_featurs_ray.datapipe.relational import groupby_aggregate
+    return groupby_aggregate(out.map_batches(mark, batch_format='pyarrow',
+                                             zero_copy_batch=True),
+                             by=['cluster'],
+                             aggs={'planted': ['sum'], '*': ['count']},
+                             num_partitions=8)
+
+
 def q_normalize_documents(sf_dir: str):
     """Round-5 explicit text-normalization stage (lowercase + punctuation->
     space + whitespace collapse) — the CCNet-style preprocessing most dedup
@@ -4710,6 +4748,7 @@ QUERIES = {
     'kmeans_embeddings': q_kmeans_embeddings,
     'incremental_dedup_documents': q_incremental_dedup_documents,
     'normalize_documents': q_normalize_documents,
+    'semdedup_embeddings': q_semdedup_embeddings,
     # --- driver-attested in rounds 1-4 (CORRECTNESS_r03/r04 green); the
     # in-window flagship canary is flagship_tokens (as-of join + window
     # suite, hash-gated pin) plus the driver's own entry() smoke ---

@@ -73,7 +73,7 @@ BENCH_QUERIES = [
     'logreg_embeddings', 'full_join_events_orders', 'cume_dist_events',
     'sort_lineitem', 'collect_set_events', 'approx_top_k_events',
     'trending_types_events', 'pagerank_events', 'kmeans_embeddings',
-    'normalize_documents',
+    'normalize_documents', 'semdedup_embeddings',
     'incremental_dedup_documents',
 ]
 

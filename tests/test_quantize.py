@@ -128,3 +128,52 @@ class TestKmeansCluster:
         # fit sample = limit(2048) = all rows in block order == emb order
         np.testing.assert_array_equal(d1['cluster'].to_numpy(), q.assign(emb))
         assert set(d1['cluster']) == set(range(6)) or len(set(d1['cluster'])) >= 4
+
+
+class TestSemDeDup:
+    def test_planted_near_dups_pruned_keep_min_id(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.similarity import semdedup
+
+        rng = np.random.default_rng(19)
+        n, dim = 240, 12
+        emb = rng.standard_normal((n, dim))
+        ids = np.arange(n, dtype=np.int64)
+        # plant: every 10th vector duplicated (tiny perturbation) under id+1000
+        pick = ids % 10 == 0
+        dup = emb[pick] + 0.01 * rng.standard_normal((pick.sum(), dim))
+        all_ids = np.concatenate([ids, ids[pick] + 1000])
+        all_emb = np.concatenate([emb, dup])
+        tbl = pa.table({'vec_id': pa.array(all_ids),
+                        'embedding': pa.array(list(all_emb), pa.list_(pa.float64()))})
+        blocks = [tbl.slice(i, 50) for i in range(0, len(all_ids), 50)]
+        out = semdedup(rd.from_arrow(blocks), num_clusters=8, threshold=0.95,
+                       num_partitions=4).to_pandas()
+        survivors = set(out['vec_id'])
+        # every planted duplicate (id >= 1000) whose twin shares a cluster is
+        # dropped and the ORIGINAL (smaller id) survives
+        originals = set(ids[pick].tolist())
+        assert originals <= survivors
+        dropped = {i + 1000 for i in ids[pick]} - survivors
+        assert len(dropped) >= 0.8 * pick.sum()  # same-cluster recall
+        # no survivor pair within a cluster exceeds the threshold
+        df = out.merge(
+            __import__('pandas').DataFrame({'vec_id': all_ids,
+                                            'i': range(len(all_ids))}), on='vec_id')
+        for _, grp in df.groupby('cluster'):
+            u = all_emb[grp['i'].to_numpy()]
+            u = u / np.linalg.norm(u, axis=1, keepdims=True)
+            sims = u @ u.T
+            np.fill_diagonal(sims, 0.0)
+            assert (sims < 0.95).all()
+
+    def test_threshold_validation(self):
+        import ray.data as rd
+
+        from auto_featurs_ray.datapipe.similarity import semdedup
+
+        tbl = pa.table({'vec_id': pa.array([0], pa.int64()),
+                        'embedding': pa.array([[1.0, 0.0]], pa.list_(pa.float64()))})
+        with pytest.raises(ValueError, match='threshold'):
+            semdedup(rd.from_arrow(tbl), threshold=1.5)
